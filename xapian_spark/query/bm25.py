@@ -1,0 +1,149 @@
+"""Xapian BM25 weighting, exact formula.
+
+Mirrors the reference implementation (xapian-core/weight/bm25weight.cc):
+
+- termweight (init, :45-110):
+      tw = (N - tf + 0.5) / (tf + 0.5)          # no relevance set
+      if tw < 2: tw = tw * 0.5 + 1              # the "halving rule"
+      termweight = log(tw) * factor
+      if k3 != 0: termweight *= (k3 + 1) * wqf / (k3 + wqf)
+- len_factor = 1 / average_doclen, or 0 when doc length can't matter
+  (:116-125)
+- per-posting part (get_sumpart, :162-172):
+      normlen = max(doclen * len_factor, min_normlen)
+      part = termweight * (k1 + 1) * wdf / (k1*(normlen*b + (1-b)) + wdf)
+- upper bound (get_maxpart, :174-191) uses the doclen lower bound and the
+  per-term wdf upper bound — the WAND pruning contract.
+
+Defaults k1=1, k2=0, k3=1, b=0.5, min_normlen=0.5
+(include/xapian/weight.h:525-528).
+
+Driver-side scalar math is float64; the distributed per-posting part is a
+Spark Column expression (pure JVM, whole-stage codegen — no Python UDF in
+the scoring hot path).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BM25Weight:
+    k1: float = 1.0
+    k2: float = 0.0
+    k3: float = 1.0
+    b: float = 0.5
+    min_normlen: float = 0.5
+
+    def len_factor(self, average_length: float) -> float:
+        if self.k2 == 0 and (self.b == 0 or self.k1 == 0):
+            return 0.0
+        return 1.0 / average_length if average_length != 0 else 0.0
+
+    def termweight(
+        self, termfreq: int, collection_size: int, wqf: int = 1,
+        factor: float = 1.0,
+    ) -> float:
+        """The per-term document-independent weight (bm25weight.cc init)."""
+        tw = (collection_size - termfreq + 0.5) / (termfreq + 0.5)
+        if tw < 2.0:
+            tw = tw * 0.5 + 1.0
+        tw = math.log(tw) * factor
+        if self.k3 != 0:
+            tw *= (self.k3 + 1.0) * wqf / (self.k3 + wqf)
+        return tw
+
+    def sumpart_col(
+        self, termweight: Column, wdf: Column, doclen: Column,
+        len_factor: float,
+    ) -> Column:
+        """get_sumpart as a Spark Column (vectorized JVM-side)."""
+        wdf_d = wdf.cast("double")
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(len_factor),
+            F.lit(self.min_normlen),
+        )
+        denom = (
+            F.lit(self.k1) * (normlen * F.lit(self.b) + F.lit(1.0 - self.b))
+            + wdf_d
+        )
+        return termweight * F.lit(self.k1 + 1.0) * wdf_d / denom
+
+    def sumpart(
+        self, termweight: float, wdf: int, doclen: float, len_factor: float
+    ) -> float:
+        """Scalar twin of sumpart_col (tests / WAND kernel)."""
+        normlen = max(doclen * len_factor, self.min_normlen)
+        denom = self.k1 * (normlen * self.b + (1.0 - self.b)) + wdf
+        return termweight * (self.k1 + 1.0) * wdf / denom
+
+    def maxpart(
+        self, termweight: float, wdf_upper: int, doclen_lower: float,
+        len_factor: float,
+    ) -> float:
+        """get_maxpart — never underestimates any sumpart of the term."""
+        denom = float(wdf_upper)
+        if self.k1 != 0.0:
+            if self.b != 0.0:
+                normlen_lb = max(doclen_lower * len_factor, self.min_normlen)
+                denom += self.k1 * (normlen_lb * self.b + (1.0 - self.b))
+            else:
+                denom += self.k1
+        return termweight * (self.k1 + 1.0) * wdf_upper / denom
+
+
+@dataclass(frozen=True)
+class BoolWeight:
+    """All-zero weights (xapian-core/weight/boolweight.cc) — pure boolean
+    retrieval; results order by docid via the standard tiebreak."""
+
+    def len_factor(self, average_length: float) -> float:
+        return 0.0
+
+    def termweight(self, termfreq, collection_size, wqf=1, factor=1.0):
+        return 0.0
+
+    def sumpart_col(self, termweight, wdf, doclen, len_factor) -> Column:
+        return F.lit(0.0)
+
+    def sumpart(self, termweight, wdf, doclen, len_factor) -> float:
+        return 0.0
+
+    def maxpart(self, termweight, wdf_upper, doclen_lower,
+                len_factor) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class TradWeight:
+    """Traditional probabilistic weighting (weight/tradweight.cc):
+    BM25(k1=k, k2=0, k3=0, b=1, min_normlen=0) is the exact equivalence
+    the reference documents (weight.h: 'TradWeight(k) is equivalent to
+    BM25Weight(k, 0, 0, 1, 0)')."""
+
+    k: float = 1.0
+
+    def _bm25(self) -> BM25Weight:
+        return BM25Weight(self.k, 0.0, 0.0, 1.0, 0.0)
+
+    def len_factor(self, average_length: float) -> float:
+        return self._bm25().len_factor(average_length)
+
+    def termweight(self, termfreq, collection_size, wqf=1, factor=1.0):
+        return self._bm25().termweight(termfreq, collection_size, wqf,
+                                       factor)
+
+    def sumpart_col(self, termweight, wdf, doclen, len_factor) -> Column:
+        return self._bm25().sumpart_col(termweight, wdf, doclen, len_factor)
+
+    def sumpart(self, termweight, wdf, doclen, len_factor) -> float:
+        return self._bm25().sumpart(termweight, wdf, doclen, len_factor)
+
+    def maxpart(self, termweight, wdf_upper, doclen_lower, len_factor):
+        return self._bm25().maxpart(termweight, wdf_upper, doclen_lower,
+                                    len_factor)

@@ -1,0 +1,427 @@
+"""Query execution: Query tree → DataFrame plan → top-k MSet.
+
+Spark restatement of the reference match
+(xapian-core/matcher/multimatch.cc:376-1179 get_mset):
+
+- stats gathering (prepare_sub_matches, :205-240) = one tiny aggregation
+  over term_stats for the query's leaf terms, collected to the driver;
+  termweights are computed driver-side in float64 exactly like
+  BM25Weight::init.
+- the PostList tree = a composition of DataFrame operators (§2.2 SURVEY):
+  AND → count-of-matching-children == n over one shared postings scan
+  (or inner joins for heterogeneous children), OR → groupBy-sum,
+  AND_NOT → left_anti, AND_MAYBE → left join + coalesce, XOR → odd count,
+  FILTER → semi join, SYNONYM → wdf-sum scored as one term,
+  MAX → groupBy-max, PHRASE/NEAR → AND + positions post-filter (the same
+  "positional filters deferred" shape as api/queryinternal.cc:293-355).
+- the bounded-heap top-k (:782-843) = orderBy(score desc, doc_id asc)
+  .limit(k), which Spark executes as TakeOrderedAndProject — a
+  per-partition bounded heap + driver merge, i.e. the same algorithm
+  distributed.
+- tiebreak: weight desc then docid ASC (msetcmp.cc:46-55, default
+  docid_order ASCENDING) — required for rank-identity.
+
+The flat single-scan path: a query that is And/Or/Synonym/Max over plain
+Terms is evaluated with ONE postings scan (term IN (...)) + one shuffle
+(groupBy doc_id) — no joins. Deep trees fall back to compositional joins.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xapian_spark.index.build import InvertedIndex
+from xapian_spark.query import ops
+from xapian_spark.query.bm25 import BM25Weight
+
+
+@dataclass
+class _QueryStats:
+    """Per-query collected statistics (Weight::Internal analog)."""
+
+    termfreqs: Dict[str, Tuple[int, int]]  # term -> (tf, cf)
+    collection_size: int
+    average_length: float
+    doclen_lbound: int
+    wdf_ubound: int
+
+
+class Enquire:
+    """Xapian::Enquire analog: holds an index + weight, answers queries."""
+
+    def __init__(self, index: InvertedIndex, weight: Optional[BM25Weight] = None):
+        self.index = index
+        self.weight = weight or BM25Weight()
+
+    # ------------------------------------------------------------------
+
+    def _gather_stats(self, terms: List[str]) -> _QueryStats:
+        st = self.index.stats
+        tfs: Dict[str, Tuple[int, int]] = {}
+        if terms:
+            rows = (
+                self.index.term_stats
+                .filter(F.col("term").isin(list(set(terms))))
+                .collect()
+            )
+            tfs = {r["term"]: (r["tf"], r["cf"]) for r in rows}
+        return _QueryStats(
+            termfreqs=tfs,
+            collection_size=st.doccount,
+            average_length=st.average_length,
+            doclen_lbound=st.doclen_lbound,
+            wdf_ubound=st.wdf_ubound,
+        )
+
+    def _termweight(self, term: str, wqf: int, stats: _QueryStats,
+                    factor: float = 1.0) -> float:
+        tf, _cf = stats.termfreqs.get(term, (0, 0))
+        if tf == 0:
+            return 0.0
+        return self.weight.termweight(tf, stats.collection_size, wqf, factor)
+
+    def _maxpart(self, term: str, stats: _QueryStats, wqf: int = 1,
+                 factor: float = 1.0) -> float:
+        """Per-term upper bound (bm25weight.cc get_maxpart); the per-term
+        wdf bound is min(cf, global wdf ubound) as in
+        brass_database.cc:796-798."""
+        tf, cf = stats.termfreqs.get(term, (0, 0))
+        if tf == 0:
+            return 0.0
+        tw = self.weight.termweight(tf, stats.collection_size, wqf, factor)
+        wdf_ub = min(cf, stats.wdf_ubound) if cf else stats.wdf_ubound
+        lf = self.weight.len_factor(stats.average_length)
+        return self.weight.maxpart(tw, wdf_ub, stats.doclen_lbound, lf)
+
+    # ------------------------------------------------------------------
+
+    def _scored_postings(
+        self, terms: List[Tuple[str, int, float]], stats: _QueryStats,
+        keep: Tuple[str, ...] = (),
+    ) -> DataFrame:
+        """One scan of postings for the given (term, wqf, factor) leaves,
+        with a per-row BM25 sumpart column. No shuffle."""
+        lf = self.weight.len_factor(stats.average_length)
+        tws = {
+            t: self._termweight(t, wqf, stats, factor)
+            for t, wqf, factor in terms
+        }
+        df = self.index.postings.filter(
+            F.col("term").isin(list(tws.keys())))
+        mapping = F.create_map(
+            *[x for t, w in tws.items() for x in (F.lit(t), F.lit(w))])
+        tw_col = mapping[F.col("term")]
+        score = self.weight.sumpart_col(
+            tw_col, F.col("wdf"), F.col("doclen"), lf)
+        cols = [F.col("term"), F.col("doc_id"), score.alias("score")]
+        cols += [F.col(c) for c in keep]
+        return df.select(*cols)
+
+    @staticmethod
+    def _sum_scores() -> Column:
+        # deterministic float summation: sort the collected parts before
+        # folding (fixes the summation order across shuffles/runs)
+        return F.aggregate(
+            F.array_sort(F.collect_list("score")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # -- compile -----------------------------------------------------------
+
+    def _is_flat(self, node: ops.Query) -> bool:
+        flat_types = (ops.And, ops.Or, ops.Synonym, ops.Max)
+        return isinstance(node, flat_types) and all(
+            isinstance(c, ops.Term) for c in node.children
+        )
+
+    def compile(self, node: ops.Query, stats: Optional[_QueryStats] = None,
+                factor: float = 1.0) -> DataFrame:
+        """node → DataFrame(doc_id LONG, score DOUBLE)."""
+        if stats is None:
+            stats = self._gather_stats(list(node.terms()))
+        spark = self.index.postings.sparkSession
+
+        if isinstance(node, ops.MatchNothing):
+            return spark.createDataFrame([], "doc_id long, score double")
+
+        if isinstance(node, ops.MatchAll):
+            return self.index.doclens.select(
+                "doc_id", F.lit(0.0).alias("score"))
+
+        if isinstance(node, ops.Term):
+            tf, _ = stats.termfreqs.get(node.term, (0, 0))
+            if tf == 0:
+                return spark.createDataFrame([], "doc_id long, score double")
+            sp = self._scored_postings(
+                [(node.term, node.wqf, factor)], stats)
+            return sp.select("doc_id", "score")
+
+        if isinstance(node, ops.ScaleWeight):
+            return self.compile(node.child, stats, factor * node.factor)
+
+        if isinstance(node, ops.EliteSet):
+            # keep the set_size children with the highest maxweight
+            # (api/queryinternal.cc:164-174)
+            ranked = sorted(
+                enumerate(node.children),
+                key=lambda ic: -self._max_weight(ic[1], stats),
+            )
+            kept = [c for _i, c in sorted(ranked[: node.set_size])]
+            return self.compile(ops.Or(kept), stats, factor)
+
+        if isinstance(node, (ops.And, ops.Or, ops.Xor, ops.Max,
+                             ops.Synonym)) and not node.children:
+            # emptyop semantics: an operator with no children matches
+            # nothing (api_anydb.cc emptyop1)
+            return spark.createDataFrame([], "doc_id long, score double")
+
+        if self._is_flat(node):
+            return self._compile_flat(node, stats, factor)
+
+        if isinstance(node, (ops.And, ops.Or, ops.Xor, ops.Max,
+                             ops.Synonym)):
+            return self._compile_nary(node, stats, factor)
+
+        if isinstance(node, ops.AndNot):
+            left = self.compile(node.left, stats, factor)
+            right = self._doc_set(node.right, stats)
+            return left.join(right, "doc_id", "left_anti")
+
+        if isinstance(node, ops.Filter):
+            left = self.compile(node.left, stats, factor)
+            right = self._doc_set(node.right, stats)
+            return left.join(right, "doc_id", "left_semi")
+
+        if isinstance(node, ops.AndMaybe):
+            left = self.compile(node.left, stats, factor)
+            right = self.compile(node.right, stats, factor)
+            r = right.withColumnRenamed("score", "rscore")
+            return (
+                left.join(r, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.col("score")
+                     + F.coalesce(F.col("rscore"), F.lit(0.0))
+                     ).alias("score"),
+                )
+            )
+
+        if isinstance(node, (ops.Phrase, ops.Near)):
+            return self._compile_positional(node, stats, factor)
+
+        if isinstance(node, ops.ValueRange):
+            return self._value_range_docs(node).select(
+                "doc_id", F.lit(0.0).alias("score"))
+
+        if isinstance(node, ops.PostingSourceQuery):
+            return node.source.select(
+                F.col("doc_id").cast("long"),
+                (F.col("score") * F.lit(factor)).alias("score"))
+
+        raise TypeError(f"cannot compile {type(node).__name__}")
+
+    # -- helpers -----------------------------------------------------------
+
+    def _max_weight(self, node: ops.Query, stats: _QueryStats) -> float:
+        if isinstance(node, ops.Term):
+            return self._maxpart(node.term, stats, node.wqf)
+        return sum(self._maxpart(t, stats) for t in node.terms())
+
+    def _doc_set(self, node: ops.Query, stats: _QueryStats) -> DataFrame:
+        """Boolean (weightless) evaluation → distinct doc_id frame."""
+        if isinstance(node, ops.Term):
+            return (self.index.postings
+                    .filter(F.col("term") == node.term)
+                    .select("doc_id"))
+        if isinstance(node, ops.ValueRange):
+            return self._value_range_docs(node)
+        return self.compile(node, stats, factor=0.0).select("doc_id")
+
+    def _value_range_docs(self, node: ops.ValueRange) -> DataFrame:
+        docs = self.index.docs
+        if docs is None:
+            raise ValueError("ValueRange requires index.docs")
+        cond = F.lit(True)
+        if node.lo is not None:
+            cond = cond & (F.col(node.column) >= F.lit(node.lo))
+        if node.hi is not None:
+            cond = cond & (F.col(node.column) <= F.lit(node.hi))
+        return docs.filter(cond).select(F.col("doc_id").cast("long"))
+
+    def _compile_flat(self, node, stats: _QueryStats,
+                      factor: float) -> DataFrame:
+        """And/Or/Synonym/Max over plain Terms: ONE scan + ONE shuffle."""
+        terms = [(c.term, c.wqf, factor) for c in node.children]
+        # drop absent terms (matcher prunes empty postlists)
+        present = [t for t in terms if stats.termfreqs.get(t[0], (0, 0))[0]]
+        spark = self.index.postings.sparkSession
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if isinstance(node, ops.And) and len(present) < len(terms):
+            return empty  # AND with an empty child matches nothing
+        if not present:
+            return empty
+
+        if isinstance(node, ops.Synonym):
+            return self._compile_synonym(node, stats, factor)
+
+        sp = self._scored_postings(present, stats)
+        g = sp.groupBy("doc_id")
+        if isinstance(node, ops.Max):
+            return g.agg(F.max("score").alias("score"))
+        n_distinct = len({t for t, _, _ in present})
+        agg = g.agg(
+            self._sum_scores().alias("score"),
+            F.count_distinct(F.col("term")).alias("_n"),
+        )
+        if isinstance(node, ops.And):
+            agg = agg.filter(F.col("_n") == n_distinct)
+        return agg.select("doc_id", "score")
+
+    def _compile_synonym(self, node: ops.Synonym, stats: _QueryStats,
+                         factor: float) -> DataFrame:
+        """synonympostlist.cc:64-89 — wdf = Σ children wdf (clamped to
+        doclen), one weight calc.  We use the exact unioned docfreq where
+        the reference estimates it (exact counts are cheap in Spark)."""
+        terms = [c.term for c in node.children
+                 if stats.termfreqs.get(c.term, (0, 0))[0] > 0]
+        spark = self.index.postings.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        base = (
+            self.index.postings
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("wdf").cast("int").alias("wdf_sum"),
+                F.first("doclen").alias("doclen"),
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("wdf_sum"), F.col("doclen").cast("int"))
+                .alias("wdf"),
+                "doclen",
+            )
+        ).persist()
+        tf = base.count()  # exact unioned termfreq
+        cf = sum(stats.termfreqs.get(t, (0, 0))[1] for t in terms)
+        stats.termfreqs["\x00synonym"] = (tf, cf)
+        tw = self.weight.termweight(tf, stats.collection_size, 1, factor) \
+            if tf else 0.0
+        lf = self.weight.len_factor(stats.average_length)
+        score = self.weight.sumpart_col(
+            F.lit(tw), F.col("wdf"), F.col("doclen"), lf)
+        return base.select("doc_id", score.alias("score"))
+
+    def _compile_nary(self, node, stats: _QueryStats,
+                      factor: float) -> DataFrame:
+        """General n-ary composition over arbitrary child plans."""
+        children = [self.compile(c, stats, factor) for c in node.children]
+        tagged = [
+            c.select("doc_id", "score", F.lit(i).alias("_child"))
+            for i, c in enumerate(children)
+        ]
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        g = u.groupBy("doc_id")
+        if isinstance(node, ops.Max):
+            return g.agg(F.max("score").alias("score"))
+        agg = g.agg(
+            self._sum_scores().alias("score"),
+            F.count_distinct("_child").alias("_n"),
+        )
+        if isinstance(node, ops.And):
+            agg = agg.filter(F.col("_n") == len(children))
+        elif isinstance(node, ops.Xor):
+            agg = agg.filter(F.col("_n") % 2 == 1)
+        return agg.select("doc_id", "score")
+
+    def _compile_positional(self, node, stats: _QueryStats,
+                            factor: float) -> DataFrame:
+        """PHRASE/NEAR: AND over the terms first, positional check as a
+        post-filter (the reference defers positional filters the same way,
+        api/queryinternal.cc:293-355)."""
+        terms = list(node.terms_)
+        n = len(terms)
+        window = node.window or (n if isinstance(node, ops.Phrase) else 10)
+        ordered = isinstance(node, ops.Phrase)
+        spark = self.index.postings.sparkSession
+        if any(stats.termfreqs.get(t, (0, 0))[0] == 0 for t in terms):
+            return spark.createDataFrame([], "doc_id long, score double")
+        if n == 1:
+            return self.compile(ops.Term(terms[0]), stats, factor)
+
+        sp = self._scored_postings(
+            [(t, 1, factor) for t in set(terms)], stats,
+            keep=("positions",))
+        cand = (
+            sp.groupBy("doc_id")
+            .agg(
+                self._sum_scores().alias("score"),
+                F.count_distinct("term").alias("_n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("_pos"),
+            )
+            .filter(F.col("_n") == len(set(terms)))
+        )
+
+        from pyspark.sql.types import BooleanType
+
+        def check(pos_map) -> bool:
+            plists = [sorted(pos_map[t]) for t in terms]
+            return _positions_match(plists, window, ordered)
+
+        check_udf = F.udf(check, BooleanType())
+        return (
+            cand.filter(check_udf(F.col("_pos")))
+            .select("doc_id", "score")
+        )
+
+    # -- the match ----------------------------------------------------------
+
+    def get_mset(self, query: ops.Query, first: int = 0,
+                 maxitems: int = 10) -> DataFrame:
+        """Top-k: DataFrame(doc_id, score) ordered by (score desc,
+        doc_id asc), offset by `first`."""
+        stats = self._gather_stats(list(query.terms()))
+        scored = self.compile(query, stats)
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if first:
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                ordered.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > first)
+                .limit(maxitems)
+                .drop("_rn")
+            )
+        return ordered.limit(maxitems)
+
+
+def _positions_match(plists: List[List[int]], window: int,
+                     ordered: bool) -> bool:
+    """True iff there's one position per list, all within `window`
+    (max-min < window), and strictly increasing when `ordered`."""
+    n = len(plists)
+
+    def rec(i: int, chosen: List[int]) -> bool:
+        if i == n:
+            return max(chosen) - min(chosen) < window
+        for p in plists[i]:
+            if ordered and chosen and p <= chosen[-1]:
+                continue
+            if chosen and max(chosen + [p]) - min(chosen + [p]) >= window:
+                continue
+            if rec(i + 1, chosen + [p]):
+                return True
+        return False
+
+    return rec(0, [])
