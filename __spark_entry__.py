@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship query on sf0.001.
+`queries()` — one entry per implemented operator (SURVEY.md §2 + the
+training-data pipeline ops); each callable takes (spark, sf_dir).
+`oracle_sql()` — DuckDB-equivalent ANSI SQL per query.
+
+The search-engine queries run through the real engine
+(xapian_spark.index.build + xapian_spark.query.executor) over the
+`documents` table with the SQL-parity "simple" analyzer (lowercase,
+split on non-alnum) so every BM25 score is independently recomputable by
+DuckDB. Scores are rounded to 6 dp on BOTH sides; the exact-formula
+parity (same IEEE ops in the same order, termweights from the same libm
+log) keeps rank order identical.
 """
 
 from __future__ import annotations
@@ -12,27 +19,679 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared engine cache (one index build per sf_dir per session)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from xapian_spark.index.build import build_index
+
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        idx = build_index(_docs(spark, sf_dir), text_col="text",
+                          id_col="doc_id", analyzer="simple")
+        idx.postings = idx.postings.persist()
+        _CACHE[key] = idx
+    return _CACHE[key]
+
+
+def _enquire(spark: SparkSession, sf_dir: str):
+    from xapian_spark.query.executor import Enquire
+
+    return Enquire(_index(spark, sf_dir))
+
+
+def _mset(spark, sf_dir, query, k=10) -> DataFrame:
+    df = _enquire(spark, sf_dir).get_mset(query, 0, k)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for an OR query over sf0.001 documents,
+    tokenized with the full Xapian analyzer (TermGenerator + Porter2)."""
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    idx = build_index(docs, text_col="text", id_col="doc_id",
+                      analyzer="xapian")
+    enq = Enquire(idx)
+    q = ops.Or([ops.Term("Zbatch"), ops.Term("Zscan"),
+                ops.Term("Zspark")])
+    return enq.get_mset(q, 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# queries — search engine core
+# ---------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    return _index(spark, sf_dir).term_stats.select("term", "tf", "cf")
+
+
+def q_bm25_single(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Term("batch"))
+
+
+def q_bm25_or(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir,
+                 ops.Or(["batch", "scan", "spark"]))
+
+
+def q_bm25_and(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.And(["batch", "window"]))
+
+
+def q_bm25_and_not(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.AndNot("batch", "spark"))
+
+
+def q_bm25_and_maybe(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.AndMaybe("batch", "spark"))
+
+
+def q_bm25_xor(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Xor(["batch", "spark"]))
+
+
+def q_bm25_filter(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Filter("batch", "spark"))
+
+
+def q_bm25_max(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Max(["batch", "spark"]))
+
+
+def q_value_range(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    q = ops.Filter(ops.Term("batch"),
+                   ops.ValueRange("n_chars", 100, 300))
+    return _mset(spark, sf_dir, q, k=20)
+
+
+def q_facets_lang(spark, sf_dir):
+    """ValueCountMatchSpy analog: lang counts among docs matching a term."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    matched = enq.compile(ops.Term("batch"))
+    docs = _docs(spark, sf_dir)
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_collapse_lang(spark, sf_dir):
+    """Collapse: best (top-1) doc per lang among matches (collapser.cc)."""
+    from pyspark.sql.window import Window
+
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    scored = enq.compile(ops.Term("batch"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def q_allterms_prefix(spark, sf_dir):
+    """allterms iterator with prefix (brass_alltermslist.cc analog)."""
+    return (
+        _index(spark, sf_dir).term_stats
+        .filter(F.col("term").startswith("s"))
+        .select("term", "tf")
+    )
+
+
+def q_doccount(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.stats.doccount, idx.stats.total_doclen)],
+        "doccount long, total_doclen long")
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "fingerprint", "n_docs", "keep_doc_id")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_minhash_sig(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=16)
+    cols = [F.col("sig")[i].alias(f"h{i}") for i in range(16)]
+    return sig.select("doc_id", *cols)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=16, bands=4, threshold=0.8)
+
+
+def q_simhash(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).select(
+        "doc_id", "simhash_hi", "simhash_lo")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from xapian_spark.pipeline.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_token_stats(spark, sf_dir):
+    from xapian_spark.pipeline.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from xapian_spark.pipeline.textstats import quality_scores
+
+    return q_round_all(quality_scores(_docs(spark, sf_dir)))
+
+
+def q_round_all(df):
+    return df
+
+
+def q_lang_id(spark, sf_dir):
+    from xapian_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from xapian_spark.pipeline.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from xapian_spark.pipeline.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return cosine_topk(emb, qv, k=10)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from xapian_spark.pipeline.similarity import brute_force_pairs
+
+    return brute_force_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    from xapian_spark.pipeline.similarity import lsh_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.head()["embedding"])
+    return lsh_neardup_pairs(emb, dim, threshold=0.4, n_planes=16,
+                             bands=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # search engine core (SURVEY §2.2/§2.3)
+        "term_stats": q_term_stats,
+        "bm25_single_term": q_bm25_single,
+        "bm25_or": q_bm25_or,
+        "bm25_and": q_bm25_and,
+        "bm25_and_not": q_bm25_and_not,
+        "bm25_and_maybe": q_bm25_and_maybe,
+        "bm25_xor": q_bm25_xor,
+        "bm25_filter": q_bm25_filter,
+        "bm25_max": q_bm25_max,
+        "value_range": q_value_range,
+        "facets_lang": q_facets_lang,
+        "collapse_lang": q_collapse_lang,
+        "allterms_prefix": q_allterms_prefix,
+        "doccount": q_doccount,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared prelude: tokenize + postings + doclens + Xapian BM25 termweights
+# (k1=1, k2=0, k3=1, b=0.5, min_normlen=0.5; halving rule; exact IEEE
+# operation order as xapian_spark.query.bm25)
+_BM25_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS wdf FROM tok GROUP BY 1, 2
+),
+doclens AS (
+  SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1
+),
+gstats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT sum(doclen) FROM doclens)::DOUBLE
+           / (SELECT count(*) FROM documents)::BIGINT AS avlen
+),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS tf, sum(wdf)::BIGINT AS cf
+  FROM postings GROUP BY 1
+),
+tw AS (
+  SELECT term, tf, cf,
+    CASE WHEN (n - tf + 0.5) / (tf + 0.5) < 2.0
+         THEN ln((n - tf + 0.5) / (tf + 0.5) * 0.5 + 1.0)
+         ELSE ln((n - tf + 0.5) / (tf + 0.5)) END AS termweight
+  FROM tstats, gstats
+),
+scored AS (
+  SELECT p.doc_id, p.term, p.wdf, d.doclen,
+         tw.termweight * 2.0 * p.wdf
+           / (1.0 * (greatest(d.doclen * (1.0 / g.avlen), 0.5) * 0.5 + 0.5)
+              + p.wdf) AS part
+  FROM postings p
+  JOIN tw USING (term)
+  JOIN doclens d USING (doc_id)
+  CROSS JOIN gstats g
+)
+"""
+
+_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+         " t -> t <> '')")
+
+_SHINGLES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, len(toks) - 1)])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+),
+ssize AS (
+  SELECT doc_id, count(*)::INT AS set_size FROM sh GROUP BY 1
+)
+"""
+
+
+def _minhash_params_sql(num_hashes: int = 16):
+    from xapian_spark.pipeline.dedup import _MERSENNE, _hash_params
+
+    return _hash_params(num_hashes), _MERSENNE
+
+
+def _minhash_sig_sql() -> str:
+    params, p = _minhash_params_sql(16)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""{_SHINGLES},
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+  FROM sh
+)
+SELECT doc_id,
+    {mins}
+FROM h GROUP BY doc_id
+"""
+
+
+def _simhash_sql(cols: str = "doc_id, simhash_hi, simhash_lo") -> str:
+    votes = []
+    for half in ("hi", "lo"):
+        for i in range(32):
+            votes.append(
+                f"sum(CASE WHEN (h_{half} >> {i}) % 2 = 1 THEN wdf "
+                f"ELSE -wdf END) AS v_{half}_{i}"
+            )
+    compose = {}
+    for half in ("hi", "lo"):
+        compose[half] = " + ".join(
+            f"(CASE WHEN v_{half}_{i} > 0 THEN {1 << i}::BIGINT "
+            f"ELSE 0 END)"
+            for i in range(32)
+        )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+             '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM norm),
+wdfs AS (
+  SELECT doc_id, token, count(*)::BIGINT AS wdf FROM tok GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, wdf,
+         ('0x' || substring(md5(token), 1, 8))::BIGINT AS h_hi,
+         ('0x' || substring(md5(token), 9, 8))::BIGINT AS h_lo
+  FROM wdfs
+),
+votes AS (
+  SELECT doc_id, {", ".join(votes)}
+  FROM h GROUP BY doc_id
+),
+final AS (
+  SELECT doc_id,
+         ({compose['hi']}) AS simhash_hi,
+         ({compose['lo']}) AS simhash_lo
+  FROM votes
+)
+SELECT {cols} FROM final
+"""
+
+
+_COS = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    list_sum([e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE
+              for i in range(1, len(e.embedding) + 1)])
+    / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                      for i in range(1, len(e.embedding) + 1)]))
+       * sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                        for i in range(1, len(q.qv) + 1)]))) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+"""
+
+_PAIR_COS = """
+WITH s AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+              for i in range(1, len(a.embedding) + 1)])
+    / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                      for i in range(1, len(a.embedding) + 1)]))
+       * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                        for i in range(1, len(b.embedding) + 1)])))
+      AS cosine
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+"""
+
+
+def _bm25_topk(term_pred: str, having: str = "", k: int = 10,
+               anti: str = "", extra_join: str = "") -> str:
+    return f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score, count(DISTINCT term) AS nterms
+  FROM scored WHERE term IN ({term_pred})
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM agg {extra_join}
+WHERE 1=1 {having} {anti}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {}
+    out["term_stats"] = f"""{_BM25_PRELUDE}
+SELECT term, tf, cf FROM tstats
+"""
+    out["bm25_single_term"] = _bm25_topk("'batch'")
+    out["bm25_or"] = _bm25_topk("'batch','scan','spark'")
+    out["bm25_and"] = _bm25_topk("'batch','window'",
+                                 having="AND nterms = 2")
+    out["bm25_and_not"] = _bm25_topk(
+        "'batch'",
+        anti=("AND doc_id NOT IN (SELECT doc_id FROM postings "
+              "WHERE term = 'spark')"))
+    out["bm25_and_maybe"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score
+  FROM scored WHERE term IN ('batch', 'spark')
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'batch')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["bm25_xor"] = _bm25_topk("'batch','spark'",
+                                 having="AND nterms % 2 = 1")
+    out["bm25_filter"] = _bm25_topk(
+        "'batch'",
+        anti=("AND doc_id IN (SELECT doc_id FROM postings "
+              "WHERE term = 'spark')"))
+    out["bm25_max"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, max(part) AS score
+  FROM scored WHERE term IN ('batch', 'spark')
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["value_range"] = _bm25_topk(
+        "'batch'", k=20,
+        anti=("AND doc_id IN (SELECT doc_id FROM documents "
+              "WHERE n_chars BETWEEN 100 AND 300)"))
+    out["facets_lang"] = f"""{_BM25_PRELUDE}
+SELECT d.lang, count(*)::BIGINT AS n
+FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'batch') m
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+    out["collapse_lang"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score
+  FROM scored WHERE term = 'batch' GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, a.doc_id, a.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY a.score DESC, a.doc_id ASC) AS rn
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, round(score, 6) AS score FROM ranked WHERE rn = 1
+"""
+    out["allterms_prefix"] = f"""{_BM25_PRELUDE}
+SELECT term, tf FROM tstats WHERE term LIKE 's%'
+"""
+    out["doccount"] = f"""{_BM25_PRELUDE}
+SELECT n AS doccount,
+       (SELECT sum(doclen) FROM doclens)::BIGINT AS total_doclen
+FROM gstats
+"""
+    out["dedup_exact"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+    out["dedup_jaccard"] = f"""{_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         count(*)::BIGINT AS intersection
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_id_a, p.doc_id_b, p.intersection,
+       round(p.intersection::DOUBLE
+             / (sa.set_size + sb.set_size - p.intersection), 6) AS jaccard
+FROM pairs p
+JOIN ssize sa ON sa.doc_id = p.doc_id_a
+JOIN ssize sb ON sb.doc_id = p.doc_id_b
+WHERE round(p.intersection::DOUBLE
+      / (sa.set_size + sb.set_size - p.intersection), 6) >= 0.8
+"""
+    out["minhash_signatures"] = _minhash_sig_sql()
+    out["simhash"] = _simhash_sql()
+    out["token_stats"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct,
+       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+             / greatest(len(toks), 1), 6) AS avg_token_len
+FROM toks
+"""
+    sw = {
+        "en": "['the','a','of','and','is','to','in','that','it','on']",
+        "de": ("['der','die','das','und','ist','zu','den','ein','nicht',"
+               "'mit']"),
+        "fr": ("['le','la','les','et','est','un','une','des','que',"
+               "'pour']"),
+        "es": "['el','la','los','las','y','es','un','una','que','por']",
+    }
+    structs = ",\n      ".join(
+        f"struct_pack(hits := len(list_filter(toks, t -> "
+        f"list_contains({sw[lang]}, t)))::INT, lang := '{lang}')"
+        for lang in sorted(sw)
+    )
+    out["lang_id"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+best AS (
+  SELECT doc_id,
+    list_max([
+      {structs}
+    ]) AS b
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_guess,
+       b.hits AS stopword_hits
+FROM best
+"""
+    out["quality_scores"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(length(text), 1) AS n_chars,
+         {_TOKS} AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_tokens,
+         (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+           ::DOUBLE / n_chars AS alpha_ratio,
+         (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+           ::DOUBLE / n_chars AS digit_ratio,
+         (n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '',
+                                          'g')))
+           ::DOUBLE / n_chars AS punct_ratio,
+         len(list_filter(toks, t -> list_contains({sw['en']}, t)))
+           ::DOUBLE / greatest(len(toks), 1) AS stopword_ratio,
+         len(list_distinct(toks))::DOUBLE
+           / greatest(len(toks), 1) AS type_token_ratio,
+         len(toks)::DOUBLE AS nt
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(type_token_ratio, 6) AS type_token_ratio,
+       round(
+         least(nt / 100.0, 1.0) * 0.25
+         + alpha_ratio * 0.25
+         + least(stopword_ratio * 5.0, 1.0) * 0.25
+         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25, 6) AS quality
+FROM feat
+"""
+    out["fingerprints"] = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents
+"""
+    out["cosine_topk"] = f"""{_COS}
+SELECT vec_id, round(cosine, 6) AS cosine FROM s
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    out["embed_neardup"] = f"""{_PAIR_COS}
+SELECT vec_id_a, vec_id_b, round(cosine, 6) AS cosine
+FROM s WHERE round(cosine, 6) >= 0.4
+"""
+    # minhash_pairs, simhash_neardup, embed_neardup_lsh: approximate /
+    # candidate-generation operators — rows-only check (no oracle).
+    return out

@@ -1,0 +1,333 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (shingle self-join — no cross
+product), MinHash + LSH banding, and SimHash — each expressed with
+built-in pyspark.sql.functions so the plan stays JVM-side and scales:
+
+- exact:     one shuffle (groupBy fingerprint)
+- jaccard:   explode shingles → self-join on shingle → pair counts.
+             The join is on the shingle key, so only docs *sharing a
+             shingle* ever meet — at web scale you put the MinHash/LSH
+             candidate filter in front (minhash_lsh_pairs) and verify
+             only candidates.
+- minhash:   k independent permutation hashes over shingle md5s,
+             banded into LSH buckets; bucket self-join yields candidates.
+- simhash:   64-bit sign-aggregated token-hash fingerprint; near-dups
+             differ in few bits (hamming ≤ k via xor + popcount).
+
+Deterministic: all hashing is md5-based (stable across runs/engines) —
+no Python UDFs, no RNG at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61 - 1: classic universal-hash modulus
+_MERSENNE = (1 << 61) - 1
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: (fingerprint, n_docs, keep_doc_id, dup_doc_ids)."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(_norm_text(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.filter(
+        F.split(_norm_text(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def shingle_df(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded, plus per-doc shingle-set size."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("shingles").alias("set_size"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, computed by
+    self-joining on the shingle (docs that share nothing never meet):
+    (doc_id_a < doc_id_b, intersection, jaccard)."""
+    s = shingle_df(docs, text_col, id_col, n)
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jac = F.col("intersection").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "intersection", "jaccard")
+    )
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> List[Tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p.
+    Derived from md5 of the seed+index (stable everywhere)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
+        # a < 2^28 and shingle hashes < 2^32 keep a*h + b < 2^62:
+        # no silent long wrap in Spark, no bigint overflow error in DuckDB
+        a = (int(d[:7], 16) % ((1 << 28) - 1)) + 1
+        b = int(d[7:22], 16) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Stable 32-bit integer hash of a shingle string: md5 hex prefix
+    (small enough that universal-hash products stay in 63-bit range)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 32, seed: int = 42) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+    Documents with fewer than `n` tokens get an empty signature."""
+    params = _hash_params(num_hashes, seed)
+    s = shingle_df(docs, text_col, id_col, n)
+    h = s.select(
+        "doc_id", shingle_hash(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = h.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      seed: int = 42) -> DataFrame:
+    """LSH candidate pairs: signatures split into `bands` bands of
+    num_hashes/bands rows; docs sharing any band bucket become a pair.
+    (doc_id_a < doc_id_b, n_bands_shared)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat_ws(
+                        ",",
+                        *[F.col("sig")[bi * rows + ri].cast("string")
+                          for ri in range(rows)],
+                    )).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.6,
+                        seed: int = 42) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact-Jaccard verify.
+    This is the shape that scales: the expensive verify only runs on
+    bucket-collision candidates."""
+    cand = minhash_lsh_pairs(docs, text_col, id_col, n, num_hashes, bands,
+                             seed)
+    s = shingle_df(docs, text_col, id_col, n)
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+        .join(cand, ["doc_id_a", "doc_id_b"], "left_semi")
+    )
+    jac = F.col("intersection").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo, simhash_hex): 64-bit
+    sign-aggregated token-hash fingerprint, as two unsigned 32-bit halves
+    (overflow-safe in any engine) plus the 16-hex-digit string.
+
+    Token hash = first 64 bits of md5(token); each bit votes +wdf / -wdf;
+    simhash bit = 1 iff the vote is positive. Pure SQL (explode + two
+    groupBys) — no Python."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(_norm_text(text_col), "[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("token"),
+    )
+    wdf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("wdf"))
+    h = wdf.select(
+        "doc_id", "wdf",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long").alias("h_hi"),
+        F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10)
+        .cast("long").alias("h_lo"),
+    )
+    votes = []
+    for half in ("hi", "lo"):
+        for i in range(32):
+            bit = F.shiftright(F.col(f"h_{half}"), i) % 2
+            votes.append(
+                F.sum(
+                    F.when(bit == 1, F.col("wdf")).otherwise(-F.col("wdf"))
+                ).alias(f"v_{half}_{i}")
+            )
+    agg = h.groupBy("doc_id").agg(*votes)
+    out = {}
+    for half in ("hi", "lo"):
+        acc = F.lit(0).cast("long")
+        for i in range(32):
+            acc = acc + F.when(
+                F.col(f"v_{half}_{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        out[half] = acc
+    return agg.select(
+        "doc_id",
+        out["hi"].alias("simhash_hi"),
+        out["lo"].alias("simhash_lo"),
+        F.concat(
+            F.lpad(F.conv(out["hi"].cast("string"), 10, 16), 8, "0"),
+            F.lpad(F.conv(out["lo"].cast("string"), 10, 16), 8, "0"),
+        ).alias("simhash_hex"),
+    )
+
+
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidate generation: docs sharing any of the 4 16-bit blocks of the
+    64-bit simhash collide (pigeonhole: ≤3 differing bits ⇒ at least one
+    of 4 blocks identical) — a block-join, not a cross product."""
+    sh = simhash(docs, text_col, id_col)
+    blocks = sh.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        (F.shiftright(F.col(c), off) % F.lit(1 << 16))
+                        .alias("key"),
+                    )
+                    for bi, (c, off) in enumerate(
+                        [("simhash_lo", 0), ("simhash_lo", 16),
+                         ("simhash_hi", 0), ("simhash_hi", 16)])
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash_hi", "simhash_lo", "b.block", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (F.bit_count(
+                F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+             + F.bit_count(
+                 F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+             ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

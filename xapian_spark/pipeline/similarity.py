@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one narrow scan, a
+  zip_with dot product (JVM-side higher-order functions, no Python),
+  TakeOrderedAndProject top-k.
+- random-hyperplane LSH buckets: the scale path — sign-bit sketches from
+  deterministic md5-derived hyperplanes; bucket join for candidate pairs.
+- IVF-style coarse quantization: assign each vector to its nearest of K
+  deterministic centroids; probe only matching cells.
+
+All deterministic (hyperplanes/centroids derived from md5 of a seed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float],
+                k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+    (vec_id, cosine) ordered desc, id asc tiebreak."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_similarity_col(F.col(vec_col), q)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes: components from
+    md5-derived uniforms mapped through the inverse-ish transform
+    (sum of 4 uniforms - 2, a cheap near-gaussian)."""
+    planes = []
+    for p in range(n_planes):
+        comp = []
+        for d in range(dim):
+            acc = 0.0
+            for r in range(4):
+                h = hashlib.md5(
+                    f"hp-{seed}-{p}-{d}-{r}".encode()).hexdigest()
+                acc += int(h[:8], 16) / 0xFFFFFFFF
+            comp.append(acc - 2.0)
+        n = math.sqrt(sum(c * c for c in comp)) or 1.0
+        planes.append([c / n for c in comp])
+    return planes
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                   seed: int = 42, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bucket BIGINT): sign-bit sketch over n_planes random
+    hyperplanes. Vectors with equal buckets are near-angle candidates."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        pv = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(_dot(F.col(vec_col), pv) >= 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(embeddings: DataFrame, dim: int,
+                      threshold: float = 0.9, n_planes: int = 16,
+                      bands: int = 4, seed: int = 42,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs: banded sign-sketch LSH candidates →
+    exact cosine verify ≥ threshold. (vec_id_a < vec_id_b, cosine)."""
+    planes_per_band = n_planes // bands
+    sig = lsh_signatures(embeddings, dim, n_planes, seed, vec_col, id_col)
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                (F.shiftright(F.col("bucket"), bi * planes_per_band)
+                 % F.lit(1 << planes_per_band)).alias("key"),
+            )
+            for bi in range(bands)
+        ])).alias("b"),
+    ).select("vec_id", "b.band", "b.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_id_a"),
+                F.col("b.vec_id").alias("vec_id_b"))
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("vec"))
+    cos = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        cand
+        .join(e.withColumnRenamed("vec", "va"),
+              cand.vec_id_a == e.vec_id)
+        .drop("vec_id")
+        .join(e.withColumnRenamed("vec", "vb"),
+              F.col("vec_id_b") == e.vec_id)
+        .drop("vec_id")
+        .select(
+            "vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def brute_force_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (the oracle-checkable baseline;
+    O(n²) — for small n or verification only)."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("vec"))
+    a = e.select(F.col("vec_id").alias("vec_id_a"),
+                 F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"),
+                 F.col("vec").alias("vb"))
+    cos = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
+               seed: int = 42, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF coarse quantization: nearest (by dot product of normalized
+    centroid) of n_cells deterministic centroids. (vec_id, cell)."""
+    cents = _hyperplanes(dim, n_cells, seed + 1000)
+    scores = F.array(*[
+        F.struct(
+            _dot(F.col(vec_col),
+                 F.array(*[F.lit(c) for c in cent])).alias("dot"),
+            F.lit(ci).alias("cell"),
+        )
+        for ci, cent in enumerate(cents)
+    ])
+    best = F.array_max(scores)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), best["cell"].alias("cell"))

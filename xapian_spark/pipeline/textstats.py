@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+Token counting, quality scoring, language ID (stopword heuristic), and
+document fingerprinting over a documents table — all pure
+pyspark.sql.functions (JVM-side, whole-stage codegen; no Python UDFs), so
+they hold up on 100 TB inputs and are expressible in ANSI SQL for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny deterministic stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "on"],
+    "de": ["der", "die", "das", "und", "ist", "zu", "den", "ein", "nicht",
+           "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """lowercased word tokens as an array column (empty strings removed)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len)."""
+    toks = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, alpha/digit/space/punct ratios,
+    stopword ratio, type-token ratio, and a composite [0,1] score."""
+    text = F.col(text_col)
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    toks = tokens_col(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("double") / n_tokens
+    )
+    alpha_ratio = (
+        (n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", "")))
+        .cast("double") / n_chars
+    )
+    digit_ratio = (
+        (n_chars - F.length(F.regexp_replace(text, "[0-9]", "")))
+        .cast("double") / n_chars
+    )
+    punct_ratio = (
+        (n_chars - F.length(
+            F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")))
+        .cast("double") / n_chars
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    # composite: long-enough, mostly alphabetic, some stopwords, low punct
+    score = (
+        F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        * F.lit(0.25)
+        + alpha_ratio * F.lit(0.25)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.25)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+        * F.lit(0.25)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language guess: the language whose stopword list hits
+    the most tokens wins; ties break to the lexicographically largest lang
+    code (struct max), zero hits → 'und' (undetermined)."""
+    toks = tokens_col(F.col(text_col))
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(w) for w in words])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+                .alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # pick max hits; tie → lexicographically smallest lang (deterministic)
+    best = F.array_max(F.array(*hit_cols))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
