@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline engine jobs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline jobs:
+- index_build: full inverted-index build (Xapian TermGenerator + Porter2
+  analyzer, positions on) over the documents table, forced with a
+  postings count().
+- bm25_*: top-10 BM25 queries through the query executor (single term,
+  OR, AND, phrase) against the built index.
+- dedup/similarity: MinHash-LSH pair generation and brute-force cosine
+  top-k over the embeddings table.
+
+Scaling evidence for the north rule (local[8] vs local[32]) lives in
+tools/scaling_bench.py; this file is the per-round fixed-shape probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("xapian-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from pyspark.sql import functions as F
+
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # --- index build (the north-rule headline) ---------------------------
+    t0 = time.perf_counter()
+    idx = build_index(docs, text_col="text", id_col="doc_id",
+                      analyzer="xapian")
+    idx.postings = idx.postings.persist()
+    n_postings = idx.postings.count()
+    timings["index_build"] = time.perf_counter() - t0
+    n_docs = idx.stats.doccount
+
+    enq = Enquire(idx)
+
+    def run(name, query, k=10):
+        t = time.perf_counter()
+        enq.get_mset(query, 0, k).collect()
+        timings[name] = time.perf_counter() - t
+
+    # --- query latency ----------------------------------------------------
+    run("bm25_single", ops.Term("Zbatch"))
+    run("bm25_or", ops.Or([ops.Term("Zbatch"), ops.Term("Zscan"),
+                           ops.Term("Zspark"), ops.Term("Zwindow")]))
+    run("bm25_and", ops.And([ops.Term("Zbatch"), ops.Term("Zwindow")]))
+    run("bm25_phrase", ops.Phrase(["batch", "window"]))
+
+    # --- training-data pipeline ops ----------------------------------------
+    from xapian_spark.pipeline.dedup import minhash_dedup_pairs
+    from xapian_spark.pipeline.similarity import cosine_topk
+
+    t0 = time.perf_counter()
+    minhash_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
+                        threshold=0.8).count()
+    timings["minhash_dedup"] = time.perf_counter() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.orderBy("vec_id").head()["embedding"]
+    t0 = time.perf_counter()
+    cosine_topk(emb, qv, k=10).collect()
+    timings["cosine_topk"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_total
+    out = {
+        "metric": "bench total (index build + BM25 top-10 queries"
+                  " + dedup/similarity) wall seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
