@@ -54,6 +54,30 @@ def _enquire(spark: SparkSession, sf_dir: str):
     return Enquire(_index(spark, sf_dir))
 
 
+def _segment_index(spark: SparkSession, sf_dir: str):
+    """Chunk-encoded SegmentIndex (delta+vbyte, block-max metadata)
+    built once per sf_dir into a temp dir."""
+    import tempfile
+
+    from xapian_spark.index.segments import build_segments
+
+    key = ("seg", id(spark), sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="xapian_spark_segidx_")
+        _CACHE[key] = build_segments(
+            _docs(spark, sf_dir), path, n_segments=8, analyzer="simple",
+            input_desc=f"{sf_dir}/documents.parquet")
+    return _CACHE[key]
+
+
+def _wand_mset(spark, sf_dir, terms, k=10, op="or") -> DataFrame:
+    from xapian_spark.query.wand import WandEnquire
+
+    wq = WandEnquire(_segment_index(spark, sf_dir))
+    df = wq.get_mset(terms, k, op=op)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _mset(spark, sf_dir, query, k=10) -> DataFrame:
     df = _enquire(spark, sf_dir).get_mset(query, 0, k)
     return df.select("doc_id", F.round("score", 6).alias("score"))
@@ -134,6 +158,22 @@ def q_bm25_max(spark, sf_dir):
     from xapian_spark.query import ops
 
     return _mset(spark, sf_dir, ops.Max(["batch", "spark"]))
+
+
+def q_bm25_wand_or(spark, sf_dir):
+    """OR top-10 through the chunk-encoded SegmentIndex + block-max
+    WAND kernel — must be rank+score identical to bm25_or."""
+    return _wand_mset(spark, sf_dir, ["batch", "scan", "spark"])
+
+
+def q_bm25_wand_and(spark, sf_dir):
+    return _wand_mset(spark, sf_dir, ["batch", "window"], op="and")
+
+
+def q_segment_manifest(spark, sf_dir):
+    """Per-segment lineage + build metrics (resume checkpoint state)."""
+    return (_segment_index(spark, sf_dir).manifest()
+            .select("seg_id", "n_docs", "n_postings", "n_terms"))
 
 
 def q_value_range(spark, sf_dir):
@@ -300,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
+        "bm25_wand_or": q_bm25_wand_or,
+        "bm25_wand_and": q_bm25_wand_and,
+        "segment_manifest": q_segment_manifest,
         "value_range": q_value_range,
         "facets_lang": q_facets_lang,
         "collapse_lang": q_collapse_lang,
@@ -543,6 +586,20 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 SELECT doc_id, round(score, 6) AS score FROM agg
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
+    out["bm25_wand_and"] = _bm25_topk("'batch','window'",
+                                      having="AND nterms = 2")
+    out["segment_manifest"] = f"""{_BM25_PRELUDE}
+, seg AS (
+  SELECT ((doc_id - 1) % 8 + 8) % 8 AS seg_id, doc_id FROM documents
+)
+SELECT s.seg_id::INT AS seg_id,
+       count(DISTINCT s.doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_postings,
+       count(DISTINCT p.term)::BIGINT AS n_terms
+FROM seg s JOIN postings p USING (doc_id)
+GROUP BY 1
 """
     out["value_range"] = _bm25_topk(
         "'batch'", k=20,

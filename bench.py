@@ -88,6 +88,28 @@ def main() -> None:
     run("bm25_and", ops.And([ops.Term("Zbatch"), ops.Term("Zwindow")]))
     run("bm25_phrase", ops.Phrase(["batch", "window"]))
 
+    # --- chunk-encoded segment index + block-max WAND ----------------------
+    import shutil
+    import tempfile
+
+    from xapian_spark.index.segments import build_segments
+    from xapian_spark.query.wand import WandEnquire
+
+    seg_path = tempfile.mkdtemp(prefix="bench_segidx_")
+    try:
+        t0 = time.perf_counter()
+        seg = build_segments(docs, seg_path, n_segments=cpus,
+                             analyzer="xapian",
+                             input_desc=f"{sf_dir}/documents.parquet")
+        seg.chunks.count()
+        timings["segment_build"] = time.perf_counter() - t0
+        wq = WandEnquire(seg)
+        t0 = time.perf_counter()
+        wq.get_mset(["Zbatch", "Zscan", "Zspark", "Zwindow"], 10).collect()
+        timings["bm25_wand_or"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(seg_path, ignore_errors=True)
+
     # --- training-data pipeline ops ----------------------------------------
     from xapian_spark.pipeline.dedup import minhash_dedup_pairs
     from xapian_spark.pipeline.similarity import cosine_topk

@@ -1,0 +1,300 @@
+"""Segmented chunk-encoded index: build, manifest, resume, merge.
+
+The scale-path index representation. Layout:
+
+    <path>/chunks/      one row per posting CHUNK (not per posting):
+        term STRING, seg_id INT, first_doc_id LONG, last_doc_id LONG,
+        n INT, cf LONG, max_wdf INT, min_doclen LONG, data BINARY
+    <path>/manifest/    one row per built segment (lineage + metrics):
+        seg_id INT, n_docs LONG, n_postings LONG, n_chunks LONG,
+        n_terms LONG, bytes LONG, checksum LONG, build_sec DOUBLE,
+        input_desc STRING
+
+Design (SURVEY §4.3 / §7):
+- A segment = one sub-database of the reference's multi-database model;
+  docids are interleaved across segments exactly like the reference
+  (`subdb = (did-1) % N`, xapian-core/matcher/multimatch.cc:175-176),
+  so segment membership is a pure function of doc_id — deterministic,
+  resumable, no coordination.
+- The per-segment inverter (one applyInPandas group) is the analog of
+  the reference's in-memory Inverter buffer
+  (backends/brass/brass_inverter.h:45-249): accumulate term→postings
+  for the segment, sort, delta+vbyte encode into ~2000-byte chunks
+  (brass_postlist.cc:93) with block-max metadata (codec.py).
+- Doclens are stored as chunks of the reserved empty term "" — the
+  reference likewise keeps doclens inside the postlist table
+  (brass_postlist.cc doclen chunks).
+- The global term dictionary = a metadata-only groupBy(term) over chunk
+  rows (each row ~2KB regardless of term frequency, so head-term skew
+  cannot produce a giant shuffle row — the chunk rows of "the" spread
+  across many partitions; only their tiny (tf, cf) aggregates meet).
+- Resume: re-running build_segments with the same args skips segments
+  already recorded in the manifest (checkpointed segment manifests —
+  the analog of revisioned B-trees + changesets, brass_version.cc).
+
+ONE wide op builds the whole index: groupBy(seg_id).applyInPandas.
+Everything downstream (term stats, global stats, manifest metrics) is
+metadata-only aggregation over chunk rows.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from xapian_spark.index.build import ANALYZERS, MAX_SAFE_TERM_LENGTH
+from xapian_spark.index.codec import CHUNK_TARGET_BYTES, encode_chunks
+
+DOCLEN_TERM = ""  # reserved pseudo-term whose chunks hold (doc_id, 0, doclen)
+
+CHUNKS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("seg_id", IntegerType(), False),
+    StructField("first_doc_id", LongType(), False),
+    StructField("last_doc_id", LongType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("cf", LongType(), False),
+    StructField("max_wdf", IntegerType(), False),
+    StructField("min_doclen", LongType(), False),
+    StructField("data", BinaryType(), False),
+])
+
+MANIFEST_SCHEMA = StructType([
+    StructField("seg_id", IntegerType(), False),
+    StructField("n_docs", LongType(), False),
+    StructField("n_postings", LongType(), False),
+    StructField("n_chunks", LongType(), False),
+    StructField("n_terms", LongType(), False),
+    StructField("bytes", LongType(), False),
+    StructField("checksum", LongType(), False),
+    StructField("build_sec", DoubleType(), False),
+    StructField("input_desc", StringType(), True),
+])
+
+
+def simple_analyzer(text: str):
+    """Python twin of build.py's pure-SQL "simple" tokenization
+    (lowercase, split on non-alnum) — identical output, so a chunk
+    index built with it stays DuckDB-oracle-checkable."""
+    import re
+
+    terms = {}
+    for i, tok in enumerate(
+            t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t):
+        wdf, positions = terms.get(tok, (0, []))
+        positions.append(i + 1)
+        terms[tok] = (wdf + 1, positions)
+    return [(t, w, p) for t, (w, p) in terms.items()]
+
+
+SEG_ANALYZERS = dict(ANALYZERS)
+SEG_ANALYZERS["simple"] = simple_analyzer
+
+
+def _invert_segment(
+    pdf, analyzer: Callable, text_col: str, id_col: str,
+    target_bytes: int,
+):
+    """One segment's docs (pandas) → chunk rows (pandas). The Inverter."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(id_col)
+    doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    terms_acc: dict = {}
+    doclens = np.zeros(doc_ids.size, dtype=np.int64)
+    for i, text in enumerate(pdf[text_col]):
+        tl = [(t, w) for t, w, _p in analyzer(text)
+              if len(t.encode("utf-8")) <= MAX_SAFE_TERM_LENGTH]
+        doclens[i] = sum(w for _t, w in tl)
+        for t, w in tl:
+            terms_acc.setdefault(t, ([], []))
+            terms_acc[t][0].append(i)
+            terms_acc[t][1].append(w)
+
+    seg_id = int(pdf["seg_id"].iloc[0]) if "seg_id" in pdf else 0
+    rows = {k.name: [] for k in CHUNKS_SCHEMA.fields}
+
+    def emit(term: str, idxs: List[int], wdfs: List[int]):
+        ids = doc_ids[idxs]
+        dls = doclens[idxs]
+        w = np.asarray(wdfs, dtype=np.int64)
+        pos = 0
+        for c in encode_chunks(ids, w, dls, target_bytes):
+            rows["term"].append(term)
+            rows["seg_id"].append(seg_id)
+            rows["first_doc_id"].append(c.first_doc_id)
+            rows["last_doc_id"].append(c.last_doc_id)
+            rows["n"].append(c.n)
+            # per-chunk cf = Σ wdf over the chunk's postings, so the
+            # global term dictionary is a metadata-only sum
+            rows["cf"].append(int(w[pos: pos + c.n].sum()))
+            rows["max_wdf"].append(c.max_wdf)
+            rows["min_doclen"].append(c.min_doclen)
+            rows["data"].append(c.data)
+            pos += c.n
+
+    for term in sorted(terms_acc):
+        idxs, wdfs = terms_acc[term]
+        emit(term, idxs, wdfs)
+    # doclen pseudo-term: one posting per doc, wdf=0, doclen inline.
+    # per-chunk cf / max_wdf / min_doclen here describe DOClens:
+    # cf = Σ doclen (chunk), max_wdf = max doclen, min_doclen = min.
+    if doc_ids.size:
+        pos = 0
+        for c in encode_chunks(doc_ids, doclens, doclens, target_bytes):
+            rows["term"].append(DOCLEN_TERM)
+            rows["seg_id"].append(seg_id)
+            rows["first_doc_id"].append(c.first_doc_id)
+            rows["last_doc_id"].append(c.last_doc_id)
+            rows["n"].append(c.n)
+            # cf of a doclen chunk = Σ doclen, so global total_doclen
+            # is a metadata-only sum; max_wdf/min_doclen double as the
+            # doclen upper/lower bounds
+            rows["cf"].append(int(doclens[pos: pos + c.n].sum()))
+            rows["max_wdf"].append(c.max_wdf)
+            rows["min_doclen"].append(c.min_doclen)
+            rows["data"].append(c.data)
+            pos += c.n
+    return pd.DataFrame(rows)
+
+
+class SegmentIndex:
+    """A chunk-encoded, segmented index on disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.chunks = spark.read.parquet(f"{path}/chunks")
+        self._stats = None
+
+    # -- derived tables (metadata-only aggregations) -----------------------
+
+    @property
+    def postings_chunks(self) -> DataFrame:
+        return self.chunks.filter(F.col("term") != DOCLEN_TERM)
+
+    @property
+    def doclen_chunks(self) -> DataFrame:
+        return self.chunks.filter(F.col("term") == DOCLEN_TERM)
+
+    def term_stats(self) -> DataFrame:
+        """Global term dictionary: term → (tf, cf) from chunk metadata."""
+        return self.postings_chunks.groupBy("term").agg(
+            F.sum("n").cast("long").alias("tf"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+
+    def stats(self):
+        from xapian_spark.index.build import IndexStats
+
+        if self._stats is None:
+            row = self.doclen_chunks.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("doccount"),
+                F.coalesce(F.sum("cf"), F.lit(0)).alias("total_doclen"),
+                F.coalesce(F.min("min_doclen"), F.lit(0)).alias("dl_lb"),
+                F.coalesce(F.max("max_wdf"), F.lit(0)).alias("dl_ub"),
+            ).head()
+            wdf_ub = (self.postings_chunks.agg(F.max("max_wdf")).head()[0]
+                      or 0)
+            self._stats = IndexStats(
+                row.doccount, row.total_doclen, row.dl_lb, row.dl_ub,
+                wdf_ub)
+        return self._stats
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/manifest")
+
+
+def build_segments(
+    docs: DataFrame,
+    path: str,
+    n_segments: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer="xapian",
+    target_bytes: int = CHUNK_TARGET_BYTES,
+    input_desc: Optional[str] = None,
+    resume: bool = True,
+) -> SegmentIndex:
+    """Build (or resume building) a SegmentIndex at `path`.
+
+    seg_id = (doc_id - 1) % n_segments — the reference's multi-database
+    interleave (multimatch.cc:175-176): deterministic, so a re-run with
+    `resume=True` skips any seg_id already in the manifest and only
+    builds the missing segments.
+    """
+    spark = docs.sparkSession
+    if not n_segments:
+        n_segments = max(docs.rdd.getNumPartitions(), 1)
+    fn = SEG_ANALYZERS.get(analyzer, analyzer)
+    if not callable(fn):
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
+
+    done: set = set()
+    if resume:
+        try:
+            done = {r.seg_id for r in
+                    spark.read.parquet(f"{path}/manifest")
+                    .select("seg_id").collect()}
+        except Exception:
+            done = set()
+
+    tagged = docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col,
+        F.pmod(F.col(id_col).cast("long") - 1, F.lit(n_segments))
+        .cast("int").alias("seg_id"),
+    )
+    todo = tagged.filter(~F.col("seg_id").isin(list(done))) if done \
+        else tagged
+
+    if not done or todo.limit(1).count() > 0:
+        t0 = time.time()
+
+        def apply_fn(pdf):
+            return _invert_segment(pdf, fn, text_col, id_col, target_bytes)
+
+        chunk_df = todo.groupBy("seg_id").applyInPandas(
+            apply_fn, CHUNKS_SCHEMA)
+        (chunk_df
+         .write.mode("append").partitionBy("seg_id")
+         .parquet(f"{path}/chunks"))
+        build_sec = time.time() - t0
+
+        # manifest rows for the newly built segments (lineage + metrics)
+        built = spark.read.parquet(f"{path}/chunks")
+        if done:
+            built = built.filter(~F.col("seg_id").isin(list(done)))
+        man = (
+            built.groupBy("seg_id").agg(
+                F.sum(F.when(F.col("term") == DOCLEN_TERM, F.col("n"))
+                      .otherwise(0)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("term") != DOCLEN_TERM, F.col("n"))
+                      .otherwise(0)).cast("long").alias("n_postings"),
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.count_distinct(
+                    F.when(F.col("term") != DOCLEN_TERM, F.col("term"))
+                ).cast("long").alias("n_terms"),
+                F.sum(F.length("data")).cast("long").alias("bytes"),
+                # order-independent checksum: Σ crc32(data) — stable
+                # across shuffles and engines
+                (F.sum(F.crc32("data")) % F.lit(2**63 - 1))
+                .cast("long").alias("checksum"),
+            )
+            .withColumn("build_sec", F.lit(float(build_sec)))
+            .withColumn("input_desc",
+                        F.lit(input_desc or "unspecified"))
+            .select([f.name for f in MANIFEST_SCHEMA.fields])
+        )
+        man.write.mode("append").parquet(f"{path}/manifest")
+
+    return SegmentIndex(spark, path)

@@ -1,0 +1,272 @@
+"""Block-max MaxScore/WAND top-k over a chunk-encoded SegmentIndex.
+
+The distributed restatement of the reference match loop
+(xapian-core/matcher/multimatch.cc:603-888): each SEGMENT plays the role
+of one sub-database (multimatch's LocalSubMatch per sub-DB), scored
+independently in parallel by an Arrow-batched kernel; the per-segment
+top-k results are then merged globally — exactly the reference's
+multi-DB merge, but set-at-a-time and vectorized.
+
+Pruning (SURVEY §4.2): the reference raises min_weight from the heap
+floor and skips via coarse per-term maxweights (bm25weight.cc
+get_maxpart). We implement the MaxScore family with BLOCK-max bounds:
+- per-term maxpart from the segment's chunk metadata
+  (max over chunks of tw·sumpart(max_wdf, min_doclen)) — tighter than
+  the reference's global bound;
+- terms processed in descending maxpart order; once the summed maxparts
+  of the unprocessed tail is strictly below the current kth-best partial
+  score θ, no unseen doc can reach the top-k, so the tail terms decode
+  ONLY chunks whose [first_doc_id, last_doc_id] range contains a
+  surviving candidate (block skipping);
+- candidates whose upper bound falls strictly below θ are dropped.
+
+Safety contract (never changes the top-k): bounds never underestimate,
+and all prune comparisons are STRICT (<) so score ties — which the
+final order breaks by docid ascending — are never pruned away.
+
+Score identity with the DataFrame executor: per-doc parts are summed in
+ascending part-value order (matching executor._sum_scores's
+array_sort + fold), and the sumpart arithmetic performs the identical
+IEEE float64 operations in the identical order as BM25Weight.sumpart_col.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xapian_spark.index.segments import SegmentIndex
+from xapian_spark.query.bm25 import BM25Weight
+
+
+def _sumpart_np(w: BM25Weight, tw: float, wdf: np.ndarray,
+                doclen: np.ndarray, len_factor: float) -> np.ndarray:
+    """Vectorized twin of BM25Weight.sumpart — same op order."""
+    wdf_d = wdf.astype(np.float64)
+    normlen = np.maximum(doclen.astype(np.float64) * len_factor,
+                         w.min_normlen)
+    denom = w.k1 * (normlen * w.b + (1.0 - w.b)) + wdf_d
+    return tw * (w.k1 + 1.0) * wdf_d / denom
+
+
+def _sum_parts_sorted(docs: np.ndarray, parts: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-doc sum with parts added in ascending value order (the
+    executor's deterministic-summation rule)."""
+    if docs.size == 0:
+        return docs, parts
+    order = np.lexsort((parts, docs))
+    d = docs[order]
+    p = parts[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    sums = np.add.reduceat(p, starts)
+    return d[starts], sums
+
+
+class _TermCursor:
+    """One query term's chunks within a segment, lazily decodable."""
+
+    def __init__(self, weight: BM25Weight, tw: float, len_factor: float,
+                 firsts, lasts, max_wdfs, min_doclens, datas):
+        order = np.argsort(firsts, kind="stable")
+        self.firsts = np.asarray(firsts)[order]
+        self.lasts = np.asarray(lasts)[order]
+        self.max_wdfs = np.asarray(max_wdfs)[order]
+        self.min_doclens = np.asarray(min_doclens)[order]
+        self.datas = [datas[i] for i in order]
+        self.tw = tw
+        self.weight = weight
+        self.len_factor = len_factor
+
+    def maxpart(self) -> float:
+        """Segment-level bound: max over chunks of the chunk bound.
+        get_maxpart(wdf_ub, doclen_lb) is sumpart evaluated AT
+        (wdf_ub, doclen_lb) for every k1/b case (bm25weight.cc:174-191),
+        so the vectorized sumpart kernel computes all chunk bounds."""
+        if not self.datas:
+            return 0.0
+        return float(_sumpart_np(
+            self.weight, self.tw, self.max_wdfs, self.min_doclens,
+            self.len_factor).max())
+
+    def decode(self, keep_docs: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, parts). With keep_docs (sorted), decodes only
+        chunks whose docid range contains a kept doc (block skipping),
+        then filters rows to kept docs."""
+        from xapian_spark.index.codec import decode_chunk
+
+        ids_l: List[np.ndarray] = []
+        w_l: List[np.ndarray] = []
+        dl_l: List[np.ndarray] = []
+        for i in range(len(self.datas)):
+            if keep_docs is not None:
+                lo = np.searchsorted(keep_docs, self.firsts[i], "left")
+                if lo >= keep_docs.size or keep_docs[lo] > self.lasts[i]:
+                    continue  # no candidate falls in this chunk's range
+            ids, wdf, dl = decode_chunk(self.datas[i])
+            if keep_docs is not None:
+                m = np.isin(ids, keep_docs, assume_unique=True)
+                if not m.any():
+                    continue
+                ids, wdf, dl = ids[m], wdf[m], dl[m]
+            ids_l.append(ids)
+            w_l.append(wdf)
+            dl_l.append(dl)
+        if not ids_l:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.astype(np.float64)
+        ids = np.concatenate(ids_l)
+        parts = _sumpart_np(self.weight, self.tw, np.concatenate(w_l),
+                            np.concatenate(dl_l), self.len_factor)
+        return ids, parts
+
+
+def _segment_topk(
+    cursors: List[_TermCursor], k: int, op: str, exhaustive: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MaxScore over one segment → (top-k doc_ids, scores)."""
+    if not cursors:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.float64)
+
+    if op == "and":
+        # least-frequent-first intersection (multiandpostlist.h:127-128)
+        cursors = sorted(cursors, key=lambda c: sum(map(len, c.datas)))
+        docs, parts = cursors[0].decode()
+        pair_docs = [docs]
+        pair_parts = [parts]
+        cand = docs
+        for cur in cursors[1:]:
+            ids, parts = cur.decode(keep_docs=cand)
+            cand = ids  # intersection so far (decode filters to cand)
+            pair_docs.append(ids)
+            pair_parts.append(parts)
+            if cand.size == 0:
+                break
+        e = np.empty(0, dtype=np.int64)
+        if cand.size == 0:
+            return e, e.astype(np.float64)
+        all_d = np.concatenate(
+            [d[np.isin(d, cand, assume_unique=True)] for d in pair_docs])
+        all_p = np.concatenate(
+            [p[np.isin(d, cand, assume_unique=True)]
+             for d, p in zip(pair_docs, pair_parts)])
+        docs, scores = _sum_parts_sorted(all_d, all_p)
+        return _take_topk(docs, scores, k)
+
+    # OR / MaxScore
+    order = sorted(range(len(cursors)),
+                   key=lambda i: -cursors[i].maxpart())
+    cursors = [cursors[i] for i in order]
+    maxparts = [c.maxpart() for c in cursors]
+    tail_max = np.concatenate(
+        (np.cumsum(maxparts[::-1])[::-1][1:], [0.0]))
+
+    pair_docs: List[np.ndarray] = []
+    pair_parts: List[np.ndarray] = []
+    cand: Optional[np.ndarray] = None  # None = still admitting new docs
+    cur_docs = np.empty(0, dtype=np.int64)
+    cur_scores = np.empty(0, dtype=np.float64)
+    for i, cur in enumerate(cursors):
+        ids, parts = cur.decode(keep_docs=cand)
+        pair_docs.append(ids)
+        pair_parts.append(parts)
+        if exhaustive:
+            continue
+        # partial per-doc sums so far (for the θ bound only — final
+        # scores are recomputed with the deterministic summation below)
+        cur_docs, cur_scores = _sum_parts_sorted(
+            np.concatenate(pair_docs), np.concatenate(pair_parts))
+        if cur_docs.size >= k and i + 1 < len(cursors):
+            theta = np.partition(cur_scores, cur_docs.size - k)[
+                cur_docs.size - k]
+            if tail_max[i] < theta:
+                # no unseen doc can reach top-k; shrink candidates to
+                # those whose upper bound can still matter
+                ub = cur_scores + tail_max[i]
+                keep = ub >= theta  # keep ties (docid tiebreak)
+                # always keep current top-k as well
+                cand = np.sort(cur_docs[keep])
+
+    docs, scores = _sum_parts_sorted(
+        np.concatenate(pair_docs), np.concatenate(pair_parts))
+    return _take_topk(docs, scores, k)
+
+
+def _take_topk(docs: np.ndarray, scores: np.ndarray, k: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """(score desc, doc asc) top-k — msetcmp.cc default order."""
+    if docs.size == 0:
+        return docs, scores
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+class WandEnquire:
+    """Enquire over a SegmentIndex: flat OR/AND term queries via the
+    block-max kernel. One narrow job: chunk rows → per-segment kernel →
+    global top-k. No shuffle of postings."""
+
+    def __init__(self, index: SegmentIndex,
+                 weight: Optional[BM25Weight] = None):
+        self.index = index
+        self.weight = weight or BM25Weight()
+
+    def get_mset(self, terms: List[str], maxitems: int = 10,
+                 op: str = "or", wqf: Optional[Dict[str, int]] = None,
+                 exhaustive: bool = False) -> DataFrame:
+        spark = self.index.spark
+        terms = list(dict.fromkeys(terms))  # dedupe, keep order
+        wqf = wqf or {}
+        st = self.index.stats()
+        rows = (self.index.term_stats()
+                .filter(F.col("term").isin(terms)).collect())
+        tfs = {r["term"]: r["tf"] for r in rows}
+        present = [t for t in terms if tfs.get(t)]
+        if (not present) or (op == "and" and len(present) < len(terms)):
+            return spark.createDataFrame([], "doc_id long, score double")
+
+        lf = self.weight.len_factor(st.average_length)
+        tws = {
+            t: self.weight.termweight(tfs[t], st.doccount,
+                                      wqf.get(t, 1))
+            for t in present
+        }
+        weight = self.weight
+        k = maxitems
+
+        chunk_rows = (
+            self.index.postings_chunks
+            .filter(F.col("term").isin(present))
+            .select("term", "seg_id", "first_doc_id", "last_doc_id",
+                    "max_wdf", "min_doclen", "data")
+        )
+
+        out_schema = "doc_id long, score double"
+
+        def kernel(pdf):
+            import pandas as pd
+
+            cursors = []
+            for t, g in pdf.groupby("term"):
+                cursors.append(_TermCursor(
+                    weight, tws[t], lf,
+                    g["first_doc_id"].to_numpy(),
+                    g["last_doc_id"].to_numpy(),
+                    g["max_wdf"].to_numpy(),
+                    g["min_doclen"].to_numpy(),
+                    list(g["data"]),
+                ))
+            docs, scores = _segment_topk(cursors, k, op, exhaustive)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        per_seg = chunk_rows.groupBy("seg_id").applyInPandas(
+            kernel, out_schema)
+        return (per_seg
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))
