@@ -160,6 +160,27 @@ def q_bm25_max(spark, sf_dir):
     return _mset(spark, sf_dir, ops.Max(["batch", "spark"]))
 
 
+def q_bm25_phrase(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Phrase(["batch", "window"]))
+
+
+def q_bm25_near(spark, sf_dir):
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Near(["batch", "window"]))
+
+
+def q_parser_search(spark, sf_dir):
+    """Text query through the QueryParser (ALL-CAPS words stay
+    unstemmed, so the simple-analyzer index + DuckDB oracle apply)."""
+    from xapian_spark.query.parser import QueryParser
+
+    q = QueryParser().parse_query("BATCH SCAN SPARK")
+    return _mset(spark, sf_dir, q)
+
+
 def q_bm25_wand_or(spark, sf_dir):
     """OR top-10 through the chunk-encoded SegmentIndex + block-max
     WAND kernel — must be rank+score identical to bm25_or."""
@@ -340,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
+        "bm25_phrase": q_bm25_phrase,
+        "bm25_near": q_bm25_near,
+        "parser_search": q_parser_search,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_wand_and": q_bm25_wand_and,
         "segment_manifest": q_segment_manifest,
@@ -587,6 +611,40 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 SELECT doc_id, round(score, 6) AS score FROM agg
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    tokpos = f"""
+, tokpos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)"""
+    out["bm25_phrase"] = f"""{_BM25_PRELUDE}{tokpos},
+adj AS (
+  SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b USING (doc_id)
+  WHERE a.term = 'batch' AND b.term = 'window' AND b.pos = a.pos + 1
+),
+agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term IN ('batch', 'window')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT doc_id, round(score, 6) AS score FROM agg JOIN adj USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["bm25_near"] = f"""{_BM25_PRELUDE}{tokpos},
+adj AS (
+  SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b USING (doc_id)
+  WHERE a.term = 'batch' AND b.term = 'window'
+    AND abs(b.pos - a.pos) <= 10
+),
+agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term IN ('batch', 'window')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT doc_id, round(score, 6) AS score FROM agg JOIN adj USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["parser_search"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_and"] = _bm25_topk("'batch','window'",
                                       having="AND nterms = 2")

@@ -133,7 +133,13 @@ class TermGenerator:
 
     def _scan_terms(self, text: str) -> List[str]:
         """Yield the unstemmed (lowercased) terms in order."""
-        out: List[str] = []
+        return [t for t, _s, _e in self._scan_terms_spans(text)]
+
+    def _scan_terms_spans(self, text: str):
+        """Like _scan_terms but yields (term, start, end) character spans
+        (the QueryParser needs the separators between terms to decide
+        phrase generation — queryparser.lemony is_phrase_generator)."""
+        out: List[Tuple] = []
         n = len(text)
         i = 0
         cjk = self.cjk_ngram
@@ -143,6 +149,7 @@ class TermGenerator:
                 i += 1
             if i >= n:
                 return out
+            tstart = i
 
             # acronym: U.N.C.L.E
             ch = text[i]
@@ -163,7 +170,7 @@ class TermGenerator:
                     if q < n and text[q] == ".":
                         q += 1
                     if q >= n or not _is_wordchar(text[q]):
-                        out.append(term)
+                        out.append((term, tstart, q))
                         i = q
                         continue
 
@@ -174,7 +181,7 @@ class TermGenerator:
                     while i < n and _is_cjk(text[i]) and _is_wordchar(text[i]):
                         run += text[i]
                         i += 1
-                    out.append(("\x00CJK", run))  # type: ignore[arg-type]
+                    out.append((("\x00CJK", run), tstart, i))
                     term = ""
                     while i < n and not _is_wordchar(text[i]):
                         i += 1
@@ -237,7 +244,7 @@ class TermGenerator:
                 if count <= 3:
                     i = j
             if term:
-                out.append(term)
+                out.append((term, tstart, i))
         return out
 
     # -- indexing ----------------------------------------------------------

@@ -349,7 +349,10 @@ class Enquire:
         api/queryinternal.cc:293-355)."""
         terms = list(node.terms_)
         n = len(terms)
-        window = node.window or (n if isinstance(node, ops.Phrase) else 10)
+        # default windows use the reference convention (stored window =
+        # n_terms + w - 1, w defaulting to 10 — queryparser.lemony:1656)
+        window = node.window or (
+            n if isinstance(node, ops.Phrase) else n + 9)
         ordered = isinstance(node, ops.Phrase)
         spark = self.index.postings.sparkSession
         if any(stats.termfreqs.get(t, (0, 0))[0] == 0 for t in terms):

@@ -1,0 +1,587 @@
+"""QueryParser: text query string → ops.Query tree.
+
+A recursive-descent re-implementation of the reference Lemon grammar
+(xapian-core/queryparser/queryparser.lemony, 2219 LoC; flag surface
+include/xapian/queryparser.h:399-483). Defaults match the reference:
+default_op = OR (queryparser_internal.h:103), flags =
+FLAG_PHRASE|FLAG_BOOLEAN|FLAG_LOVEHATE (queryparser.h:483), STEM_SOME
+with english stemming, NEAR/ADJ default window 10
+(queryparser.lemony:1656-1678).
+
+Behaviors reproduced (golden corpus: tests/queryparsertest.cc:48+):
+- probabilistic terms tokenize with the same Unicode rules as
+  TermGenerator (shared _scan_terms); contiguous multi-term segments
+  ("hyphen-ated", "nu.nl") become implicit PHRASEs of window n
+- STEM_SOME: lowercase words → "Z"+stem; words containing an uppercase
+  letter, phrase/NEAR constituents, and demoted operator words stay
+  unstemmed
+- lovehate: +terms are required (AND / AND_MAYBE), -terms are excluded
+  (AND_NOT); markers must be glued to the following token
+- boolean ops AND/OR/NOT/XOR in ALL-CAPS, parens (unclosed tolerated),
+  precedence OR < XOR < NOT < AND; an op without a usable operand
+  demotes to a plain (unstemmed) term
+- field prefixes via add_prefix (probabilistic: "author:" → "A") and
+  add_boolean_prefix ("site:" → "H"); boolean filters OR within a
+  field, AND across fields, attach with FILTER (factor-0 AND), and a
+  lone filter query is 0-scaled ("0 * H...")
+- NEAR/n and ADJ/n join plain terms; stored window = n_terms + w - 1
+  (the reference's printed window)
+- positions are assigned to probabilistic terms in appearance order;
+  boolean filter terms carry no position
+
+describe() renders the tree in the reference Query::get_description
+style ("(Zstock@1 AND_NOT Zcook@2)") so the golden corpus applies
+verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Tuple
+
+from xapian_spark.analysis.porter2 import stem as porter2_stem
+from xapian_spark.analysis.tokenizer import TermGenerator, should_stem
+from xapian_spark.query import ops
+
+DEFAULT_WINDOW = 10  # queryparser.lemony:1661-1668
+
+_OPS = {"AND", "OR", "NOT", "XOR"}
+_POSITIONAL = {"NEAR": ops.Near, "ADJ": ops.Phrase}
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Tok:
+    kind: str            # lparen rparen word phrase op posop filter
+    raw: str = ""
+    words: List[str] = dc_field(default_factory=list)  # lowercased terms
+    love: bool = False
+    hate: bool = False
+    field: Optional[str] = None   # resolved prefix string ("A", "XT", …)
+    bool_field: Optional[str] = None  # boolean field name
+    value: str = ""               # boolean filter value (verbatim)
+    window: int = DEFAULT_WINDOW  # for posop
+    has_upper: bool = False
+    group_break: bool = False     # trailing phrase-gen ends the group
+
+
+_BREAK = set('()"')
+# queryparser.lemony is_phrase_generator / is_stem_preventer
+_PHRASE_GEN = set(".-/:\\@")
+_STEM_PREVENT = set('(/\\@<>=*[{"')
+
+
+class QueryParser:
+    """Xapian::QueryParser analog (text syntax subset; see module doc)."""
+
+    def __init__(self, stemmer=porter2_stem, default_op: str = "or"):
+        self.stemmer = stemmer
+        self.default_op = default_op
+        self.prefixes: Dict[str, List[str]] = {}
+        self.boolean_prefixes: Dict[str, str] = {}
+        self._tg = TermGenerator()
+
+    def add_prefix(self, field: str, prefix: str) -> None:
+        self.prefixes.setdefault(field, []).append(prefix)
+
+    def add_boolean_prefix(self, field: str, prefix: str) -> None:
+        self.boolean_prefixes[field] = prefix
+
+    # -- lexing ------------------------------------------------------------
+
+    def _scan(self, text: str) -> List[str]:
+        return [t for t in self._tg._scan_terms(text)
+                if isinstance(t, str)]
+
+    def _lex(self, s: str) -> List[Tok]:
+        toks: List[Tok] = []
+        i, n = 0, len(s)
+        love = hate = False
+        pend_field: Optional[str] = None
+        pend_bool: Optional[str] = None
+        while i < n:
+            ch = s[i]
+            if ch.isspace():
+                love = hate = False
+                pend_field = pend_bool = None
+                i += 1
+                continue
+            if ch == "(":
+                toks.append(Tok("lparen", love=love, hate=hate,
+                               field=pend_field))
+                love = hate = False
+                pend_field = pend_bool = None
+                i += 1
+                continue
+            if ch == ")":
+                toks.append(Tok("rparen"))
+                love = hate = False
+                i += 1
+                continue
+            if ch == '"':
+                j = s.find('"', i + 1)
+                if j < 0:
+                    i += 1  # unmatched quote: ignore it
+                    continue
+                words = self._scan(s[i + 1: j])
+                if words:
+                    toks.append(Tok("phrase", raw=s[i + 1: j], words=words,
+                                    love=love, hate=hate, field=pend_field))
+                love = hate = False
+                pend_field = pend_bool = None
+                i = j + 1
+                continue
+            if ch in "+-" and not love and not hate:
+                # lovehate marker: must be glued to a word/quote/paren
+                if i + 1 < n and not s[i + 1].isspace() \
+                        and s[i + 1] not in "+-)":
+                    love = ch == "+"
+                    hate = ch == "-"
+                    i += 1
+                    continue
+                i += 1  # bare +/-: ignored
+                continue
+            # word segment
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in _BREAK:
+                j += 1
+            seg = s[i:j]
+            next_ch = s[j] if j < n else ""
+            i = j
+            seg_toks = self._lex_segment(seg, love, hate, next_ch)
+            for tok in seg_toks:
+                if tok.kind == "field_only":
+                    pend_field = tok.field
+                    continue
+                toks.append(tok)
+            love = hate = False
+        return toks
+
+    def _lex_segment(self, seg: str, love: bool, hate: bool,
+                     next_ch: str = "") -> List[Tok]:
+        # ALL-CAPS operators (FLAG_BOOLEAN)
+        if seg in _OPS:
+            return [Tok("op", raw=seg)]
+        m = re.fullmatch(r"(NEAR|ADJ)(?:/(\d+))?", seg)
+        if m:
+            return [Tok("posop", raw=m.group(1),
+                        window=int(m.group(2) or DEFAULT_WINDOW))]
+        # field prefix?
+        fld = None
+        body = seg
+        if ":" in seg:
+            head, rest = seg.split(":", 1)
+            if head in self.boolean_prefixes:
+                if rest:
+                    return [Tok("filter", bool_field=head,
+                                value=self.boolean_prefixes[head] + rest,
+                                love=love, hate=hate)]
+            elif head in self.prefixes:
+                # "author::foo" is NOT field syntax — the ':' joins a
+                # phrase (golden "author::foo"); an empty/termless rest
+                # falls back to scanning the whole segment ("author:/")
+                if rest and not rest.startswith(":"):
+                    spans = [s_ for s_ in
+                             self._tg._scan_terms_spans(rest)
+                             if isinstance(s_[0], str)]
+                    if spans:
+                        fld = self.prefixes[head][0]
+                        body = rest
+                    elif not rest.strip("".join(_PHRASE_GEN) + "#+*"):
+                        pass  # "author:/" → scan full segment
+                elif not rest:
+                    return [Tok("field_only",
+                                field=self.prefixes[head][0])]
+
+        spans = [s_ for s_ in self._tg._scan_terms_spans(body)
+                 if isinstance(s_[0], str)]
+        if not spans:
+            return []
+
+        # group consecutive terms whose separator gap consists purely of
+        # phrase generators ".-/:\@" (queryparser.lemony
+        # is_phrase_generator) into implicit phrases
+        chunks: List[List[Tuple[str, int, int]]] = [[spans[0]]]
+        for prev, cur in zip(spans, spans[1:]):
+            gap = body[prev[2]: cur[1]]
+            if gap and all(c in _PHRASE_GEN for c in gap):
+                chunks[-1].append(cur)
+            else:
+                chunks.append([cur])
+        # trailing phrase generators break the prob group (golden
+        # "d- school report")
+        tail = body[spans[-1][2]:]
+        breaks = any(c in _PHRASE_GEN for c in tail)
+
+        out: List[Tok] = []
+        for ci, chunk in enumerate(chunks):
+            first = ci == 0
+            last = ci == len(chunks) - 1
+            words = [t for t, _s, _e in chunk]
+            if len(words) > 1:
+                t = Tok("phrase", raw=body, words=words,
+                        love=love and first, hate=hate and first,
+                        field=fld)
+            else:
+                term, s_, e_ = chunk[0]
+                raw = body[s_: e_]
+                # stem preventer: a char glued right after the term
+                # ("(/\@<>=*[{\"") blocks stemming (golden 'unmatched"')
+                after = body[e_] if e_ < len(body) else \
+                    (next_ch if last else "")
+                t = Tok("word", raw=raw, words=[term],
+                        love=love and first, hate=hate and first,
+                        field=fld,
+                        has_upper=any(c.isupper() for c in raw)
+                        or after in _STEM_PREVENT)
+            if last:
+                t.group_break = breaks
+            out.append(t)
+        return out
+
+    # -- term construction -------------------------------------------------
+
+    def _make_term(self, word: str, prefix: Optional[str],
+                   has_upper: bool, pos: int, stemmed: bool) -> ops.Term:
+        p = prefix or ""
+        if stemmed and not has_upper and should_stem(word):
+            t = ops.Term("Z" + p + self.stemmer(word), pos=pos)
+        else:
+            t = ops.Term(p + word, pos=pos)
+        if p:
+            # field-prefixed already — a surrounding field:(…) group must
+            # not re-prefix it (golden "author:(twain OR title:pit …)")
+            object.__setattr__(t, "_prefixed", True)
+        return t
+
+    def _word_node(self, tok: Tok, state: "_State") -> ops.Query:
+        state.pos += 1
+        t = self._make_term(tok.words[0], tok.field, tok.has_upper,
+                            state.pos, stemmed=True)
+        # NEAR/ADJ may need to rebuild this term unstemmed
+        object.__setattr__(t, "_src", (tok.words[0], tok.field))
+        return t
+
+    def _phrase_node(self, tok: Tok, state: "_State") -> ops.Query:
+        terms = []
+        for w in tok.words:
+            state.pos += 1
+            t = self._make_term(w, tok.field, True, state.pos,
+                                stemmed=False)
+            terms.append(t)
+        if len(terms) == 1:
+            return terms[0]
+        node = ops.Phrase([t.term for t in terms], window=len(terms))
+        object.__setattr__(node, "positions",
+                           tuple(t.pos for t in terms))
+        return node
+
+    # -- parsing -----------------------------------------------------------
+
+    def parse_query(self, s: str) -> ops.Query:
+        toks = self._lex(s)
+        state = _State(toks)
+        q = self._parse_or(state)
+        return q if q is not None else ops.MatchNothing()
+
+    def _parse_or(self, st: "_State") -> Optional[ops.Query]:
+        left = self._parse_xor(st)
+        while st.peek_op("OR"):
+            st.take()
+            right = self._parse_xor(st)
+            if right is None:
+                break
+            left = ops.Or([left, right]) if left is not None else right
+        return left
+
+    def _parse_xor(self, st: "_State") -> Optional[ops.Query]:
+        left = self._parse_not(st)
+        while st.peek_op("XOR"):
+            st.take()
+            right = self._parse_not(st)
+            if right is None:
+                break
+            left = ops.Xor([left, right]) if left is not None else right
+        return left
+
+    def _parse_not(self, st: "_State") -> Optional[ops.Query]:
+        left = self._parse_and(st)
+        while st.peek_op("NOT"):
+            st.take()
+            right = self._parse_and(st)
+            if right is None:
+                break
+            if left is None:
+                left = right  # leading NOT without FLAG_PURE_NOT: ignore
+            else:
+                left = ops.AndNot(left, right)
+        return left
+
+    def _parse_and(self, st: "_State") -> Optional[ops.Query]:
+        left, lneg = self._parse_prob(st)
+        while st.peek_op("AND"):
+            st.take()
+            negate = False
+            if st.peek_op("NOT"):
+                st.take()
+                negate = True
+            right, rneg = self._parse_prob(st)
+            if right is None:
+                break
+            if negate or rneg:
+                left = ops.AndNot(left, right) if left is not None \
+                    else right
+            else:
+                left = ops.And([left, right]) if left is not None else right
+        return left
+
+    # a prob-group: sequence of words/phrases/filters/groups up to the
+    # next boolean op / rparen / EOF.  Returns (node, negate) where
+    # negate=True means the group was a pure hated filter ("AND -site:x"
+    # → AND_NOT 0*H...).
+    def _parse_prob(self, st: "_State"
+                    ) -> Tuple[Optional[ops.Query], bool]:
+        chunks: List[ops.Query] = []     # phrase/group chunks, in order
+        run: List[ops.Query] = []        # current run of plain terms
+        loves: List[ops.Query] = []
+        hates: List[ops.Query] = []
+        filters: Dict[str, List[str]] = {}
+        hate_filters: List[str] = []
+        love_filters: Dict[str, List[str]] = {}
+
+        def close_run():
+            if run:
+                chunks.append(run[0] if len(run) == 1
+                              else ops.Or(list(run)))
+                run.clear()
+
+        def add(node: ops.Query, love: bool, hate: bool,
+                is_term: bool) -> None:
+            if love:
+                loves.append(node)
+            elif hate:
+                hates.append(node)
+            elif is_term:
+                run.append(node)
+            else:
+                close_run()
+                chunks.append(node)
+
+        while True:
+            tok = st.peek()
+            if tok is None or tok.kind == "rparen" or \
+                    (tok.kind == "op"):
+                if tok is not None and tok.kind == "rparen":
+                    if st.depth == 0:
+                        st.take()   # stray ')': skip it
+                        continue
+                break
+            if tok.kind == "posop":
+                # positional chain: last plain term NEAR next term(s)
+                nxt = st.peek(1)
+                if run and nxt is not None and nxt.kind == "word":
+                    node = self._parse_positional(st, run)
+                    if run:
+                        pass  # chain replaced the last run entry
+                    add(node, False, False, False)
+                    continue
+                st.take()
+                # demoted operator word: plain unstemmed term
+                demoted = Tok("word", raw=tok.raw.lower(),
+                              words=[tok.raw.lower()], has_upper=True)
+                add(self._word_node(demoted, st), False, False, True)
+                continue
+            st.take()
+            if tok.kind == "lparen":
+                st.depth += 1
+                sub = self._parse_or(st)
+                if st.peek() is not None and st.peek().kind == "rparen":
+                    st.take()
+                st.depth -= 1
+                if sub is not None:
+                    if tok.field is not None:
+                        sub = _apply_prefix(sub, tok.field)
+                    add(sub, tok.love, tok.hate, False)
+                continue
+            if tok.kind == "op":   # unreachable (loop breaks on op)
+                continue
+            if tok.kind == "filter":
+                if tok.hate:
+                    hate_filters.append(tok.value)
+                elif tok.love:
+                    love_filters.setdefault(tok.bool_field, []).append(
+                        tok.value)
+                else:
+                    filters.setdefault(tok.bool_field, []).append(
+                        tok.value)
+                continue
+            if tok.kind == "word":
+                add(self._word_node(tok, st), tok.love, tok.hate, True)
+                if tok.group_break:
+                    close_run()
+                continue
+            if tok.kind == "phrase":
+                add(self._phrase_node(tok, st), tok.love, tok.hate,
+                    False)
+                continue
+
+        close_run()
+
+        # assemble: chunks fold left-associatively with default op
+        base: Optional[ops.Query] = None
+        for c in chunks:
+            base = c if base is None else ops.Or([base, c])
+        if loves:
+            lv = loves[0] if len(loves) == 1 else ops.And(loves)
+            base = lv if base is None else ops.AndMaybe(lv, base)
+        # boolean filters: OR within a field, AND across fields
+        all_filters = dict(filters)
+        for f, vs in love_filters.items():
+            all_filters.setdefault(f, []).extend(vs)
+        fnode: Optional[ops.Query] = None
+        if all_filters:
+            per_field = []
+            for f in sorted(all_filters,
+                            key=lambda f: self.boolean_prefixes[f]):
+                vs = all_filters[f]
+                per_field.append(ops.Term(vs[0]) if len(vs) == 1
+                                 else ops.Or([ops.Term(v) for v in vs]))
+            fnode = per_field[0] if len(per_field) == 1 \
+                else ops.And(per_field)
+        if fnode is not None:
+            base = ops.ScaleWeight(fnode, 0.0) if base is None \
+                else ops.Filter(base, fnode)
+        negate = False
+        if hate_filters:
+            hf = ops.Term(hate_filters[0]) if len(hate_filters) == 1 \
+                else ops.Or([ops.Term(v) for v in hate_filters])
+            if base is None:
+                base, negate = ops.ScaleWeight(hf, 0.0), True
+            else:
+                base = ops.AndNot(base, hf)
+        if hates:
+            hv = hates[0] if len(hates) == 1 else ops.Or(hates)
+            if base is None:
+                base, negate = hv, True
+            else:
+                base = ops.AndNot(base, hv)
+        return base, negate
+
+    def _parse_positional(self, st: "_State",
+                          run: List[ops.Query]) -> ops.Query:
+        """run[-1] NEAR t2 NEAR t3 … — window from the FIRST op."""
+        first = st.peek()
+        cls = _POSITIONAL[first.raw]
+        window = first.window
+        left = run.pop()
+        # positional constituents are unstemmed (near_expr/adj_expr)
+        src = getattr(left, "_src", None)
+        if src is not None:
+            left = self._make_term(src[0], src[1], True, left.pos,
+                                   stemmed=False)
+        terms = [left]
+        while True:
+            tok = st.peek()
+            if tok is None or tok.kind != "posop" or tok.raw != first.raw:
+                break
+            nxt = st.peek(1)
+            if nxt is None or nxt.kind != "word":
+                break
+            st.take()
+            st.take()
+            terms.append(self._make_term(
+                nxt.words[0], nxt.field, True, _bump(st), stemmed=False))
+        node = cls([t.term for t in terms],
+                   window=len(terms) + window - 1)
+        object.__setattr__(node, "positions",
+                           tuple(t.pos for t in terms))
+        return node
+
+
+def _bump(st: "_State") -> int:
+    st.pos += 1
+    return st.pos
+
+
+class _State:
+    def __init__(self, toks: List[Tok]):
+        self.toks = toks
+        self.i = 0
+        self.pos = 0
+        self.depth = 0
+
+    def peek(self, ahead: int = 0) -> Optional[Tok]:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def peek_op(self, name: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.raw == name
+
+    def take(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+
+def _apply_prefix(q: ops.Query, prefix: str) -> ops.Query:
+    """Re-prefix every term in a field:(…) group."""
+    if isinstance(q, ops.Term):
+        if getattr(q, "_prefixed", False):
+            return q
+        t = q.term
+        if t.startswith("Z"):
+            return ops.Term("Z" + prefix + t[1:], q.wqf, q.pos)
+        return ops.Term(prefix + t, q.wqf, q.pos)
+    if isinstance(q, (ops.And, ops.Or, ops.Xor, ops.Max, ops.Synonym)):
+        return type(q)([_apply_prefix(c, prefix) for c in q.children])
+    if isinstance(q, (ops.AndNot, ops.AndMaybe, ops.Filter)):
+        return type(q)(_apply_prefix(q.left, prefix),
+                       _apply_prefix(q.right, prefix))
+    if isinstance(q, (ops.Phrase, ops.Near)):
+        node = type(q)([prefix + t for t in q.terms_], q.window)
+        object.__setattr__(node, "positions",
+                           getattr(q, "positions", ()))
+        return node
+    return q
+
+
+# ---------------------------------------------------------------------------
+# describe — the reference Query::get_description format
+# ---------------------------------------------------------------------------
+
+def describe(q: ops.Query) -> str:
+    """Render like the reference (api/queryinternal.cc get_description):
+    terms as "Zstock@1", ops as "(l AND_NOT r)", phrases as
+    "(a@1 PHRASE 2 b@2)", 0-scale as "0 * …"."""
+    if isinstance(q, ops.MatchNothing):
+        return ""
+    if isinstance(q, ops.Term):
+        return f"{q.term}@{q.pos}" if q.pos else q.term
+    if isinstance(q, ops.ScaleWeight):
+        if q.factor == 0:
+            return "0 * " + describe(q.child)
+        return f"{q.factor} * " + describe(q.child)
+    if isinstance(q, (ops.Phrase, ops.Near)):
+        op = "PHRASE" if isinstance(q, ops.Phrase) else "NEAR"
+        pos = getattr(q, "positions", ()) or (0,) * len(q.terms_)
+        parts = [f"{t}@{p}" if p else t
+                 for t, p in zip(q.terms_, pos)]
+        w = q.window if q.window is not None else len(q.terms_)
+        return "(" + f" {op} {w} ".join(parts) + ")"
+    if isinstance(q, (ops.And, ops.Or, ops.Xor, ops.Max, ops.Synonym)):
+        name = {ops.And: "AND", ops.Or: "OR", ops.Xor: "XOR",
+                ops.Max: "MAX", ops.Synonym: "SYNONYM"}[type(q)]
+        return "(" + f" {name} ".join(describe(c)
+                                      for c in q.children) + ")"
+    if isinstance(q, ops.AndNot):
+        return f"({describe(q.left)} AND_NOT {describe(q.right)})"
+    if isinstance(q, ops.AndMaybe):
+        return f"({describe(q.left)} AND_MAYBE {describe(q.right)})"
+    if isinstance(q, ops.Filter):
+        return f"({describe(q.left)} FILTER {describe(q.right)})"
+    return repr(q)
