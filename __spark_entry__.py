@@ -197,6 +197,84 @@ def q_segment_manifest(spark, sf_dir):
             .select("seg_id", "n_docs", "n_postings", "n_terms"))
 
 
+def q_eset_trad(spark, sf_dir):
+    """Query expansion, Trad scheme (expand/tradeweight.cc), RSet =
+    the 5 lowest doc_ids."""
+    from xapian_spark.query.expand import get_eset
+
+    idx = _index(spark, sf_dir)
+    rset = [r["doc_id"] for r in
+            idx.doclens.orderBy("doc_id").limit(5).collect()]
+    df = get_eset(idx, rset, maxitems=15, scheme="trad", expand_k=1.0)
+    return df.select("term", F.round("wt", 6).alias("wt"))
+
+
+def q_eset_bo1(spark, sf_dir):
+    """Query expansion, Bo1 DFR scheme (expand/bo1eweight.cc)."""
+    from xapian_spark.query.expand import get_eset
+
+    idx = _index(spark, sf_dir)
+    rset = [r["doc_id"] for r in
+            idx.doclens.orderBy("doc_id").limit(5).collect()]
+    df = get_eset(idx, rset, maxitems=15, scheme="bo1")
+    return df.select("term", F.round("wt", 6).alias("wt"))
+
+
+def q_spelling(spark, sf_dir):
+    """Spelling candidates for a 1-edit typo (brass_spelling fragment
+    scheme + levenshtein)."""
+    from xapian_spark.query.spelling import build_spelling_table, suggest
+
+    idx = _index(spark, sf_dir)
+    words = idx.term_stats.select(
+        F.col("term").alias("word"), F.col("tf").alias("freq"))
+    sp = build_spelling_table(words)
+    return suggest(sp, "bacth", max_edit_distance=2).limit(10)
+
+
+def q_wildcard(spark, sf_dir):
+    """Wildcard 'wind*' → OP_SYNONYM over matching terms."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Wildcard("wind"))
+
+
+def q_collapse2(spark, sf_dir):
+    """Collapse to best-2 per lang with collapse_count
+    (matcher/collapser.cc)."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset_collapse(ops.Term("batch"), "lang",
+                               collapse_max=2, maxitems=20)
+    return df.select("doc_id", F.round("score", 6).alias("score"),
+                     "lang", "collapse_count")
+
+
+def q_sort_value(spark, sf_dir):
+    """Sort by value column desc then relevance (VAL_REL,
+    matcher/msetcmp.cc)."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset_sorted(ops.Term("batch"), "n_chars",
+                             order="val_rel", reverse=True, maxitems=10)
+    return df.select("doc_id", F.round("score", 6).alias("score"),
+                     "n_chars")
+
+
+def q_percent(spark, sf_dir):
+    """Percent scores (multimatch.cc:893-906 percent_scale +
+    omenquire.cc convert_to_percent)."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset_percent(
+        ops.Or([ops.Term("batch"), ops.Term("scan")]), 0, 10)
+    return df.select("doc_id", F.round("score", 6).alias("score"),
+                     "percent")
+
+
 def q_value_range(spark, sf_dir):
     from xapian_spark.query import ops
 
@@ -367,6 +445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_wand_and": q_bm25_wand_and,
         "segment_manifest": q_segment_manifest,
+        "eset_trad": q_eset_trad,
+        "eset_bo1": q_eset_bo1,
+        "spelling": q_spelling,
+        "wildcard": q_wildcard,
+        "collapse2": q_collapse2,
+        "sort_value": q_sort_value,
+        "percent": q_percent,
         "value_range": q_value_range,
         "facets_lang": q_facets_lang,
         "collapse_lang": q_collapse_lang,
@@ -658,6 +743,143 @@ SELECT s.seg_id::INT AS seg_id,
        count(DISTINCT p.term)::BIGINT AS n_terms
 FROM seg s JOIN postings p USING (doc_id)
 GROUP BY 1
+"""
+    _RSET = "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)"
+    _RACC = f"""
+, racc AS (
+  SELECT p.term,
+         count(*)::DOUBLE AS rtf,
+         sum(greatest(p.wdf, 1))::DOUBLE AS rcf,
+         sum(2.0 * greatest(p.wdf, 1)
+             / (1.0 * d.doclen / g.avlen + greatest(p.wdf, 1)))
+           AS multiplier
+  FROM postings p JOIN doclens d USING (doc_id) CROSS JOIN gstats g
+  WHERE p.doc_id IN {_RSET}
+  GROUP BY p.term
+)"""
+    out["eset_trad"] = f"""{_BM25_PRELUDE}{_RACC}
+SELECT term,
+       round(multiplier * ln(
+         (rtf + 0.5) * (g.n - t.tf - (5 - rtf) + 0.5)
+         / ((t.tf - rtf + 0.5) * ((5 - rtf) + 0.5))), 6) AS wt
+FROM racc JOIN tstats t USING (term) CROSS JOIN gstats g
+WHERE multiplier * ln(
+  (rtf + 0.5) * (g.n - t.tf - (5 - rtf) + 0.5)
+  / ((t.tf - rtf + 0.5) * ((5 - rtf) + 0.5))) > 0
+ORDER BY multiplier * ln(
+  (rtf + 0.5) * (g.n - t.tf - (5 - rtf) + 0.5)
+  / ((t.tf - rtf + 0.5) * ((5 - rtf) + 0.5))) DESC, term ASC
+LIMIT 15
+"""
+    out["eset_bo1"] = f"""{_BM25_PRELUDE}{_RACC}
+SELECT term,
+       round(rcf * log2((1.0 + t.cf / g.n::DOUBLE)
+                        / (t.cf / g.n::DOUBLE))
+             + log2(1.0 + t.cf / g.n::DOUBLE), 6) AS wt
+FROM racc JOIN tstats t USING (term) CROSS JOIN gstats g
+ORDER BY rcf * log2((1.0 + t.cf / g.n::DOUBLE)
+                    / (t.cf / g.n::DOUBLE))
+         + log2(1.0 + t.cf / g.n::DOUBLE) DESC, term ASC
+LIMIT 15
+"""
+    # fragments of "bacth": H+first2, T+last2, (no B: len 5), M 3-grams
+    out["spelling"] = f"""{_BM25_PRELUDE}
+, words AS (
+  SELECT term AS word, tf AS freq FROM tstats WHERE length(term) > 1
+),
+frags AS (
+  SELECT word, freq,
+         unnest(list_distinct(
+           ['H' || word[1:2], 'T' || word[-2:]]
+           || CASE WHEN length(word) <= 4
+                   THEN ['B' || word[1:1] || word[-1:]]
+                   ELSE [] END
+           || CASE WHEN length(word) > 2
+                   THEN ['M' || word[i:i+2]
+                         for i in range(1, length(word) - 1)]
+                   ELSE [] END)) AS fragment
+  FROM words
+)
+SELECT DISTINCT word, freq,
+       levenshtein(word, 'bacth')::INT AS distance
+FROM frags
+WHERE fragment IN ('Hba', 'Tth', 'Mbac', 'Mact', 'Mcth')
+  AND word <> 'bacth' AND levenshtein(word, 'bacth') <= 2
+ORDER BY distance ASC, freq DESC, word ASC
+LIMIT 10
+"""
+    out["wildcard"] = f"""{_BM25_PRELUDE}
+, syn AS (
+  SELECT p.doc_id,
+         least(sum(p.wdf), max(d.doclen))::DOUBLE AS wdf,
+         max(d.doclen)::DOUBLE AS doclen
+  FROM postings p JOIN doclens d USING (doc_id)
+  WHERE p.term LIKE 'wind%'
+  GROUP BY p.doc_id
+),
+stf AS (SELECT count(*)::BIGINT AS tf FROM syn),
+stw AS (
+  SELECT CASE WHEN (g.n - s.tf + 0.5) / (s.tf + 0.5) < 2.0
+              THEN ln((g.n - s.tf + 0.5) / (s.tf + 0.5) * 0.5 + 1.0)
+              ELSE ln((g.n - s.tf + 0.5) / (s.tf + 0.5)) END AS tw,
+         g.avlen
+  FROM stf s CROSS JOIN gstats g
+)
+SELECT doc_id,
+       round(w.tw * 2.0 * s.wdf
+             / (1.0 * (greatest(s.doclen * (1.0 / w.avlen), 0.5) * 0.5
+                       + 0.5) + s.wdf), 6) AS score
+FROM syn s CROSS JOIN stw w
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    out["collapse2"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term = 'batch' GROUP BY doc_id
+),
+kc AS (
+  SELECT a.doc_id, a.score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY a.score DESC, a.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS nk
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score, lang,
+       (CASE WHEN rn = 1 THEN greatest(nk - 2, 0) ELSE 0 END)::INT
+         AS collapse_count
+FROM kc WHERE rn <= 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+    out["sort_value"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term = 'batch' GROUP BY doc_id
+)
+SELECT a.doc_id, round(a.score, 6) AS score, d.n_chars
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, a.score DESC, a.doc_id ASC
+LIMIT 10
+"""
+    out["percent"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score, count(DISTINCT term) AS nterms
+  FROM scored WHERE term IN ('batch', 'scan') GROUP BY doc_id
+),
+top AS (
+  SELECT nterms / 2.0 / score * 100.0 AS pf
+  FROM agg ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT a.doc_id, round(a.score, 6) AS score,
+       (CASE WHEN floor(a.score * t.pf + 2.220446049250313e-14) = 0
+                  AND a.score > 0 THEN 1
+             ELSE greatest(least(
+               floor(a.score * t.pf + 2.220446049250313e-14),
+               100), 0) END)::INT AS percent
+FROM agg a CROSS JOIN top t
+ORDER BY a.score DESC, a.doc_id ASC
+LIMIT 10
 """
     out["value_range"] = _bm25_topk(
         "'batch'", k=20,

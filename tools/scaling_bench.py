@@ -1,0 +1,210 @@
+"""Scaling-efficiency benchmark: the north rule's two-cluster-size
+criterion, evidenced as local[8] vs local[32] on identical input
+(no real cluster in this sandbox).
+
+Runs the full index-build job (deterministic synthetic Common-Crawl-style
+pages → html text extraction → Xapian tokenize/stem → chunk-encoded
+segment index with manifests) at two parallelism levels in separate
+JVMs, reports docs/sec at each plus efficiency = thr(4N) / (4·thr(N)),
+and query latency percentiles at the higher level. Writes BENCH.md.
+
+Usage:
+    python tools/scaling_bench.py            # full run, writes BENCH.md
+    python tools/scaling_bench.py --child 8  # one measurement (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "100000"))
+# fixed job shape at BOTH parallelism levels (only the master differs):
+# segments >> cores so per-task work is uniform at either level
+N_SEGMENTS = 256
+PAGES_PATH = os.path.join(
+    tempfile.gettempdir(), f"xapian_spark_pages_{N_DOCS}.parquet")
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(N_SEGMENTS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_pages() -> None:
+    if os.path.exists(PAGES_PATH):
+        return
+    from xapian_spark.io.pages import generate_pages
+
+    spark = make_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_pages(spark, N_DOCS, seed=42, partitions=64) \
+        .write.mode("overwrite").parquet(PAGES_PATH)
+    spark.stop()
+
+
+def child(cpus: int) -> None:
+    """One measurement in a fresh JVM: build the segment index."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.analysis.htmlparse import extract_text_udf
+    from xapian_spark.index.segments import build_segments
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(PAGES_PATH)
+    pages.count()  # warm: session/scheduler/IO cache outside the timer
+    out = tempfile.mkdtemp(prefix=f"scaling_idx_{cpus}_")
+    try:
+        t0 = time.perf_counter()
+        docs = pages.select(
+            "doc_id", extract_text_udf(F.col("html")).alias("text"))
+        seg = build_segments(
+            docs, out, n_segments=N_SEGMENTS, analyzer="xapian",
+            input_desc=f"synthetic pages n={N_DOCS} seed=42",
+            resume=False)
+        n_chunks = seg.chunks.count()
+        build_sec = time.perf_counter() - t0
+        n_docs = seg.stats().doccount
+        print(json.dumps({
+            "cpus": cpus, "build_sec": round(build_sec, 3),
+            "n_docs": n_docs, "n_chunks": n_chunks,
+            "docs_per_sec": round(n_docs / build_sec, 2),
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def query_latency(cpus: int = 32, n_queries: int = 30) -> dict:
+    """Parsed-text-query latency against the built index (p50/p95)."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.analysis.htmlparse import extract_text_udf
+    from xapian_spark.index.segments import build_segments
+    from xapian_spark.query.executor import Enquire
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query.parser import QueryParser
+    from xapian_spark.io.pages import _vocab
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(PAGES_PATH)
+    docs = pages.select(
+        "doc_id", extract_text_udf(F.col("html")).alias("text")).persist()
+    idx = build_index(docs, analyzer="xapian")
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    enq = Enquire(idx)
+    qp = QueryParser()
+    _cdf, words = _vocab()
+    lat = []
+    for i in range(n_queries):
+        # mix of head/mid/tail vocabulary, 1-3 term queries
+        qs = " ".join(words[(i * 37 + j * 211) % 2000]
+                      for j in range(1 + i % 3))
+        t0 = time.perf_counter()
+        enq.get_mset(qp.parse_query(qs), 0, 10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    out = {
+        "n_queries": n_queries,
+        "p50_sec": round(lat[len(lat) // 2], 3),
+        "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+        "mean_sec": round(sum(lat) / len(lat), 3),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+        return
+
+    ensure_pages()
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    lat = query_latency(32)
+    summary = {
+        "n_docs": N_DOCS,
+        "throughput_local8": thr8,
+        "throughput_local32": thr32,
+        "scaling_efficiency": round(eff, 3),
+        "query_latency": lat,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+The north rule requires indexing-throughput scaling efficiency >= 0.8
+from N to 4N executors. No real cluster exists in this sandbox, so the
+evidence is the same job at two parallelism levels on identical input
+(driver instruction): `local[8]` vs `local[32]`, fresh JVM each, same
+deterministic corpus.
+
+## Job
+
+Full index build: {N_DOCS} synthetic Common-Crawl-style pages
+(xapian_spark.io.pages, seed=42, Zipf vocabulary, 5% near-dups) →
+HTML text extraction (Arrow UDF) → Xapian TermGenerator tokenize +
+Porter2 stem → chunk-encoded segment index ({N_SEGMENTS} segments,
+delta+vbyte, block-max metadata, manifests).
+
+## Results
+
+| parallelism | build sec | docs/sec |
+|---|---|---|
+| local[8]  | {results[8]['build_sec']} | {thr8} |
+| local[32] | {results[32]['build_sec']} | {thr32} |
+
+**Scaling efficiency** = thr(32) / (4 x thr(8)) = **{eff:.3f}**
+(target >= 0.8).
+
+## Query latency (local[32], parsed text queries, top-10 BM25)
+
+| metric | value |
+|---|---|
+| p50 | {lat['p50_sec']} s |
+| p95 | {lat['p95_sec']} s |
+| mean | {lat['mean_sec']} s |
+| queries | {lat['n_queries']} (1-3 terms, head/mid/tail Zipf vocab) |
+
+Reproduce: `python tools/scaling_bench.py`
+(SCALING_BENCH_DOCS={N_DOCS}).
+""")
+
+
+if __name__ == "__main__":
+    main()

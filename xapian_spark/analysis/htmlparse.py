@@ -243,6 +243,21 @@ def extract_text(html) -> str:
     return _EXTRACTOR.parse(html).dump
 
 
+def extract_text_udf(col):
+    """Arrow-batched pandas UDF: html BINARY/STRING column → text STRING
+    (the per-row invariant surface: byte-identical extracted text per
+    url vs the reference myhtmlparse rules)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(s):
+        import pandas as pd
+
+        return pd.Series([extract_text(v) for v in s])
+
+    return _extract(col)
+
+
 def extract_fields(html) -> dict:
     if html is None:
         html = ""

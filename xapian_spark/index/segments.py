@@ -260,11 +260,29 @@ def build_segments(
     if not done or todo.limit(1).count() > 0:
         t0 = time.time()
 
-        def apply_fn(pdf):
-            return _invert_segment(pdf, fn, text_col, id_col, target_bytes)
+        def gen(batches):
+            import pandas as pd
 
-        chunk_df = todo.groupBy("seg_id").applyInPandas(
-            apply_fn, CHUNKS_SCHEMA)
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts)
+            if len(pdf) == 0:
+                return
+            for _seg, g in pdf.groupby("seg_id", sort=True):
+                yield _invert_segment(g, fn, text_col, id_col,
+                                      target_bytes)
+
+        # One segment per task: repartitionByRange on seg_id gives a
+        # near-perfect 1:1 segment→partition mapping (hash partitioning
+        # via groupBy Poisson-collides segments into shared tasks and
+        # the max-loaded task gates the build — measured 2x slower at
+        # 32 cores). The shuffle moves only (doc_id, text, seg_id); the
+        # CPU-heavy invert runs balanced, one task per segment.
+        chunk_df = (
+            todo.repartitionByRange(n_segments, "seg_id")
+            .mapInPandas(gen, CHUNKS_SCHEMA)
+        )
         (chunk_df
          .write.mode("append").partitionBy("seg_id")
          .parquet(f"{path}/chunks"))

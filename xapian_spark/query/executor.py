@@ -165,6 +165,21 @@ class Enquire:
         if isinstance(node, ops.ScaleWeight):
             return self.compile(node.child, stats, factor * node.factor)
 
+        if isinstance(node, ops.Wildcard):
+            # expand against the term dictionary, then score as one
+            # synonym group (1.3 FLAG_WILDCARD → OP_SYNONYM)
+            ts = (self.index.term_stats
+                  .filter(F.col("term").startswith(node.prefix))
+                  .orderBy("term"))
+            if node.max_expansion:
+                ts = ts.limit(node.max_expansion)
+            terms = [r["term"] for r in ts.select("term").collect()]
+            if not terms:
+                return spark.createDataFrame(
+                    [], "doc_id long, score double")
+            sub = ops.Synonym([ops.Term(t) for t in terms])
+            return self.compile(sub, self._gather_stats(terms), factor)
+
         if isinstance(node, ops.EliteSet):
             # keep the set_size children with the highest maxweight
             # (api/queryinternal.cc:164-174)
@@ -407,6 +422,98 @@ class Enquire:
                 .drop("_rn")
             )
         return ordered.limit(maxitems)
+
+
+    def get_mset_collapse(self, query: ops.Query, key_col: str,
+                          collapse_max: int = 1, first: int = 0,
+                          maxitems: int = 10) -> DataFrame:
+        """Collapse: keep the best `collapse_max` docs per key value
+        (matcher/collapser.cc, used multimatch.cc:731-779).
+        Returns (doc_id, score, <key_col>, collapse_count) where
+        collapse_count on the best item = docs collapsed away."""
+        from pyspark.sql.window import Window
+
+        docs = self.index.docs
+        if docs is None:
+            raise ValueError("collapse requires index.docs")
+        stats = self._gather_stats(list(query.terms()))
+        scored = self.compile(query, stats)
+        keyed = scored.join(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        key_col), "doc_id")
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        wc = Window.partitionBy(key_col)
+        out = (
+            keyed
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nk", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") <= collapse_max)
+            .withColumn(
+                "collapse_count",
+                F.when(F.col("_rn") == 1,
+                       F.greatest(F.col("_nk") - collapse_max, F.lit(0)))
+                .otherwise(F.lit(0)).cast("int"))
+            .select("doc_id", "score", key_col, "collapse_count")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if first:
+            out = out.offset(first)
+        return out.limit(maxitems)
+
+    def get_mset_sorted(self, query: ops.Query, sort_col: str,
+                        order: str = "val_rel", reverse: bool = False,
+                        maxitems: int = 10) -> DataFrame:
+        """Sort by a value column (Enquire::set_sort_by_value*,
+        matcher/msetcmp.cc): order = "val" | "val_rel" | "rel_val"."""
+        docs = self.index.docs
+        if docs is None:
+            raise ValueError("sort by value requires index.docs")
+        stats = self._gather_stats(list(query.terms()))
+        scored = self.compile(query, stats)
+        keyed = scored.join(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        sort_col), "doc_id")
+        val = F.desc(sort_col) if reverse else F.asc(sort_col)
+        if order == "val":
+            cols = [val, F.asc("doc_id")]
+        elif order == "val_rel":
+            cols = [val, F.desc("score"), F.asc("doc_id")]
+        elif order == "rel_val":
+            cols = [F.desc("score"), val, F.asc("doc_id")]
+        else:
+            raise ValueError(f"unknown sort order: {order!r}")
+        return keyed.orderBy(*cols).limit(maxitems)
+
+    def get_mset_percent(self, query: ops.Query, first: int = 0,
+                         maxitems: int = 10) -> DataFrame:
+        """Top-k with the reference percent score: percent_scale =
+        (subqueries matched by the greatest-weight doc / total
+        subqueries) / greatest_wt (multimatch.cc:893-906), percent =
+        int(wt·scale·100 + 100·DBL_EPSILON) clamped to [0,100], 0→1
+        for wt>0 (omenquire.cc convert_to_percent_internal)."""
+        mset = self.get_mset(query, first, maxitems)
+        top = mset.limit(1).collect()
+        if not top or top[0]["score"] <= 0:
+            return mset.withColumn(
+                "percent",
+                F.when(F.col("score") > 0, 100).otherwise(0))
+        greatest_wt = top[0]["score"]
+        top_doc = top[0]["doc_id"]
+        qterms = list(dict.fromkeys(query.terms()))
+        matched = (
+            self.index.postings
+            .filter(F.col("term").isin(qterms)
+                    & (F.col("doc_id") == top_doc))
+            .select("term").distinct().count()
+        )
+        percent_factor = matched / len(qterms) / greatest_wt * 100.0
+        eps = 100.0 * 2.220446049250313e-16
+        pct = F.floor(F.col("score") * F.lit(percent_factor)
+                      + F.lit(eps)).cast("int")
+        pct = F.least(F.greatest(pct, F.lit(0)), F.lit(100))
+        pct = F.when((pct == 0) & (F.col("score") > 0), 1).otherwise(pct)
+        return mset.withColumn("percent", pct)
 
 
 def _positions_match(plists: List[List[int]], window: int,

@@ -207,6 +207,18 @@ class ValueRange(Query):
 
 
 @dataclass(frozen=True)
+class Wildcard(Query):
+    """Right-truncated wildcard ("wild*"): expanded at compile time
+    against the term dictionary into an OP_SYNONYM over the matching
+    terms (the 1.3 QueryParser FLAG_WILDCARD behavior,
+    queryparser/queryparser_internal.h / queryparser.lemony
+    WILD_TERM)."""
+
+    prefix: str
+    max_expansion: int = 0  # 0 = unlimited
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
     """All documents, weight 0 (QueryTerm "")."""
 
