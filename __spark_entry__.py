@@ -404,6 +404,32 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_media_stats(spark, sf_dir):
+    """Metadata-only aggregation over a binary-blob media table (blob
+    column pruned from the scan)."""
+    from xapian_spark.pipeline.multimodal import (
+        media_metadata_stats, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200, kind="image")
+    df = media_metadata_stats(media)
+    return df.select("mime", "n", F.round("avg_pixels", 6)
+                     .alias("avg_pixels"))
+
+
+def q_media_decode_shape(spark, sf_dir):
+    """Stubbed image decode: output shape (w*h*3 bytes per pixel
+    buffer) is the real decoder contract."""
+    from xapian_spark.pipeline.multimodal import (
+        decode_images, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 50, kind="image")
+    return decode_images(media, fake=True).select(
+        "media_id", "width", "height",
+        F.length("pixels").alias("pixel_bytes"))
+
+
 def q_cosine_topk(spark, sf_dir):
     from xapian_spark.pipeline.similarity import cosine_topk
 
@@ -468,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "media_stats": q_media_stats,
+        "media_decode_shape": q_media_decode_shape,
         "cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -880,6 +908,19 @@ SELECT a.doc_id, round(a.score, 6) AS score,
 FROM agg a CROSS JOIN top t
 ORDER BY a.score DESC, a.doc_id ASC
 LIMIT 10
+"""
+    out["media_stats"] = """
+SELECT 'image/jpeg' AS mime, 200::BIGINT AS n,
+       round(avg((8 + (i % 4) * 4) * (8 + (i % 3) * 4)), 6)
+         AS avg_pixels
+FROM range(200) t(i)
+"""
+    out["media_decode_shape"] = """
+SELECT i::BIGINT AS media_id,
+       (8 + (i % 4) * 4)::INT AS width,
+       (8 + (i % 3) * 4)::INT AS height,
+       ((8 + (i % 4) * 4) * (8 + (i % 3) * 4) * 3)::INT AS pixel_bytes
+FROM range(50) t(i)
 """
     out["value_range"] = _bm25_topk(
         "'batch'", k=20,

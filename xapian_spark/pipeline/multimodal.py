@@ -1,0 +1,243 @@
+"""Multimodal column plumbing for training-data pipelines.
+
+Media (image/audio/video) are opaque `binary` columns with typed
+metadata. The Spark-side plumbing — schemas, Arrow-batched
+mapInPandas transforms, partition-size control for large blobs — is
+real and tested; the actual codec work (JPEG decode, resampling, frame
+extraction) is STUBBED because no image/audio libraries exist in this
+container. Each stub either raises NotImplementedError (real-codec
+mode) or produces a deterministic fake derived from the bytes
+(`fake=True`, used by tests), with the batch shapes a real decoder
+would produce.
+
+Design notes for 100 TB:
+- blobs ride in their own column; metadata-only operations
+  (filtering by width/duration, bucketing) never deserialize bytes —
+  column pruning keeps the scan light (`ReadSchema` without the blob)
+- transforms are mapInPandas with a small
+  `spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of blobs
+  fits executor memory
+- derived features (embeddings, resized thumbs) are emitted as new
+  columns, preserving partitioning — no shuffle
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+IMAGE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("uri", StringType(), True),
+    StructField("mime", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("data", BinaryType(), True),
+])
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("uri", StringType(), True),
+    StructField("mime", StringType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("data", BinaryType(), True),
+])
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+        return Image
+    except ImportError:
+        return None
+
+
+def _fake_pixels(data: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for decoded RGB pixels: md5-keyed byte
+    stream with the exact size a real decode would produce (w*h*3)."""
+    out = bytearray()
+    counter = 0
+    need = w * h * 3
+    seed = hashlib.md5(data[:64] if data else b"").digest()
+    while len(out) < need:
+        out.extend(hashlib.md5(seed + struct.pack("<I", counter)).digest())
+        counter += 1
+    return bytes(out[:need])
+
+
+def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
+                  fake: bool = False) -> DataFrame:
+    """binary image column → (media_id, width, height, pixels BINARY).
+
+    Real mode needs PIL (not in this container) — raises
+    NotImplementedError per-batch; fake mode produces deterministic
+    bytes with the real decode's shape so downstream plumbing is
+    testable."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixels", BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        pil = _try_import_pil()
+        for pdf in batches:
+            if not fake and pil is None:
+                raise NotImplementedError(
+                    "image decode needs PIL; run with fake=True for the "
+                    "deterministic stub")
+            rows = {"media_id": [], "width": [], "height": [],
+                    "pixels": []}
+            for mid, w, h, data in zip(pdf["media_id"], pdf["width"],
+                                       pdf["height"], pdf["data"]):
+                w = int(w or 8)
+                h = int(h or 8)
+                if w * h > max_pixels:
+                    continue  # size guard: skip over-budget blobs
+                if fake:
+                    px = _fake_pixels(bytes(data or b""), w, h)
+                else:  # pragma: no cover - no PIL in container
+                    import io
+
+                    img = pil.open(io.BytesIO(bytes(data)))
+                    px = img.convert("RGB").tobytes()
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixels"].append(px)
+            yield pd.DataFrame(rows)
+
+    return images.select("media_id", "width", "height", "data") \
+        .mapInPandas(gen, schema)
+
+
+def image_features(images: DataFrame, dim: int = 16,
+                   fake: bool = True) -> DataFrame:
+    """(media_id, feature ARRAY<FLOAT>[dim]) — the embed step of a
+    media pipeline. Fake mode: deterministic hash-derived unit vector
+    (the real model call is the stub); the Spark plumbing (Arrow
+    batches, fixed-dim array column) is the real contract."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image embedding model not available in container")
+            ids, feats = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                h = hashlib.md5(bytes(data or b"")).digest()
+                v = np.frombuffer(
+                    (h * ((dim * 4) // len(h) + 1))[: dim * 4],
+                    dtype=np.uint32).astype(np.float32)
+                v = v / (np.linalg.norm(v) or 1.0)
+                ids.append(int(mid))
+                feats.append(v.tolist())
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return images.select("media_id", "data").mapInPandas(gen, schema)
+
+
+def frame_sample(videos: DataFrame, every_ms: int = 1000,
+                 fake: bool = True) -> DataFrame:
+    """video binary → one row per sampled frame
+    (media_id, frame_idx, ts_ms, frame BINARY). Decode stubbed; the
+    explode shape (1→N rows per blob) is the real contract."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode not available in container")
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [],
+                    "frame": []}
+            for mid, dur, data in zip(pdf["media_id"],
+                                      pdf["duration_ms"], pdf["data"]):
+                n = max(1, int(dur or 0) // every_ms)
+                for i in range(n):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append(_fake_pixels(
+                        bytes(data or b"") + struct.pack("<I", i), 4, 4))
+            yield pd.DataFrame(rows)
+
+    return videos.select("media_id", "duration_ms", "data") \
+        .mapInPandas(gen, schema)
+
+
+def media_metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must prune the blob column from the
+    scan (verify via .explain: ReadSchema excludes `data`)."""
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+    )
+
+
+def synthetic_media(spark, n: int, kind: str = "image",
+                    seed: int = 7) -> DataFrame:
+    """Deterministic synthetic media table for tests/benchmarks."""
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.md5(f"{seed}:{kind}:{i}".encode()).digest()
+                blob = h * (8 + i % 5)
+                if kind == "image":
+                    rows.append({
+                        "media_id": i, "uri": f"s3://fake/img{i}.jpg",
+                        "mime": "image/jpeg",
+                        "width": 8 + (i % 4) * 4,
+                        "height": 8 + (i % 3) * 4,
+                        "data": blob,
+                    })
+                else:
+                    rows.append({
+                        "media_id": i, "uri": f"s3://fake/a{i}.wav",
+                        "mime": "audio/wav",
+                        "sample_rate": 16000,
+                        "duration_ms": 500 + (i % 7) * 500,
+                        "data": blob,
+                    })
+            cols = ([f.name for f in IMAGE_SCHEMA.fields]
+                    if kind == "image"
+                    else [f.name for f in AUDIO_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = IMAGE_SCHEMA if kind == "image" else AUDIO_SCHEMA
+    if kind == "audio":
+        schema = StructType([
+            f if f.name != "duration_ms" else
+            StructField("duration_ms", IntegerType(), True)
+            for f in AUDIO_SCHEMA.fields])
+    return spark.range(n).mapInPandas(gen, schema)
