@@ -430,6 +430,46 @@ def q_media_decode_shape(spark, sf_dir):
         F.length("pixels").alias("pixel_bytes"))
 
 
+def _geo_docs(spark, sf_dir):
+    """Deterministic lat/lon derived from doc_id (no geo column in the
+    testdata; same derivation in the DuckDB oracle)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+        .alias("lon"))
+
+
+def q_geo_nearest(spark, sf_dir):
+    """LatLongDistanceKeyMaker: 10 nearest docs to Paris."""
+    from xapian_spark.query.geospatial import distance_key_sort
+
+    df = distance_key_sort(_geo_docs(spark, sf_dir), 48.8566, 2.3522,
+                           maxitems=10)
+    return df.select("doc_id", F.round("distance", 4).alias("distance"))
+
+
+def q_geo_posting_source(spark, sf_dir):
+    """LatLongDistancePostingSource weights k1·(dist+k1)^(−k2)."""
+    from xapian_spark.query.geospatial import distance_posting_source
+
+    ps = distance_posting_source(_geo_docs(spark, sf_dir),
+                                 48.8566, 2.3522, k1=1000.0, k2=1.0)
+    return (ps.select("doc_id", F.round("score", 9).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with full probe (== exact cosine top-k; the correctness
+    anchor for the partial-probe scale path)."""
+    from xapian_spark.pipeline.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.orderBy("vec_id").head()["embedding"]
+    return ivf_topk(emb, qv, k=10, n_cells=8, nprobe=8)
+
+
 def q_cosine_topk(spark, sf_dir):
     from xapian_spark.pipeline.similarity import cosine_topk
 
@@ -494,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "geo_nearest": q_geo_nearest,
+        "geo_posting_source": q_geo_posting_source,
+        "ivf_topk": q_ivf_topk,
         "media_stats": q_media_stats,
         "media_decode_shape": q_media_decode_shape,
         "cosine_topk": q_cosine_topk,
@@ -1062,10 +1105,46 @@ SELECT doc_id,
          AS fingerprint
 FROM documents
 """
+    _GEO = """
+WITH geo AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+dist AS (
+  SELECT doc_id,
+    CASE WHEN
+      (sin((lat - 48.8566) * pi() / 180.0 / 2)
+         * sin((lat - 48.8566) * pi() / 180.0 / 2)
+       + sin((lon - 2.3522) * pi() / 180.0 / 2)
+         * sin((lon - 2.3522) * pi() / 180.0 / 2)
+         * cos(lat * pi() / 180.0) * cos(48.8566 * pi() / 180.0)) > 1.0
+    THEN 6372797.6 * pi()
+    ELSE 2 * 6372797.6 * asin(sqrt(
+      sin((lat - 48.8566) * pi() / 180.0 / 2)
+        * sin((lat - 48.8566) * pi() / 180.0 / 2)
+      + sin((lon - 2.3522) * pi() / 180.0 / 2)
+        * sin((lon - 2.3522) * pi() / 180.0 / 2)
+        * cos(lat * pi() / 180.0) * cos(48.8566 * pi() / 180.0)))
+    END AS distance
+  FROM geo
+)"""
+    out["geo_nearest"] = f"""{_GEO}
+SELECT doc_id, round(distance, 4) AS distance FROM dist
+ORDER BY distance ASC, doc_id ASC LIMIT 10
+"""
+    out["geo_posting_source"] = f"""{_GEO}
+SELECT doc_id, round(1000.0 * pow(distance + 1000.0, -1.0), 9)
+  AS score
+FROM dist
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     out["cosine_topk"] = f"""{_COS}
 SELECT vec_id, round(cosine, 6) AS cosine FROM s
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    out["ivf_topk"] = out["cosine_topk"]
     out["embed_neardup"] = f"""{_PAIR_COS}
 SELECT vec_id_a, vec_id_b, round(cosine, 6) AS cosine
 FROM s WHERE round(cosine, 6) >= 0.4

@@ -1,0 +1,115 @@
+"""Geospatial metric/posting-source/keymaker + IVF similarity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.query.geospatial import (
+    QUAD_EARTH_RADIUS_METRES, distance_key_sort, distance_posting_source,
+    great_circle_distance,
+)
+from xapian_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+
+def _py_haversine(lat1, lon1, lat2, lon2,
+                  radius=QUAD_EARTH_RADIUS_METRES):
+    # the reference op order (latlong_metrics.cc:115-134)
+    deg = math.pi / 180.0
+    lata, latb = lat1 * deg, lat2 * deg
+    latdiff = lata - latb
+    longdiff = (lon1 - lon2) * deg
+    shl = math.sin(latdiff / 2)
+    shg = math.sin(longdiff / 2)
+    h = shl * shl + shg * shg * math.cos(lata) * math.cos(latb)
+    if h > 1.0:
+        return radius * math.pi
+    return 2 * radius * math.asin(math.sqrt(h))
+
+
+@pytest.fixture(scope="module")
+def geo_docs(spark):
+    rows = [(i,
+             (i * 7919 % 18000) / 100.0 - 90.0,
+             (i * 104729 % 36000) / 100.0 - 180.0)
+            for i in range(200)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lat double, lon double").persist()
+
+
+def test_great_circle_matches_reference_math(geo_docs):
+    got = geo_docs.select(
+        "doc_id", "lat", "lon",
+        great_circle_distance(F.col("lat"), F.col("lon"),
+                              48.8566, 2.3522).alias("d")).collect()
+    for r in got:
+        want = _py_haversine(r["lat"], r["lon"], 48.8566, 2.3522)
+        assert abs(r["d"] - want) < 1e-6, r
+
+
+def test_known_distance(spark):
+    # Paris ↔ London ≈ 344 km great-circle
+    df = spark.createDataFrame([(1, 51.5074, -0.1278)],
+                               "doc_id long, lat double, lon double")
+    d = df.select(great_circle_distance(
+        F.col("lat"), F.col("lon"), 48.8566, 2.3522)).head()[0]
+    assert 330_000 < d < 360_000
+
+
+def test_distance_posting_source(geo_docs):
+    ps = distance_posting_source(geo_docs, 48.8566, 2.3522,
+                                 k1=1000.0, k2=1.0)
+    rows = {r["doc_id"]: r["score"] for r in ps.collect()}
+    assert len(rows) == 200
+    # weight = k1/(dist+k1): decreasing in distance, max at dist 0
+    near = distance_key_sort(geo_docs, 48.8566, 2.3522, maxitems=200)
+    ordered = [r["doc_id"] for r in near.collect()]
+    scores = [rows[d] for d in ordered]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 1.0 for s in scores)
+
+
+def test_posting_source_pluggable(geo_docs, spark):
+    """PostingSourceQuery: external (doc_id, score) unioned into the
+    query algebra (ops.PostingSourceQuery + AndMaybe)."""
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, analyzer="simple")
+    enq = Enquire(idx)
+    ps = distance_posting_source(geo_docs, 48.8566, 2.3522)
+    q = ops.AndMaybe(ops.Term("batch"), ops.PostingSourceQuery(ps))
+    rows = enq.get_mset(q, 0, 10).collect()
+    base = enq.get_mset(ops.Term("batch"), 0, 10).collect()
+    assert rows and rows[0]["score"] >= base[0]["score"]
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def test_ivf_exact_when_full_probe(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.orderBy("vec_id").head()["embedding"]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, qv, 10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, qv, 10, n_cells=8,
+                              nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.orderBy("vec_id").head()["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()}
+    approx = {r["vec_id"]
+              for r in ivf_topk(emb, qv, 10, n_cells=8,
+                                nprobe=4).collect()}
+    # recall@10 with half the cells probed should stay reasonable
+    assert len(exact & approx) >= 5

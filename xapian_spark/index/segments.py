@@ -225,13 +225,17 @@ def build_segments(
     target_bytes: int = CHUNK_TARGET_BYTES,
     input_desc: Optional[str] = None,
     resume: bool = True,
+    seg_id_offset: int = 0,
 ) -> SegmentIndex:
     """Build (or resume building) a SegmentIndex at `path`.
 
-    seg_id = (doc_id - 1) % n_segments — the reference's multi-database
-    interleave (multimatch.cc:175-176): deterministic, so a re-run with
-    `resume=True` skips any seg_id already in the manifest and only
-    builds the missing segments.
+    seg_id = seg_id_offset + (doc_id - 1) % n_segments — the
+    reference's multi-database interleave (multimatch.cc:175-176):
+    deterministic, so a re-run with `resume=True` skips any seg_id
+    already in the manifest and only builds the missing segments.
+    `seg_id_offset` lets incremental/streaming commits append disjoint
+    segment ranges (the flush-threshold batch analog,
+    brass_database.cc:1395-1430).
     """
     spark = docs.sparkSession
     if not n_segments:
@@ -251,7 +255,8 @@ def build_segments(
 
     tagged = docs.select(
         F.col(id_col).cast("long").alias(id_col), text_col,
-        F.pmod(F.col(id_col).cast("long") - 1, F.lit(n_segments))
+        (F.lit(seg_id_offset)
+         + F.pmod(F.col(id_col).cast("long") - 1, F.lit(n_segments)))
         .cast("int").alias("seg_id"),
     )
     todo = tagged.filter(~F.col("seg_id").isin(list(done))) if done \
