@@ -210,21 +210,21 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     This is the shape that scales: the expensive verify only runs on
     bucket-collision candidates."""
     cand = minhash_lsh_pairs(docs, text_col, id_col, n, num_hashes, bands,
-                             seed)
+                             seed).select("doc_id_a", "doc_id_b")
     s = shingle_df(docs, text_col, id_col, n)
-    a = s.alias("a")
-    b = s.alias("b")
+    sa = s.select(F.col("doc_id").alias("doc_id_a"), "shingle",
+                  F.col("set_size").alias("size_a"))
+    sb = s.select(F.col("doc_id").alias("doc_id_b"), "shingle",
+                  F.col("set_size").alias("size_b"))
+    # candidate-driven verify: explode candidates by A's shingles, then
+    # keep B matches — shingles of NON-candidate docs never meet (the
+    # all-pairs shingle self-join they'd otherwise go through is the
+    # part that can't scale)
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
+        cand.join(sa, "doc_id_a")
+        .join(sb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
-        .join(cand, ["doc_id_a", "doc_id_b"], "left_semi")
     )
     jac = F.col("intersection").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("intersection"))
