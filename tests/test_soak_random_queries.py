@@ -151,3 +151,21 @@ def test_mset_prefix_property(simpledata_index):
         part = [(r["doc_id"], round(r["score"], 9))
                 for r in enq.get_mset(q, 0, k).collect()]
         assert part == full[:k]
+
+
+def test_duplicate_term_scores_twice(simpledata_index, pydata):
+    """"beer beer": each duplicate leaf contributes its own weight
+    (the reference keeps separate QueryTerm leaves, wqf 1 each)."""
+    enq = Enquire(simpledata_index)
+    single = {r["doc_id"]: r["score"] for r in
+              enq.get_mset(ops.Term("word"), 0, 10).collect()}
+    double = {r["doc_id"]: r["score"] for r in
+              enq.get_mset(ops.Or([ops.Term("word"),
+                                   ops.Term("word")]), 0, 10).collect()}
+    assert set(single) == set(double)
+    for d, s in single.items():
+        assert double[d] == pytest.approx(2 * s, rel=1e-12)
+    # and the python reference agrees exactly
+    want = py_mset(ops.Or([ops.Term("word"), ops.Term("word")]), pydata)
+    got = [(r_d, round(r_s, 9)) for r_d, r_s in double.items()]
+    assert sorted(got) == sorted(want)

@@ -136,9 +136,16 @@ class Enquire:
 
     def _is_flat(self, node: ops.Query) -> bool:
         flat_types = (ops.And, ops.Or, ops.Synonym, ops.Max)
-        return isinstance(node, flat_types) and all(
-            isinstance(c, ops.Term) for c in node.children
-        )
+        if not (isinstance(node, flat_types) and all(
+                isinstance(c, ops.Term) for c in node.children)):
+            return False
+        if isinstance(node, ops.Synonym):
+            return True  # synonym merges duplicates by definition
+        # duplicate term leaves each contribute their own weight in the
+        # reference ("beer beer" scores the term twice) — the one-scan
+        # flat path would merge them, so route through _compile_nary
+        return len({c.term for c in node.children}) == \
+            len(node.children)
 
     def compile(self, node: ops.Query, stats: Optional[_QueryStats] = None,
                 factor: float = 1.0) -> DataFrame:
