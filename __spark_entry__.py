@@ -160,6 +160,14 @@ def q_bm25_max(spark, sf_dir):
     return _mset(spark, sf_dir, ops.Max(["batch", "spark"]))
 
 
+def q_bm25_wqf(spark, sf_dir):
+    """Repeated query term with wqf=3: termweight scaled by
+    (k3+1)·wqf/(k3+wqf) = 1.5 at defaults (bm25weight.cc init)."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.Term("batch", wqf=3))
+
+
 def q_bm25_phrase(spark, sf_dir):
     from xapian_spark.query import ops
 
@@ -505,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
+        "bm25_wqf": q_bm25_wqf,
         "bm25_phrase": q_bm25_phrase,
         "bm25_near": q_bm25_near,
         "parser_search": q_parser_search,
@@ -763,6 +772,14 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
   SELECT doc_id, max(part) AS score
   FROM scored WHERE term IN ('batch', 'spark')
   GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["bm25_wqf"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part * 1.5) AS score
+  FROM scored WHERE term = 'batch' GROUP BY doc_id
 )
 SELECT doc_id, round(score, 6) AS score FROM agg
 ORDER BY score DESC, doc_id ASC LIMIT 10

@@ -156,3 +156,31 @@ def test_doclen_pseudo_term_reserved(seg_setup):
         F.col("term") == DOCLEN_TERM).count() == 0
     n_docs = seg.doclen_chunks.agg(F.sum("n")).head()[0]
     assert n_docs == seg.stats().doccount
+
+
+def test_compact(seg_setup, spark, tmp_path):
+    """xapian-compact analog: fewer, fuller segments; postings, term
+    dictionary, stats, and WAND results all identical."""
+    from xapian_spark.index.segments import compact
+
+    _docs, seg, flat = seg_setup
+    out = compact(seg, str(tmp_path / "compacted"), n_segments=2)
+    assert {r["seg_id"] for r in out.manifest().collect()} == {0, 1}
+    assert out.chunks.count() < seg.chunks.count()
+    # postings identical after merge
+    assert _decoded_postings(out) == _decoded_postings(seg)
+    s1, s2 = seg.stats(), out.stats()
+    assert (s1.doccount, s1.total_doclen, s1.wdf_ubound) == \
+        (s2.doccount, s2.total_doclen, s2.wdf_ubound)
+    ts1 = {(r["term"], r["tf"], r["cf"])
+           for r in seg.term_stats().collect()}
+    ts2 = {(r["term"], r["tf"], r["cf"])
+           for r in out.term_stats().collect()}
+    assert ts1 == ts2
+    before = _pairs(WandEnquire(seg).get_mset(
+        ["batch", "scan", "spark"], 10))
+    after = _pairs(WandEnquire(out).get_mset(
+        ["batch", "scan", "spark"], 10))
+    assert before == after
+    assert all(r["input_desc"].startswith("compact of")
+               for r in out.manifest().collect())

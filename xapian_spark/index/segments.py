@@ -176,6 +176,7 @@ class SegmentIndex:
         self.path = path
         self.chunks = spark.read.parquet(f"{path}/chunks")
         self._stats = None
+        self._term_stats = None
 
     # -- derived tables (metadata-only aggregations) -----------------------
 
@@ -188,11 +189,14 @@ class SegmentIndex:
         return self.chunks.filter(F.col("term") == DOCLEN_TERM)
 
     def term_stats(self) -> DataFrame:
-        """Global term dictionary: term → (tf, cf) from chunk metadata."""
-        return self.postings_chunks.groupBy("term").agg(
-            F.sum("n").cast("long").alias("tf"),
-            F.sum("cf").cast("long").alias("cf"),
-        )
+        """Global term dictionary: term → (tf, cf) from chunk metadata
+        (cached — queries hit it once per term set)."""
+        if self._term_stats is None:
+            self._term_stats = self.postings_chunks.groupBy("term").agg(
+                F.sum("n").cast("long").alias("tf"),
+                F.sum("cf").cast("long").alias("cf"),
+            ).persist()
+        return self._term_stats
 
     def stats(self):
         from xapian_spark.index.build import IndexStats
@@ -213,6 +217,121 @@ class SegmentIndex:
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/manifest")
+
+
+def compact(
+    index: "SegmentIndex",
+    out_path: str,
+    n_segments: int = 0,
+    target_bytes: int = CHUNK_TARGET_BYTES,
+) -> "SegmentIndex":
+    """xapian-compact analog (backends/brass/brass_compact.cc:83-951,
+    api/compactor.cc): merge a many-segment index into `n_segments`
+    fuller segments — per-term posting lists re-merged docid-ascending
+    and re-encoded into ~target_bytes chunks (the k-way priority-queue
+    merge of the reference becomes one decode → range-shuffle →
+    re-encode pass; tf/cf re-derive from chunk metadata as before).
+
+    Head-term skew note: the unit of shuffle is the (doc, term) posting
+    row, re-keyed by the doc's NEW segment — a term's postings spread
+    across all output segments, so no single task ever holds a full
+    head-term posting list (the same property the salted multipass
+    merge of brass_compact.cc:679-730 buys).
+    """
+    from xapian_spark.index.codec import decode_chunk
+
+    spark = index.spark
+    if not n_segments:
+        n_segments = max(1, index.chunks.select("seg_id")
+                         .distinct().count() // 4)
+
+    rows_schema = ("term string, doc_id long, wdf int, doclen long,"
+                   " seg_id int")
+
+    nseg = n_segments
+
+    def explode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"term": [], "doc_id": [], "wdf": [], "doclen": [],
+                   "seg_id": []}
+            for term, data in zip(pdf["term"], pdf["data"]):
+                ids, wdfs, dls = decode_chunk(bytes(data))
+                out["term"].extend([term] * len(ids))
+                out["doc_id"].extend(int(x) for x in ids)
+                out["wdf"].extend(int(x) for x in wdfs)
+                out["doclen"].extend(int(x) for x in dls)
+                out["seg_id"].extend(
+                    int((x - 1) % nseg) if x >= 1 else int(x % nseg)
+                    for x in ids)
+            yield pd.DataFrame(out)
+
+    def reencode(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        if len(pdf) == 0:
+            return
+        for seg, g in pdf.groupby("seg_id", sort=True):
+            rows = {k.name: [] for k in CHUNKS_SCHEMA.fields}
+            g = g.sort_values(["term", "doc_id"])
+            for term, tg in g.groupby("term", sort=True):
+                ids = tg["doc_id"].to_numpy(dtype=np.int64)
+                w = tg["wdf"].to_numpy(dtype=np.int64)
+                dl = tg["doclen"].to_numpy(dtype=np.int64)
+                pos = 0
+                for c in encode_chunks(ids, w, dl, target_bytes):
+                    rows["term"].append(term)
+                    rows["seg_id"].append(int(seg))
+                    rows["first_doc_id"].append(c.first_doc_id)
+                    rows["last_doc_id"].append(c.last_doc_id)
+                    rows["n"].append(c.n)
+                    rows["cf"].append(
+                        int(w[pos: pos + c.n].sum()) if term
+                        else int(dl[pos: pos + c.n].sum()))
+                    rows["max_wdf"].append(c.max_wdf)
+                    rows["min_doclen"].append(c.min_doclen)
+                    rows["data"].append(c.data)
+                    pos += c.n
+            yield pd.DataFrame(rows)
+
+    import time as _time
+
+    t0 = _time.time()
+    exploded = index.chunks.select("term", "data").mapInPandas(
+        explode, rows_schema)
+    (exploded
+     .repartitionByRange(n_segments, "seg_id")
+     .mapInPandas(reencode, CHUNKS_SCHEMA)
+     .write.mode("overwrite").partitionBy("seg_id")
+     .parquet(f"{out_path}/chunks"))
+    build_sec = _time.time() - t0
+
+    built = spark.read.parquet(f"{out_path}/chunks")
+    man = (
+        built.groupBy("seg_id").agg(
+            F.sum(F.when(F.col("term") == DOCLEN_TERM, F.col("n"))
+                  .otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("term") != DOCLEN_TERM, F.col("n"))
+                  .otherwise(0)).cast("long").alias("n_postings"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct(
+                F.when(F.col("term") != DOCLEN_TERM, F.col("term"))
+            ).cast("long").alias("n_terms"),
+            F.sum(F.length("data")).cast("long").alias("bytes"),
+            (F.sum(F.crc32("data")) % F.lit(2**63 - 1))
+            .cast("long").alias("checksum"),
+        )
+        .withColumn("build_sec", F.lit(float(build_sec)))
+        .withColumn("input_desc", F.lit(f"compact of {index.path}"))
+        .select([f.name for f in MANIFEST_SCHEMA.fields])
+    )
+    man.write.mode("overwrite").parquet(f"{out_path}/manifest")
+    return SegmentIndex(spark, out_path)
 
 
 def build_segments(
