@@ -1,0 +1,105 @@
+"""Physical-plan hygiene: the properties that keep the engine fast at
+100 TB, asserted on the actual Catalyst plans.
+
+- term filters reach the parquet scan (PushedFilters / partition-range
+  pruning on the saved postings table)
+- column pruning: scoring never reads the positions column; metadata
+  aggregations over media tables never read the blob
+- the flat scoring path contains no Python UDF (BatchEvalPython) —
+  BM25 is pure JVM expression work inside WholeStageCodegen
+- single-term scoring is shuffle-free (no Exchange before the top-k)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.index.build import InvertedIndex, build_index
+from xapian_spark.query import ops
+from xapian_spark.query.executor import Enquire
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, analyzer="simple")
+    path = str(tmp_path_factory.mktemp("diskidx"))
+    idx.save(path)
+    return InvertedIndex.load(spark, path)
+
+
+def test_term_filter_pushed_to_parquet(disk_index):
+    df = disk_index.postings.filter(F.col("term") == "batch")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,batch)]" in \
+        plan or "EqualTo(term,batch)" in plan, plan
+
+
+def test_scoring_prunes_positions_column(disk_index):
+    enq = Enquire(disk_index)
+    df = enq.compile(ops.Or([ops.Term("batch"), ops.Term("scan")]))
+    plan = _formatted(df)
+    scan = [b for b in plan.split("\n\n") if "ReadSchema" in b]
+    assert scan, plan
+    assert all("positions" not in s.split("ReadSchema:")[1].split("\n")[0]
+               for s in scan if "postings" in s)
+
+
+def test_flat_scoring_has_no_python_udf(disk_index):
+    enq = Enquire(disk_index)
+    df = enq.compile(ops.Or([ops.Term("batch"), ops.Term("scan"),
+                             ops.Term("spark")]))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # and the multi-term filter reaches the scan as one In() pushdown
+    assert "In(term, [batch,scan,spark])" in plan
+
+
+def test_single_term_topk_no_shuffle(disk_index):
+    enq = Enquire(disk_index)
+    df = enq.get_mset(ops.Term("batch"), 0, 10)
+    plan = _plan(df)
+    # TakeOrderedAndProject = per-partition heap + driver merge;
+    # a lone Exchange would mean the postings were shuffled to score
+    assert "TakeOrderedAndProject" in plan
+    before_top = plan.split("TakeOrderedAndProject")[1]
+    assert "Exchange" not in before_top, plan
+
+
+def test_media_metadata_scan_prunes_blob(spark):
+    from xapian_spark.pipeline.multimodal import (
+        media_metadata_stats, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 10, kind="image")
+    path = None
+    df = media_metadata_stats(media)
+    plan = _formatted(df)
+    scans = [b for b in plan.split("\n\n") if "ReadSchema" in b
+             or "mapInPandas" in b]
+    # generator output feeds the agg; assert the projected columns
+    # exclude `data` right above the aggregation
+    assert "data" not in "".join(
+        ln for ln in plan.splitlines() if "Project" in ln), plan
+
+
+def test_value_range_pushdown(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    on_disk = spark.read.parquet(p)
+    idx = build_index(on_disk, analyzer="simple")
+    enq = Enquire(idx)
+    df = enq.compile(ops.ValueRange("n_chars", 100, 300))
+    plan = _formatted(df)
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    assert "LessThanOrEqual(n_chars,300)" in plan, plan

@@ -54,22 +54,46 @@ class _QueryStats:
 class Enquire:
     """Xapian::Enquire analog: holds an index + weight, answers queries."""
 
+    # cache the whole term dictionary driver-side when it's below this
+    # many entries (per-query stats gathering then costs zero jobs);
+    # above it, fall back to a per-query filtered collect — the same
+    # tiny aggregation the reference does per query (multimatch.cc
+    # prepare_sub_matches)
+    TERM_DICT_CACHE_MAX = 2_000_000
+
     def __init__(self, index: InvertedIndex, weight: Optional[BM25Weight] = None):
         self.index = index
         self.weight = weight or BM25Weight()
+        self._term_dict: Optional[Dict[str, Tuple[int, int]]] = None
 
     # ------------------------------------------------------------------
+
+    def _full_term_dict(self) -> Optional[Dict[str, Tuple[int, int]]]:
+        if self._term_dict is None:
+            n = self.index.term_stats.count()
+            if n > self.TERM_DICT_CACHE_MAX:
+                self._term_dict = {}
+            else:
+                self._term_dict = {
+                    r["term"]: (r["tf"], r["cf"])
+                    for r in self.index.term_stats.collect()
+                }
+        return self._term_dict if self._term_dict else None
 
     def _gather_stats(self, terms: List[str]) -> _QueryStats:
         st = self.index.stats
         tfs: Dict[str, Tuple[int, int]] = {}
         if terms:
-            rows = (
-                self.index.term_stats
-                .filter(F.col("term").isin(list(set(terms))))
-                .collect()
-            )
-            tfs = {r["term"]: (r["tf"], r["cf"]) for r in rows}
+            full = self._full_term_dict()
+            if full is not None:
+                tfs = {t: full[t] for t in set(terms) if t in full}
+            else:
+                rows = (
+                    self.index.term_stats
+                    .filter(F.col("term").isin(list(set(terms))))
+                    .collect()
+                )
+                tfs = {r["term"]: (r["tf"], r["cf"]) for r in rows}
         return _QueryStats(
             termfreqs=tfs,
             collection_size=st.doccount,
