@@ -152,3 +152,33 @@ def test_mset_collapse_and_sort(spark):
                               reverse=True, maxitems=10).collect()
     vals = [r["n_chars"] for r in srt]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_parser_synonym_expansion(simpledata_index):
+    from xapian_spark.query.parser import QueryParser
+
+    qp = QueryParser(synonyms={"Zparagraph": ["word"]})
+    q = qp.parse_query("paragraph")
+    assert isinstance(q, ops.Synonym)
+    assert [c.term for c in q.children] == ["Zparagraph", "word"]
+    # no synonym registered → plain term
+    assert isinstance(QueryParser().parse_query("paragraph"), ops.Term)
+
+
+def test_corrected_query_string(spelling, simpledata_index):
+    from xapian_spark.query.parser import corrected_query_string
+    from xapian_spark.query.spelling import spelling_suggestion
+
+    vocab = {r["term"] for r in
+             simpledata_index.term_stats.collect()}
+
+    def suggest_fn(w):
+        if w in vocab:
+            return None
+        return spelling_suggestion(spelling, w)
+
+    got = corrected_query_string("paragrap AND word", suggest_fn)
+    assert got == "paragraph AND word"
+    # quoted sections untouched
+    got2 = corrected_query_string('"paragrap" word', suggest_fn)
+    assert got2 == '"paragrap" word'

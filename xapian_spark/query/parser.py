@@ -78,11 +78,17 @@ _STEM_PREVENT = set('(/\\@<>=*[{"')
 class QueryParser:
     """Xapian::QueryParser analog (text syntax subset; see module doc)."""
 
-    def __init__(self, stemmer=porter2_stem, default_op: str = "or"):
+    def __init__(self, stemmer=porter2_stem, default_op: str = "or",
+                 synonyms: Optional[Dict[str, List[str]]] = None):
         self.stemmer = stemmer
         self.default_op = default_op
         self.prefixes: Dict[str, List[str]] = {}
         self.boolean_prefixes: Dict[str, str] = {}
+        # FLAG_AUTO_SYNONYMS analog: generated term → synonym terms;
+        # a matching Term leaf becomes OP_SYNONYM over term + synonyms
+        # (queryparser.h:461-474; synonym B-tree replaced by this
+        # broadcastable dict)
+        self.synonyms = synonyms or {}
         self._tg = TermGenerator()
 
     def add_prefix(self, field: str, prefix: str) -> None:
@@ -264,6 +270,9 @@ class QueryParser:
                             state.pos, stemmed=True)
         # NEAR/ADJ may need to rebuild this term unstemmed
         object.__setattr__(t, "_src", (tok.words[0], tok.field))
+        syns = self.synonyms.get(t.term)
+        if syns:
+            return ops.Synonym([t] + [ops.Term(s) for s in syns])
         return t
 
     def _phrase_node(self, tok: Tok, state: "_State") -> ops.Query:
@@ -500,6 +509,28 @@ class QueryParser:
         object.__setattr__(node, "positions",
                            tuple(t.pos for t in terms))
         return node
+
+
+def corrected_query_string(query: str, suggest_fn) -> str:
+    """FLAG_SPELLING_CORRECTION analog
+    (QueryParser::get_corrected_query_string): rewrite each plain word
+    for which `suggest_fn(word_lower)` returns a replacement; quoted
+    sections, operators, and prefixed terms are left alone."""
+    out: List[str] = []
+    in_quote = False
+    for piece in re.split(r"(\s+)", query):
+        if piece.count('"') % 2 == 1:
+            in_quote = not in_quote
+            out.append(piece)
+            continue
+        if (in_quote or not piece or piece.isspace() or piece in _OPS
+                or ":" in piece or piece.startswith(("+", "-", "("))
+                or not piece.isalpha()):
+            out.append(piece)
+            continue
+        sug = suggest_fn(piece.lower())
+        out.append(sug if sug else piece)
+    return "".join(out)
 
 
 def _bump(st: "_State") -> int:
