@@ -96,6 +96,142 @@ class BM25Weight:
                 denom += self.k1
         return termweight * (self.k1 + 1.0) * wdf_upper / denom
 
+    def maxextra(self) -> float:
+        return self.k2
+
+    def sumextra_col(self, doclen: Column, len_factor: float,
+                     query_length: int) -> Column:
+        """get_sumextra (bm25weight.cc:203-208): the k2 per-document
+        extra weight, added once per matching doc
+        (ExtraWeightPostList, matcher/localsubmatch.cc:92-96)."""
+        num = 2.0 * self.k2 * query_length
+        normlen = F.greatest(
+            doclen.cast("double") * F.lit(len_factor),
+            F.lit(self.min_normlen))
+        return F.lit(num) / (F.lit(1.0) + normlen)
+
+
+@dataclass(frozen=True)
+class TfIdfWeight:
+    """TF-IDF with Xapian's normalization string (weight/tfidfweight.cc):
+    wdf norm ∈ {n,b,s,l}, idf norm ∈ {n,t,p}, wt norm = n.
+    Not separable as termweight×sumpart — implements make_sumpart."""
+
+    normalizations: str = "ntn"
+
+    def __post_init__(self):
+        n = self.normalizations
+        if (len(n) != 3 or n[0] not in "nbsl" or n[1] not in "ntp"
+                or n[2] != "n"):
+            raise ValueError(f"invalid normalization string: {n!r}")
+
+    def _idfn(self, tf: int, N: int) -> float:
+        c = self.normalizations[1]
+        if c == "n":
+            return 1.0
+        if c == "p":
+            if N == tf:
+                return 0.0
+            return math.log((N - tf) / tf)
+        return math.log(N / tf)
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     **_bounds):
+        idf = self._idfn(tf, N)
+        w = self.normalizations[0]
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            d = wdf.cast("double")
+            if w == "b":
+                wdfn = F.when(wdf == 0, 0.0).otherwise(1.0)
+            elif w == "s":
+                wdfn = d * d
+            elif w == "l":
+                wdfn = F.when(wdf == 0, 0.0).otherwise(
+                    F.lit(1.0) + F.log(d))
+            else:
+                wdfn = d
+            return wdfn * F.lit(idf) * F.lit(factor)
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class InL2Weight:
+    """DFR InL2 (weight/inl2weight.cc): wdfn = wdf·log2(1 + c·avlen/len);
+    weight = wqf · wdfn · 1/(wdfn+1) · log2((N+1)/(tf+0.5))."""
+
+    c: float = 1.0
+
+    def __post_init__(self):
+        if self.c <= 0:
+            raise ValueError("Parameter c is invalid.")
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     **_bounds):
+        idf = math.log2((N + 1) / (tf + 0.5))
+        cl = self.c * avlen
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            d = wdf.cast("double")
+            wdfn = d * F.log2(F.lit(1.0)
+                              + F.lit(cl) / doclen.cast("double"))
+            big_l = F.lit(1.0) / (wdfn + F.lit(1.0))
+            return F.when(wdf == 0, 0.0).otherwise(
+                F.lit(float(wqf)) * wdfn * big_l * F.lit(idf)
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class PL2Weight:
+    """DFR PL2 (weight/pl2weight.cc): Poisson model with Laplace
+    after-effect and length norm 2; per-term lower_bound subtraction
+    exactly as the reference (init :56-90, get_sumpart :115-125)."""
+
+    c: float = 1.0
+
+    def __post_init__(self):
+        if self.c <= 0:
+            raise ValueError("Parameter c is invalid.")
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     wdf_upper=0, doclen_lower=1, doclen_upper=1):
+        cl = self.c * avlen
+        base_change = 1.0 / math.log(2.0)
+        mean = cf / N
+        p1 = mean * base_change + 0.5 * math.log2(2.0 * math.pi)
+        p2 = math.log2(mean) + base_change
+        lower_bound = 0.0
+        if wdf_upper:
+            wdfn_lower = math.log2(1 + cl / doclen_upper)
+            wdfn_upper = wdf_upper * math.log2(1 + cl / doclen_lower)
+            p_min = (p1 + (wdfn_lower + 0.5) * math.log2(wdfn_lower)
+                     - p2 * wdfn_lower)
+            lower_bound = wqf * p_min / (wdfn_upper + 1.0)
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            d = wdf.cast("double")
+            wdfn = d * F.log2(F.lit(1.0)
+                              + F.lit(cl) / doclen.cast("double"))
+            p = (F.lit(p1) + (wdfn + F.lit(0.5)) * F.log2(wdfn)
+                 - F.lit(p2) * wdfn)
+            return F.when(wdf == 0, 0.0).otherwise(
+                (F.lit(float(wqf)) * p / (wdfn + F.lit(1.0))
+                 - F.lit(lower_bound)) * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
 
 @dataclass(frozen=True)
 class BoolWeight:

@@ -49,6 +49,7 @@ class _QueryStats:
     average_length: float
     doclen_lbound: int
     wdf_ubound: int
+    doclen_ubound: int = 0
 
 
 class Enquire:
@@ -100,6 +101,7 @@ class Enquire:
             average_length=st.average_length,
             doclen_lbound=st.doclen_lbound,
             wdf_ubound=st.wdf_ubound,
+            doclen_ubound=st.doclen_ubound,
         )
 
     def _termweight(self, term: str, wqf: int, stats: _QueryStats,
@@ -129,19 +131,42 @@ class Enquire:
         keep: Tuple[str, ...] = (),
     ) -> DataFrame:
         """One scan of postings for the given (term, wqf, factor) leaves,
-        with a per-row BM25 sumpart column. No shuffle."""
-        lf = self.weight.len_factor(stats.average_length)
-        tws = {
-            t: self._termweight(t, wqf, stats, factor)
-            for t, wqf, factor in terms
-        }
+        with a per-row weight-part column. No shuffle."""
         df = self.index.postings.filter(
-            F.col("term").isin(list(tws.keys())))
-        mapping = F.create_map(
-            *[x for t, w in tws.items() for x in (F.lit(t), F.lit(w))])
-        tw_col = mapping[F.col("term")]
-        score = self.weight.sumpart_col(
-            tw_col, F.col("wdf"), F.col("doclen"), lf)
+            F.col("term").isin([t for t, _w, _f in terms]))
+        if hasattr(self.weight, "make_sumpart"):
+            # generalized (non-separable) weights: per-term expression
+            chain = None
+            for t, wqf, factor in terms:
+                tf, cf = stats.termfreqs.get(t, (0, 0))
+                if tf == 0:
+                    continue
+                wdf_ub = min(cf, stats.wdf_ubound) if cf \
+                    else stats.wdf_ubound
+                fn = self.weight.make_sumpart(
+                    tf, cf, stats.collection_size,
+                    stats.average_length, wqf, factor,
+                    wdf_upper=wdf_ub,
+                    doclen_lower=max(stats.doclen_lbound, 1),
+                    doclen_upper=max(stats.doclen_ubound, 1))
+                val = fn(F.col("wdf"), F.col("doclen"))
+                cond = F.col("term") == t
+                chain = F.when(cond, val) if chain is None \
+                    else chain.when(cond, val)
+            score = chain.otherwise(F.lit(0.0)) if chain is not None \
+                else F.lit(0.0)
+        else:
+            lf = self.weight.len_factor(stats.average_length)
+            tws = {
+                t: self._termweight(t, wqf, stats, factor)
+                for t, wqf, factor in terms
+            }
+            mapping = F.create_map(
+                *[x for t, w in tws.items()
+                  for x in (F.lit(t), F.lit(w))])
+            tw_col = mapping[F.col("term")]
+            score = self.weight.sumpart_col(
+                tw_col, F.col("wdf"), F.col("doclen"), lf)
         cols = [F.col("term"), F.col("doc_id"), score.alias("score")]
         cols += [F.col(c) for c in keep]
         return df.select(*cols)
@@ -435,12 +460,44 @@ class Enquire:
 
     # -- the match ----------------------------------------------------------
 
+    @staticmethod
+    def _query_length(node: ops.Query) -> int:
+        """Σ wqf over leaf terms (Weight's get_query_length)."""
+        if isinstance(node, ops.Term):
+            return node.wqf
+        if isinstance(node, (ops.AndNot, ops.AndMaybe, ops.Filter)):
+            return (Enquire._query_length(node.left)
+                    + Enquire._query_length(node.right))
+        if isinstance(node, ops.ScaleWeight):
+            return Enquire._query_length(node.child)
+        children = getattr(node, "children", ())
+        if children:
+            return sum(Enquire._query_length(c) for c in children)
+        return len(node.terms())
+
+    def _with_extra(self, scored: DataFrame, query: ops.Query,
+                    stats: _QueryStats) -> DataFrame:
+        """Add the per-document extra weight (k2 ≠ 0) once per matched
+        doc — ExtraWeightPostList (matcher/localsubmatch.cc:92-96)."""
+        w = self.weight
+        if not (hasattr(w, "sumextra_col") and getattr(w, "maxextra",
+                                                       lambda: 0)()):
+            return scored
+        lf = w.len_factor(stats.average_length)
+        qlen = self._query_length(query)
+        dl = self.index.doclens.select("doc_id", "doclen")
+        extra = w.sumextra_col(F.col("doclen"), lf, qlen)
+        return (scored.join(dl, "doc_id")
+                .select("doc_id",
+                        (F.col("score") + extra).alias("score")))
+
     def get_mset(self, query: ops.Query, first: int = 0,
                  maxitems: int = 10) -> DataFrame:
         """Top-k: DataFrame(doc_id, score) ordered by (score desc,
         doc_id asc), offset by `first`."""
         stats = self._gather_stats(list(query.terms()))
-        scored = self.compile(query, stats)
+        scored = self._with_extra(self.compile(query, stats), query,
+                                  stats)
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if first:
             from pyspark.sql.window import Window
