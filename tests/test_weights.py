@@ -100,3 +100,43 @@ def test_tradweight_is_bm25_special_case(simpledata_index):
     b = _mset(simpledata_index, BM25Weight(1, 0, 0, 1, 0), "paragraph")
     assert [(r["doc_id"], r["score"]) for r in t] == \
         [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_dlhweight1_golden(simpledata_index):
+    # api_weight.cc:380-408 — DLH on "paragraph":
+    # mset[0] - mset[4] == 1.17790202016936130; scale multiplies
+    from xapian_spark.query.bm25 import DLHWeight
+
+    rows = _mset(simpledata_index, DLHWeight(), "paragraph")
+    assert len(rows) == 5
+    assert rows[0]["score"] - rows[4]["score"] == pytest.approx(
+        1.17790202016936130, rel=1e-10)
+    enq = Enquire(simpledata_index, DLHWeight())
+    scaled = enq.get_mset(
+        ops.ScaleWeight(ops.Term("paragraph"), 15.0), 0, 10).collect()
+    for a, b in zip(rows, scaled):
+        assert b["score"] == pytest.approx(15.0 * a["score"], rel=1e-10)
+
+
+def test_dphweight1_golden(simpledata_index):
+    # api_weight.cc:460-487 — DPH on "paragraph":
+    # mset[2] - mset[4] == 0.542623617687990167
+    from xapian_spark.query.bm25 import DPHWeight
+
+    rows = _mset(simpledata_index, DPHWeight(), "paragraph")
+    assert len(rows) == 5
+    assert rows[2]["score"] - rows[4]["score"] == pytest.approx(
+        0.542623617687990167, rel=1e-10)
+
+
+def test_bernoulli_family_run(simpledata_index):
+    from xapian_spark.query.bm25 import (
+        BB2Weight, IfB2Weight, IneB2Weight,
+    )
+
+    for W in (IfB2Weight, IneB2Weight, BB2Weight):
+        rows = _mset(simpledata_index, W(1.0), "paragraph")
+        assert len(rows) == 5
+        ws = [r["score"] for r in rows]
+        assert ws == sorted(ws, reverse=True)
+        assert all(w == w for w in ws)  # no NaN

@@ -233,6 +233,186 @@ class PL2Weight:
         return 0.0
 
 
+def _wdfn_col(wdf: Column, doclen: Column, cl: float) -> Column:
+    """DFR normalization 2: wdf · log2(1 + c·avlen/len)."""
+    return wdf.cast("double") * F.log2(
+        F.lit(1.0) + F.lit(cl) / doclen.cast("double"))
+
+
+@dataclass(frozen=True)
+class IfB2Weight:
+    """DFR IfB2 (weight/ifb2weight.cc:109-123): inverse term frequency
+    with Bernoulli after-effect and normalization 2."""
+
+    c: float = 1.0
+
+    def __post_init__(self):
+        if self.c <= 0:
+            raise ValueError("Parameter c is invalid.")
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     **_bounds):
+        idf = math.log2((N + 1.0) / (cf + 0.5))
+        cl = self.c * avlen
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            wdfn = _wdfn_col(wdf, doclen, cl)
+            b = F.lit(cf + 1.0) / (F.lit(float(tf))
+                                   * (wdfn + F.lit(1.0)))
+            return F.when(wdf == 0, 0.0).otherwise(
+                wdfn * F.lit(float(wqf)) * b * F.lit(idf)
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class IneB2Weight:
+    """DFR IneB2 (weight/ineb2weight.cc:111-128): inverse expected
+    document frequency with Bernoulli after-effect, normalization 2."""
+
+    c: float = 1.0
+
+    def __post_init__(self):
+        if self.c <= 0:
+            raise ValueError("Parameter c is invalid.")
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     **_bounds):
+        mean = cf / N
+        expected = N * (1.0 - math.exp(-mean))
+        idf = math.log2((N + 1.0) / (expected + 0.5))
+        cl = self.c * avlen
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            wdfn = _wdfn_col(wdf, doclen, cl)
+            b = F.lit(cf + 1.0) / (F.lit(float(tf))
+                                   * (wdfn + F.lit(1.0)))
+            return F.when(wdf == 0, 0.0).otherwise(
+                wdfn * F.lit(idf) * F.lit(float(wqf)) * b
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class BB2Weight:
+    """DFR BB2 (weight/bb2weight.cc:122-143): Bose-Einstein model with
+    Bernoulli after-effect, normalization 2; stirling approximation
+    exactly as :34-38."""
+
+    c: float = 1.0
+
+    def __post_init__(self):
+        if self.c <= 0:
+            raise ValueError("Parameter c is invalid.")
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     **_bounds):
+        cl = self.c * avlen
+        base_change = math.log(2.0)
+        wt = -math.log2(N - 1.0) - (1.0 / base_change)
+
+        def stirling(x, y: Column) -> Column:
+            return ((y + F.lit(0.5)) * F.log2(F.lit(float(x)) / y)
+                    + (F.lit(float(x)) - y) * F.lit(math.log2(x)))
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            wdfn = _wdfn_col(wdf, doclen, cl)
+            b = F.lit(cf + 1.0) / (F.lit(float(tf))
+                                   * (wdfn + F.lit(1.0)))
+            st = (stirling(N + cf - 1.0,
+                           F.lit(N + cf - 2.0) - wdfn)
+                  - stirling(cf, F.lit(float(cf)) - wdfn))
+            return F.when(wdf == 0, 0.0).otherwise(
+                F.lit(float(wqf)) * (b * (F.lit(wt) + st))
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class DLHWeight:
+    """DFR DLH hypergeometric model (weight/dlhweight.cc:94-109), with
+    the reference's lower-bound subtraction (init)."""
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     wdf_upper=0, doclen_lower=1, doclen_upper=1):
+        nf = N / cf
+        wdf_lower = 1.0
+        min_weight = (
+            wdf_lower * math.log2((wdf_lower * avlen / doclen_upper)
+                                  * nf)
+            - 1.5 * math.log2(doclen_upper)
+            + 0.5 * math.log2(2.0 * math.pi * wdf_lower)
+        ) / (wdf_upper + 0.5) if wdf_upper else 0.0
+        lower_bound = wqf * min_weight
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            d = wdf.cast("double")
+            ln = doclen.cast("double")
+            r = d / ln
+            wt = (d * F.log2((d * F.lit(avlen) / ln) * F.lit(nf))
+                  + (ln - d) * F.log2(F.lit(1.0) - r)
+                  + F.lit(0.5) * F.log2(
+                      F.lit(2.0 * math.pi) * d * (F.lit(1.0) - r))
+                  ) / (d + F.lit(0.5))
+            return F.when(wdf == 0, 0.0).otherwise(
+                (F.lit(float(wqf)) * wt - F.lit(lower_bound))
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
+@dataclass(frozen=True)
+class DPHWeight:
+    """DFR DPH hypergeometric model, Popper normalization
+    (weight/dphweight.cc:97-115), with the reference's lower-bound
+    subtraction (init)."""
+
+    def make_sumpart(self, tf, cf, N, avlen, wqf=1, factor=1.0,
+                     wdf_upper=0, doclen_lower=1, doclen_upper=1):
+        nf = N / cf
+        wdf_lower = 1.0
+        min_norm = ((1.0 / doclen_upper) ** 2) / (wdf_upper + 1.0) \
+            if wdf_upper else 0.0
+        min_weight = min_norm * (
+            wdf_lower * math.log2((wdf_lower * avlen / doclen_upper)
+                                  * nf)
+            + 0.5 * math.log2(2.0 * math.pi * wdf_lower / doclen_upper))
+        lower_bound = wqf * min_weight
+
+        def fn(wdf: Column, doclen: Column) -> Column:
+            d = wdf.cast("double")
+            ln = doclen.cast("double")
+            r = d / ln
+            norm = F.pow(F.lit(1.0) - r, F.lit(2.0)) / (d + F.lit(1.0))
+            wt = norm * (
+                d * F.log2((d * F.lit(avlen) / ln) * F.lit(nf))
+                + F.lit(0.5) * F.log2(
+                    F.lit(2.0 * math.pi) * d * (F.lit(1.0) - r)))
+            return F.when(wdf == 0, 0.0).otherwise(
+                (F.lit(float(wqf)) * wt - F.lit(lower_bound))
+                * F.lit(factor))
+
+        return fn
+
+    def maxextra(self) -> float:
+        return 0.0
+
+
 @dataclass(frozen=True)
 class BoolWeight:
     """All-zero weights (xapian-core/weight/boolweight.cc) — pure boolean
