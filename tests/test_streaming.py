@@ -68,3 +68,46 @@ def test_streaming_matches_batch_build(spark, dirs):
     got = [(r["doc_id"], round(r["score"], 10)) for r in
            WandEnquire(seg).get_mset(["batch", "scan"], 10).collect()]
     assert got == want
+
+
+def test_windowed_token_counts_matches_batch(spark, tmp_path):
+    """Streaming watermarked window agg == the batch plan on the same
+    input (append mode emits only watermark-finalized windows, so feed
+    a late second batch to close the first hour)."""
+    import datetime
+
+    from xapian_spark.streaming.stats import (
+        run_to_memory, windowed_token_counts,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [
+        (base + datetime.timedelta(minutes=m), f"alpha beta gamma d{m}")
+        for m in (0, 10, 50)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df1 = spark.createDataFrame(rows1, "warc_ts timestamp, text string")
+    df1.write.parquet(str(in_dir / "b1"))
+    # a much later file advances the watermark past hour 0
+    rows2 = [(base + datetime.timedelta(hours=6), "omega")]
+    spark.createDataFrame(rows2, "warc_ts timestamp, text string") \
+        .write.parquet(str(in_dir / "b2"))
+
+    run_to_memory(spark, f"{in_dir}/*", "warc_ts timestamp, text string",
+                  "wtc_test", str(tmp_path / "ckpt"),
+                  window="1 hour", watermark="1 hour")
+    got = {
+        (r["window"]["start"].isoformat(), r["token"]): r["n"]
+        for r in spark.table("wtc_test").collect()
+    }
+    # hour-0 window is finalized and emitted with the batch-side counts
+    batch = windowed_token_counts(
+        df1, window="1 hour", watermark="1 hour")
+    want = {
+        (r["window"]["start"].isoformat(), r["token"]): r["n"]
+        for r in batch.collect()
+    }
+    for k, v in want.items():
+        assert got.get(k) == v, (k, v, got.get(k))
+    assert got[("2024-01-01T00:00:00", "alpha")] == 3

@@ -446,13 +446,18 @@ class Enquire:
             .filter(F.col("_n") == len(set(terms)))
         )
 
-        from pyspark.sql.types import BooleanType
+        from pyspark.sql.functions import pandas_udf
 
-        def check(pos_map) -> bool:
-            plists = [sorted(pos_map[t]) for t in terms]
-            return _positions_match(plists, window, ordered)
+        @pandas_udf("boolean")
+        def check_udf(pos_maps):
+            import pandas as pd
 
-        check_udf = F.udf(check, BooleanType())
+            out = []
+            for pos_map in pos_maps:
+                plists = [sorted(pos_map[t]) for t in terms]
+                out.append(_positions_match(plists, window, ordered))
+            return pd.Series(out)
+
         return (
             cand.filter(check_udf(F.col("_pos")))
             .select("doc_id", "score")
