@@ -111,3 +111,15 @@ def test_windowed_token_counts_matches_batch(spark, tmp_path):
     for k, v in want.items():
         assert got.get(k) == v, (k, v, got.get(k))
     assert got[("2024-01-01T00:00:00", "alpha")] == 3
+
+
+def test_read_table_specs(spark, tmp_path):
+    from xapian_spark.io.tables import read_table, write_table
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20)
+    p = str(tmp_path / "t.parquet")
+    write_table(docs, p, mode="overwrite")
+    assert read_table(spark, p).count() == 20
+    docs.createOrReplaceTempView("pages_view")
+    assert read_table(spark, "table:pages_view").count() == 20

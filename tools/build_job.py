@@ -28,7 +28,8 @@ def main(argv=None) -> None:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True,
-                   help="parquet/iceberg pages or documents table")
+                   help="pages table: path (parquet/orc/json/csv) or"
+                        " table:<catalog.db.name> (Iceberg/Hive)")
     b.add_argument("--index", required=True, help="index output path")
     b.add_argument("--n-segments", type=int, default=0)
     b.add_argument("--analyzer", default="xapian")
@@ -60,7 +61,9 @@ def main(argv=None) -> None:
     if args.cmd == "build":
         from xapian_spark.index.segments import build_segments
 
-        docs = spark.read.parquet(args.input)
+        from xapian_spark.io.tables import read_table
+
+        docs = read_table(spark, args.input)
         if args.html_col:
             from xapian_spark.analysis.htmlparse import extract_text_udf
 
