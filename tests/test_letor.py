@@ -1,0 +1,89 @@
+"""xapian-letor analog: 19-feature extraction + ListNet training."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.index.build import build_index
+from xapian_spark.query import ops
+from xapian_spark.query.executor import Enquire
+from xapian_spark.query.letor import (
+    N_FEATURES, extract_features, listnet_loss, listnet_train,
+    rank_with_model,
+)
+
+
+@pytest.fixture(scope="module")
+def letor_setup(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "apple apple apple banana"), (4, "durian")],
+        "doc_id long, text string")
+    idx = build_index(docs, analyzer="simple")
+    return idx
+
+
+def test_feature_values_hand_computed(letor_setup):
+    idx = letor_setup
+    feats = {r["doc_id"]: r for r in
+             extract_features(idx, ["apple", "banana"]).collect()}
+    assert set(feats) == {1, 2, 3}
+    # no 'S'-prefixed terms → all title features are 0, body == whole
+    for d, r in feats.items():
+        assert r["f1"] == 0.0 and r["f4"] == 0.0 and r["f7"] == 0.0
+        assert r["f2"] == pytest.approx(r["f3"], rel=1e-12)
+    # f3 (whole) for doc 1: log10(1+2) + log10(1+1)
+    assert feats[1]["f3"] == pytest.approx(
+        math.log10(3) + math.log10(2), rel=1e-12)
+    # f6 = Σ log10(1 + tf/doclen)
+    assert feats[1]["f6"] == pytest.approx(
+        math.log10(1 + 2 / 3) + math.log10(1 + 1 / 3), rel=1e-12)
+    # f9 = Σ log10(1 + idf); idf = log10(N // (1 + df)) (integer div)
+    idf_apple = math.log10(4 // 3)   # = log10(1) = 0
+    idf_banana = math.log10(4 // 4)  # = 0
+    assert feats[1]["f9"] == pytest.approx(
+        math.log10(1 + idf_apple) + math.log10(1 + idf_banana),
+        rel=1e-12)
+
+
+def test_f19_is_retrieval_weight(letor_setup):
+    idx = letor_setup
+    enq = Enquire(idx)
+    mset = enq.get_mset(ops.Or([ops.Term("apple"),
+                                ops.Term("banana")]), 0, 10)
+    feats = extract_features(idx, ["apple", "banana"],
+                             weight_df=mset).collect()
+    scores = {r["doc_id"]: r["score"] for r in mset.collect()}
+    for r in feats:
+        assert r["f19"] == pytest.approx(scores[r["doc_id"]], rel=1e-12)
+
+
+def test_listnet_learns_informative_feature():
+    rng = np.random.default_rng(5)
+    ranklists = []
+    for _q in range(8):
+        n = 6
+        feats = np.zeros((n, N_FEATURES))
+        rel = rng.permutation(n) % 3
+        feats[:, 4] = rel + rng.normal(0, 0.05, n)  # informative
+        feats[:, 10] = rng.normal(0, 1, n)          # noise
+        ranklists.append((feats, rel.astype(float)))
+    p0 = np.zeros(N_FEATURES)
+    params = listnet_train(ranklists, learning_rate=0.05,
+                           iterations=200)
+    assert listnet_loss(ranklists, params) < listnet_loss(ranklists, p0)
+    assert params[4] > 0 and abs(params[4]) > abs(params[10])
+
+
+def test_rank_with_model(letor_setup):
+    idx = letor_setup
+    feats = extract_features(idx, ["apple", "banana"])
+    params = np.zeros(N_FEATURES)
+    params[2] = 1.0  # rank purely by f3 (whole-doc term frequency)
+    rows = rank_with_model(feats, params).collect()
+    got = [r["doc_id"] for r in rows]
+    by_f3 = sorted(
+        feats.collect(), key=lambda r: (-r["f3"], r["doc_id"]))
+    assert got == [r["doc_id"] for r in by_f3]
