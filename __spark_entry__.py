@@ -449,6 +449,18 @@ def _geo_docs(spark, sf_dir):
         .alias("lon"))
 
 
+def q_letor_features(spark, sf_dir):
+    """xapian-letor feature extraction (whole-document features; the
+    documents table has no title prefixes so t=0 and body==whole)."""
+    from xapian_spark.query.letor import extract_features
+
+    feats = extract_features(_index(spark, sf_dir), ["batch", "scan"])
+    return feats.select(
+        "doc_id",
+        *[F.round(f"f{i}", 6).alias(f"f{i}")
+          for i in (3, 6, 9, 12, 15, 18)])
+
+
 def q_geo_nearest(spark, sf_dir):
     """LatLongDistanceKeyMaker: 10 nearest docs to Paris."""
     from xapian_spark.query.geospatial import distance_key_sort
@@ -543,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
         "ivf_topk": q_ivf_topk,
@@ -1121,6 +1134,36 @@ SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
          AS fingerprint
 FROM documents
+"""
+    out["letor_features"] = f"""{_BM25_PRELUDE}
+, qs AS (
+  SELECT term, tf, cf,
+         log10(greatest(g.n // (1 + tf), 1e-300)) AS idf
+  FROM tstats CROSS JOIN gstats g WHERE term IN ('batch', 'scan')
+),
+consts AS (
+  SELECT sum(log10(1 + idf)) AS f9,
+         sum(log10(1 + (SELECT avlen FROM gstats)
+                       * (SELECT n FROM gstats) / (1 + cf))) AS f12
+  FROM qs
+),
+perdoc AS (
+  SELECT p.doc_id,
+         sum(log10(1 + p.wdf)) AS f3,
+         sum(log10(1 + p.wdf / d.doclen::DOUBLE)) AS f6,
+         sum(log10(1 + p.wdf * q.idf / (1 + d.doclen::DOUBLE)))
+           AS f15,
+         sum(log10(1 + p.wdf * ((SELECT avlen FROM gstats)
+                                * (SELECT n FROM gstats))
+                   / (1 + d.doclen::DOUBLE * q.cf))) AS f18
+  FROM postings p JOIN doclens d USING (doc_id)
+  JOIN qs q USING (term)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(f3, 6) AS f3, round(f6, 6) AS f6,
+       round(c.f9, 6) AS f9, round(c.f12, 6) AS f12,
+       round(f15, 6) AS f15, round(f18, 6) AS f18
+FROM perdoc CROSS JOIN consts c
 """
     _GEO = """
 WITH geo AS (
