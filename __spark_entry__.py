@@ -283,6 +283,30 @@ def q_percent(spark, sf_dir):
                      "percent")
 
 
+def q_synonym(spark, sf_dir):
+    """OP_SYNONYM: children scored as one term (wdf summed, clamped to
+    doclen; exact unioned termfreq)."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir,
+                 ops.Synonym([ops.Term("batch"), ops.Term("scan")]))
+
+
+def q_scale_weight(spark, sf_dir):
+    """OP_SCALE_WEIGHT: subtree weights × 2.5."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir,
+                 ops.ScaleWeight(ops.Term("batch"), 2.5))
+
+
+def q_matchall(spark, sf_dir):
+    """MatchAll: every document, weight 0, docid order."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.MatchAll(), k=25)
+
+
 def q_value_range(spark, sf_dir):
     from xapian_spark.query import ops
 
@@ -539,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse2": q_collapse2,
         "sort_value": q_sort_value,
         "percent": q_percent,
+        "synonym": q_synonym,
+        "scale_weight": q_scale_weight,
+        "matchall": q_matchall,
         "value_range": q_value_range,
         "facets_lang": q_facets_lang,
         "collapse_lang": q_collapse_lang,
@@ -1134,6 +1161,43 @@ SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
          AS fingerprint
 FROM documents
+"""
+    out["synonym"] = f"""{_BM25_PRELUDE}
+, syn AS (
+  SELECT p.doc_id,
+         least(sum(p.wdf), max(d.doclen))::DOUBLE AS wdf,
+         max(d.doclen)::DOUBLE AS doclen
+  FROM postings p JOIN doclens d USING (doc_id)
+  WHERE p.term IN ('batch', 'scan')
+  GROUP BY p.doc_id
+),
+stf AS (SELECT count(*)::BIGINT AS tf FROM syn),
+stw AS (
+  SELECT CASE WHEN (g.n - s.tf + 0.5) / (s.tf + 0.5) < 2.0
+              THEN ln((g.n - s.tf + 0.5) / (s.tf + 0.5) * 0.5 + 1.0)
+              ELSE ln((g.n - s.tf + 0.5) / (s.tf + 0.5)) END AS tw,
+         g.avlen
+  FROM stf s CROSS JOIN gstats g
+)
+SELECT doc_id,
+       round(w.tw * 2.0 * s.wdf
+             / (1.0 * (greatest(s.doclen * (1.0 / w.avlen), 0.5) * 0.5
+                       + 0.5) + s.wdf), 6) AS score
+FROM syn s CROSS JOIN stw w
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    out["scale_weight"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part * 2.5) AS score
+  FROM scored WHERE term = 'batch' GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["matchall"] = """
+SELECT doc_id, 0.0 AS score FROM documents
+ORDER BY doc_id ASC LIMIT 25
 """
     out["letor_features"] = f"""{_BM25_PRELUDE}
 , qs AS (
