@@ -174,3 +174,26 @@ def test_parse_phrase_executes(spark, simpledata_index):
         ops.And([ops.Term(t) for t in q.terms_]), 0, 100).collect()
     and_ids = {r["doc_id"] for r in and_rows}
     assert all(r["doc_id"] in and_ids for r in rows)
+
+
+def test_flag_partial(qp, spark, simpledata_index):
+    """FLAG_PARTIAL: trailing word matches wildcard-or-stemmed; a
+    trailing space turns the word back into a normal term."""
+    from xapian_spark.query.executor import Enquire
+
+    q = QueryParser().parse_query("word para", partial=True)
+    assert isinstance(q, ops.Or)
+    last = q.children[-1]
+    assert isinstance(last, ops.Or)
+    kinds = {type(c) for c in last.children}
+    assert ops.Wildcard in kinds and ops.Term in kinds
+    # executes: matches every doc containing a "para*" term or Zpara
+    enq = Enquire(simpledata_index)
+    partial_ids = {r["doc_id"] for r in enq.get_mset(q, 0, 50).collect()}
+    full = QueryParser().parse_query("word paragraph")
+    full_ids = {r["doc_id"] for r in
+                enq.get_mset(full, 0, 50).collect()}
+    assert full_ids <= partial_ids
+    # completed input (trailing space) → no wildcard
+    done = QueryParser().parse_query("word para ", partial=True)
+    assert all(not isinstance(c, ops.Or) for c in done.children)

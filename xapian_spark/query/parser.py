@@ -291,8 +291,23 @@ class QueryParser:
 
     # -- parsing -----------------------------------------------------------
 
-    def parse_query(self, s: str) -> ops.Query:
+    def parse_query(self, s: str, partial: bool = False) -> ops.Query:
+        """`partial` = FLAG_PARTIAL (search-as-you-type,
+        queryparser.lemony PARTIAL_TERM): when the query ends mid-word,
+        that word matches as WILDCARD-or-stemmed so results update
+        usefully on every keystroke."""
         toks = self._lex(s)
+        if partial and s and not s[-1].isspace() and toks \
+                and toks[-1].kind == "word":
+            last = toks[-1]
+            word = last.words[0]
+            p = last.field or ""
+            stemmed = self._make_term(word, last.field, last.has_upper,
+                                      0, stemmed=True)
+            last.kind = "partial"
+            last.partial_node = ops.Or(
+                [ops.Wildcard(p + word),
+                 ops.Term(stemmed.term)])
         state = _State(toks)
         q = self._parse_or(state)
         return q if q is not None else ops.MatchNothing()
@@ -427,6 +442,18 @@ class QueryParser:
                 else:
                     filters.setdefault(tok.bool_field, []).append(
                         tok.value)
+                continue
+            if tok.kind == "partial":
+                st.pos += 1
+                node = tok.partial_node
+                # stamp the position onto both alternatives
+                fixed = []
+                for c in node.children:
+                    if isinstance(c, ops.Term):
+                        fixed.append(ops.Term(c.term, c.wqf, st.pos))
+                    else:
+                        fixed.append(c)
+                add(ops.Or(fixed), tok.love, tok.hate, False)
                 continue
             if tok.kind == "word":
                 add(self._word_node(tok, st), tok.love, tok.hate, True)
