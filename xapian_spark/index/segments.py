@@ -40,7 +40,6 @@ metadata-only aggregation over chunk rows.
 from __future__ import annotations
 
 import time
-import zlib
 from typing import Callable, Iterable, List, Optional
 
 import numpy as np

@@ -20,7 +20,6 @@ scale-out, no driver materialization.
 from __future__ import annotations
 
 import hashlib
-import math
 from typing import Iterator, List
 
 from pyspark.sql import DataFrame, SparkSession

@@ -28,7 +28,6 @@ Terms is evaluated with ONE postings scan (term IN (...)) + one shuffle
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 

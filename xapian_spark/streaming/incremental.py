@@ -22,7 +22,6 @@ checkpoint + idempotent per-batch seg_id ranges).
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
