@@ -69,10 +69,19 @@ class Tok:
     group_break: bool = False     # trailing phrase-gen ends the group
 
 
-_BREAK = set('()"')
+# straight + Unicode curly double quotes (queryparser.lemony
+# is_double_quote, :95-99)
+_QUOTES = {'"', "\u201c", "\u201d"}
+_BREAK = set("()") | _QUOTES
 # queryparser.lemony is_phrase_generator / is_stem_preventer
 _PHRASE_GEN = set(".-/:\\@")
 _STEM_PREVENT = set('(/\\@<>=*[{"')
+
+
+class QueryParserError(ValueError):
+    """Raised for the reference's syntax errors (str(e) matches the
+    reference's error text, e.g. "Syntax: <expression> AND
+    <expression>")."""
 
 
 class QueryParser:
@@ -83,7 +92,7 @@ class QueryParser:
         self.stemmer = stemmer
         self.default_op = default_op
         self.prefixes: Dict[str, List[str]] = {}
-        self.boolean_prefixes: Dict[str, str] = {}
+        self.boolean_prefixes: Dict[str, List[str]] = {}
         # FLAG_AUTO_SYNONYMS analog: generated term → synonym terms;
         # a matching Term leaf becomes OP_SYNONYM over term + synonyms
         # (queryparser.h:461-474; synonym B-tree replaced by this
@@ -94,8 +103,9 @@ class QueryParser:
     def add_prefix(self, field: str, prefix: str) -> None:
         self.prefixes.setdefault(field, []).append(prefix)
 
-    def add_boolean_prefix(self, field: str, prefix: str) -> None:
-        self.boolean_prefixes[field] = prefix
+    def add_boolean_prefix(self, field: str, prefix: str,
+                           *_args) -> None:
+        self.boolean_prefixes.setdefault(field, []).append(prefix)
 
     # -- lexing ------------------------------------------------------------
 
@@ -128,18 +138,41 @@ class QueryParser:
                 love = hate = False
                 i += 1
                 continue
-            if ch == '"':
-                j = s.find('"', i + 1)
-                if j < 0:
-                    i += 1  # unmatched quote: ignore it
+            if ch in _QUOTES:
+                if pend_bool is not None:
+                    # quoted boolean-filter value, "" escapes a quote
+                    # (golden 'category:"literal """')
+                    val = []
+                    k = i + 1
+                    while k < n:
+                        if s[k] in _QUOTES:
+                            if s[k] == '"' and k + 1 < n \
+                                    and s[k + 1] == '"':
+                                val.append('"')
+                                k += 2
+                                continue
+                            k += 1
+                            break
+                        val.append(s[k])
+                        k += 1
+                    toks.append(Tok("filter", bool_field=pend_bool,
+                                    value="".join(val), love=love,
+                                    hate=hate))
+                    love = hate = False
+                    pend_field = pend_bool = None
+                    i = k
                     continue
-                words = self._scan(s[i + 1: j])
+                j = i + 1
+                while j < n and s[j] not in _QUOTES:
+                    j += 1
+                content = s[i + 1: j]  # unmatched → phrase to EOF
+                words = self._scan(content)
                 if words:
-                    toks.append(Tok("phrase", raw=s[i + 1: j], words=words,
+                    toks.append(Tok("phrase", raw=content, words=words,
                                     love=love, hate=hate, field=pend_field))
                 love = hate = False
                 pend_field = pend_bool = None
-                i = j + 1
+                i = j + 1 if j < n else n
                 continue
             if ch in "+-" and not love and not hate:
                 # lovehate marker: must be glued to a word/quote/paren
@@ -163,6 +196,9 @@ class QueryParser:
                 if tok.kind == "field_only":
                     pend_field = tok.field
                     continue
+                if tok.kind == "bool_field_only":
+                    pend_bool = tok.bool_field
+                    continue
                 toks.append(tok)
             love = hate = False
         return toks
@@ -172,6 +208,11 @@ class QueryParser:
         # ALL-CAPS operators (FLAG_BOOLEAN)
         if seg in _OPS:
             return [Tok("op", raw=seg)]
+        # operator glued to a phrase by generators: "one AND/two/three"
+        m = re.match(r"(AND|OR|NOT|XOR)([.\-/:\\@]+)(.+)$", seg)
+        if m and self._scan(m.group(3)):
+            return [Tok("op", raw=m.group(1))] + self._lex_segment(
+                m.group(3), False, False, next_ch)
         m = re.fullmatch(r"(NEAR|ADJ)(?:/(\d+))?", seg)
         if m:
             return [Tok("posop", raw=m.group(1),
@@ -183,9 +224,10 @@ class QueryParser:
             head, rest = seg.split(":", 1)
             if head in self.boolean_prefixes:
                 if rest:
-                    return [Tok("filter", bool_field=head,
-                                value=self.boolean_prefixes[head] + rest,
+                    return [Tok("filter", bool_field=head, value=rest,
                                 love=love, hate=hate)]
+                if next_ch in _QUOTES:
+                    return [Tok("bool_field_only", bool_field=head)]
             elif head in self.prefixes:
                 # "author::foo" is NOT field syntax — the ':' joins a
                 # phrase (golden "author::foo"); an empty/termless rest
@@ -195,7 +237,7 @@ class QueryParser:
                              self._tg._scan_terms_spans(rest)
                              if isinstance(s_[0], str)]
                     if spans:
-                        fld = self.prefixes[head][0]
+                        fld = self.prefixes[head]
                         body = rest
                     elif not rest.strip("".join(_PHRASE_GEN) + "#+*"):
                         pass  # "author:/" → scan full segment
@@ -264,22 +306,51 @@ class QueryParser:
             object.__setattr__(t, "_prefixed", True)
         return t
 
+    @staticmethod
+    def _field_prefixes(field) -> List[Optional[str]]:
+        if field is None:
+            return [None]
+        if isinstance(field, str):
+            return [field]
+        return list(field)
+
+    def _bool_terms(self, field: str, value: str) -> List[ops.Term]:
+        """Boolean filter terms for a field value, one per registered
+        prefix; ':' separator when the value starts with an ASCII
+        capital (queryparser.lemony prefix_needs_colon:102-107)."""
+        out = []
+        for p in self.boolean_prefixes[field]:
+            needs = (bool(value) and "A" <= value[0] <= "Z"
+                     and len(p) > 1 and not p.endswith(":"))
+            out.append(ops.Term(p + (":" if needs else "") + value))
+        return out
+
     def _word_node(self, tok: Tok, state: "_State") -> ops.Query:
         state.pos += 1
-        t = self._make_term(tok.words[0], tok.field, tok.has_upper,
-                            state.pos, stemmed=True)
+        prefixes = self._field_prefixes(tok.field)
+        terms = [self._make_term(tok.words[0], p, tok.has_upper,
+                                 state.pos, stemmed=True)
+                 for p in prefixes]
+        t = terms[0]
         # NEAR/ADJ may need to rebuild this term unstemmed
-        object.__setattr__(t, "_src", (tok.words[0], tok.field))
+        object.__setattr__(t, "_src", (tok.words[0], prefixes[0]))
+        if len(terms) > 1:
+            # one field mapped to several prefixes ("authortitle") —
+            # OR of the variants at the same position
+            node = ops.Or(terms)
+            object.__setattr__(node, "_prefixed", True)
+            return node
         syns = self.synonyms.get(t.term)
         if syns:
             return ops.Synonym([t] + [ops.Term(s) for s in syns])
         return t
 
     def _phrase_node(self, tok: Tok, state: "_State") -> ops.Query:
+        prefix = self._field_prefixes(tok.field)[0]
         terms = []
         for w in tok.words:
             state.pos += 1
-            t = self._make_term(w, tok.field, True, state.pos,
+            t = self._make_term(w, prefix, True, state.pos,
                                 stemmed=False)
             terms.append(t)
         if len(terms) == 1:
@@ -301,7 +372,7 @@ class QueryParser:
                 and toks[-1].kind == "word":
             last = toks[-1]
             word = last.words[0]
-            p = last.field or ""
+            p = self._field_prefixes(last.field)[0] or ""
             stemmed = self._make_term(word, last.field, last.has_upper,
                                       0, stemmed=True)
             last.kind = "partial"
@@ -317,9 +388,10 @@ class QueryParser:
         while st.peek_op("OR"):
             st.take()
             right = self._parse_xor(st)
-            if right is None:
-                break
-            left = ops.Or([left, right]) if left is not None else right
+            if left is None or right is None:
+                raise QueryParserError(
+                    "Syntax: <expression> OR <expression>")
+            left = ops.Or([left, right])
         return left
 
     def _parse_xor(self, st: "_State") -> Optional[ops.Query]:
@@ -327,9 +399,10 @@ class QueryParser:
         while st.peek_op("XOR"):
             st.take()
             right = self._parse_not(st)
-            if right is None:
-                break
-            left = ops.Xor([left, right]) if left is not None else right
+            if left is None or right is None:
+                raise QueryParserError(
+                    "Syntax: <expression> XOR <expression>")
+            left = ops.Xor([left, right])
         return left
 
     def _parse_not(self, st: "_State") -> Optional[ops.Query]:
@@ -337,12 +410,11 @@ class QueryParser:
         while st.peek_op("NOT"):
             st.take()
             right = self._parse_and(st)
-            if right is None:
-                break
-            if left is None:
-                left = right  # leading NOT without FLAG_PURE_NOT: ignore
-            else:
-                left = ops.AndNot(left, right)
+            if left is None or right is None:
+                # leading NOT needs FLAG_PURE_NOT (not a default flag)
+                raise QueryParserError(
+                    "Syntax: <expression> NOT <expression>")
+            left = ops.AndNot(left, right)
         return left
 
     def _parse_and(self, st: "_State") -> Optional[ops.Query]:
@@ -354,13 +426,15 @@ class QueryParser:
                 st.take()
                 negate = True
             right, rneg = self._parse_prob(st)
-            if right is None:
-                break
+            if left is None or right is None:
+                raise QueryParserError(
+                    "Syntax: <expression> AND NOT <expression>"
+                    if negate else
+                    "Syntax: <expression> AND <expression>")
             if negate or rneg:
-                left = ops.AndNot(left, right) if left is not None \
-                    else right
+                left = ops.AndNot(left, right)
             else:
-                left = ops.And([left, right]) if left is not None else right
+                left = ops.And([left, right])
         return left
 
     # a prob-group: sequence of words/phrases/filters/groups up to the
@@ -374,7 +448,7 @@ class QueryParser:
         loves: List[ops.Query] = []
         hates: List[ops.Query] = []
         filters: Dict[str, List[str]] = {}
-        hate_filters: List[str] = []
+        hate_filters: List[Tuple[str, str]] = []
         love_filters: Dict[str, List[str]] = {}
 
         def close_run():
@@ -435,7 +509,7 @@ class QueryParser:
                 continue
             if tok.kind == "filter":
                 if tok.hate:
-                    hate_filters.append(tok.value)
+                    hate_filters.append((tok.bool_field, tok.value))
                 elif tok.love:
                     love_filters.setdefault(tok.bool_field, []).append(
                         tok.value)
@@ -474,7 +548,8 @@ class QueryParser:
         if loves:
             lv = loves[0] if len(loves) == 1 else ops.And(loves)
             base = lv if base is None else ops.AndMaybe(lv, base)
-        # boolean filters: OR within a field, AND across fields
+        # boolean filters: OR within a field (and across a field's
+        # multiple prefixes), AND across fields
         all_filters = dict(filters)
         for f, vs in love_filters.items():
             all_filters.setdefault(f, []).extend(vs)
@@ -482,10 +557,11 @@ class QueryParser:
         if all_filters:
             per_field = []
             for f in sorted(all_filters,
-                            key=lambda f: self.boolean_prefixes[f]):
-                vs = all_filters[f]
-                per_field.append(ops.Term(vs[0]) if len(vs) == 1
-                                 else ops.Or([ops.Term(v) for v in vs]))
+                            key=lambda f: self.boolean_prefixes[f][0]):
+                terms = [t for v in all_filters[f]
+                         for t in self._bool_terms(f, v)]
+                per_field.append(terms[0] if len(terms) == 1
+                                 else ops.Or(terms))
             fnode = per_field[0] if len(per_field) == 1 \
                 else ops.And(per_field)
         if fnode is not None:
@@ -493,8 +569,9 @@ class QueryParser:
                 else ops.Filter(base, fnode)
         negate = False
         if hate_filters:
-            hf = ops.Term(hate_filters[0]) if len(hate_filters) == 1 \
-                else ops.Or([ops.Term(v) for v in hate_filters])
+            hterms = [t for f, v in hate_filters
+                      for t in self._bool_terms(f, v)]
+            hf = hterms[0] if len(hterms) == 1 else ops.Or(hterms)
             if base is None:
                 base, negate = ops.ScaleWeight(hf, 0.0), True
             else:
@@ -530,7 +607,8 @@ class QueryParser:
             st.take()
             st.take()
             terms.append(self._make_term(
-                nxt.words[0], nxt.field, True, _bump(st), stemmed=False))
+                nxt.words[0], self._field_prefixes(nxt.field)[0], True,
+                _bump(st), stemmed=False))
         node = cls([t.term for t in terms],
                    window=len(terms) + window - 1)
         object.__setattr__(node, "positions",
@@ -588,6 +666,8 @@ class _State:
 
 def _apply_prefix(q: ops.Query, prefix: str) -> ops.Query:
     """Re-prefix every term in a field:(…) group."""
+    if getattr(q, "_prefixed", False):
+        return q
     if isinstance(q, ops.Term):
         if getattr(q, "_prefixed", False):
             return q
