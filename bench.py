@@ -102,6 +102,7 @@ def main() -> None:
                              analyzer="xapian",
                              input_desc=f"{sf_dir}/documents.parquet")
         seg.chunks.count()
+        seg.term_stats().count()  # materialize the term dictionary
         timings["segment_build"] = time.perf_counter() - t0
         wq = WandEnquire(seg)
         t0 = time.perf_counter()
