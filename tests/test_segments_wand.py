@@ -184,3 +184,17 @@ def test_compact(seg_setup, spark, tmp_path):
     assert before == after
     assert all(r["input_desc"].startswith("compact of")
                for r in out.manifest().collect())
+
+
+def test_to_inverted_index_full_algebra(seg_setup):
+    """The chunk index answers arbitrary executor trees through
+    to_inverted_index() — results identical to the flat build."""
+    from xapian_spark.index.build import build_index
+
+    _docs, seg, flat = seg_setup
+    view = seg.to_inverted_index()
+    q = ops.AndMaybe(ops.Xor([ops.Term("batch"), ops.Term("scan")]),
+                     ops.Term("spark"))
+    a = _pairs(Enquire(view).get_mset(q, 0, 15))
+    b = _pairs(Enquire(flat).get_mset(q, 0, 15))
+    assert a == b and a

@@ -217,6 +217,49 @@ class SegmentIndex:
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/manifest")
 
+    def to_postings(self) -> DataFrame:
+        """Decode chunks → row-per-posting DataFrame
+        (term, doc_id, wdf, doclen, positions=NULL) — the flat
+        InvertedIndex layout. Lazily evaluated; a `term` filter above
+        it prunes chunk rows before any decode runs."""
+        from xapian_spark.index.codec import decode_chunk
+
+        schema = ("term string, doc_id long, wdf int, doclen long,"
+                  " positions array<int>")
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"term": [], "doc_id": [], "wdf": [],
+                       "doclen": [], "positions": []}
+                for term, data in zip(pdf["term"], pdf["data"]):
+                    ids, wdfs, dls = decode_chunk(bytes(data))
+                    out["term"].extend([term] * len(ids))
+                    out["doc_id"].extend(int(x) for x in ids)
+                    out["wdf"].extend(int(x) for x in wdfs)
+                    out["doclen"].extend(int(x) for x in dls)
+                    out["positions"].extend([None] * len(ids))
+                yield pd.DataFrame(out)
+
+        return (self.postings_chunks.select("term", "data")
+                .mapInPandas(gen, schema))
+
+    def to_inverted_index(self, docs: Optional[DataFrame] = None):
+        """Full-featured query view over the chunk storage: an
+        InvertedIndex whose postings decode on demand, so the entire
+        executor algebra (boolean trees, collapse, facets, expand,
+        every weighting scheme) runs against the segment index.
+        Positions are not stored in chunks — phrase/NEAR need an index
+        built with build_index(keep_positions=True)."""
+        from xapian_spark.index.build import InvertedIndex
+
+        postings = self.to_postings()
+        doclens = (postings.groupBy("doc_id")
+                   .agg(F.first("doclen").alias("doclen")))
+        return InvertedIndex(postings, doclens, self.term_stats(),
+                             self.stats(), docs=docs)
+
 
 def compact(
     index: "SegmentIndex",
