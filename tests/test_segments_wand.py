@@ -198,3 +198,33 @@ def test_to_inverted_index_full_algebra(seg_setup):
     a = _pairs(Enquire(view).get_mset(q, 0, 15))
     b = _pairs(Enquire(flat).get_mset(q, 0, 15))
     assert a == b and a
+
+
+def test_positions_in_segment_index(spark, tmp_path):
+    """keep_positions=True: per-chunk pos_data (brass position-table
+    analog) round-trips, and phrase queries over the chunk index match
+    the flat positional index exactly — including after compaction."""
+    from xapian_spark.index.segments import compact
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    seg = build_segments(docs, str(tmp_path / "pidx"), n_segments=4,
+                         analyzer="simple", keep_positions=True)
+    flat = build_index(docs, analyzer="simple", keep_positions=True)
+
+    view = seg.to_inverted_index()
+    got = {(r["term"], r["doc_id"]): list(r["positions"] or [])
+           for r in view.postings.collect()}
+    want = {(r["term"], r["doc_id"]): list(r["positions"] or [])
+            for r in flat.postings.collect()}
+    assert got == want
+
+    q = ops.Phrase(["batch", "window"])
+    a = _pairs(Enquire(view).get_mset(q, 0, 10))
+    b = _pairs(Enquire(flat).get_mset(q, 0, 10))
+    assert a == b and a
+
+    # compaction preserves positions
+    out = compact(seg, str(tmp_path / "pidx2"), n_segments=2)
+    c = _pairs(Enquire(out.to_inverted_index()).get_mset(q, 0, 10))
+    assert c == b

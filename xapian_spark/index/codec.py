@@ -149,3 +149,36 @@ def decode_chunk(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     gaps = tri[0::3].astype(np.int64) + 1
     doc_ids = np.cumsum(gaps)
     return doc_ids, tri[1::3].astype(np.int64), tri[2::3].astype(np.int64)
+
+
+def encode_positions(pos_lists) -> bytes:
+    """Per-posting position lists → one vbyte stream
+    (the brass position table analog, brass_positionlist.cc — we use
+    count + first + gaps instead of binary-interpolative coding; same
+    information, simpler codec).
+
+    Stream layout per posting: [n, p1, p2-p1, …] (n may be 0)."""
+    flat: List[int] = []
+    for pl in pos_lists:
+        pl = [] if pl is None else list(pl)
+        flat.append(len(pl))
+        prev = 0
+        for p in pl:
+            flat.append(int(p) - prev)
+            prev = int(p)
+    return vbyte_encode(np.array(flat, dtype=np.uint64))
+
+
+def decode_positions(data: bytes, n_postings: int) -> List[np.ndarray]:
+    """Inverse of encode_positions → list of int32 arrays."""
+    vals = vbyte_decode(data).astype(np.int64)
+    out: List[np.ndarray] = []
+    i = 0
+    for _ in range(n_postings):
+        cnt = int(vals[i])
+        i += 1
+        gaps = vals[i: i + cnt]
+        i += cnt
+        out.append(np.cumsum(gaps).astype(np.int32) if cnt
+                   else np.empty(0, dtype=np.int32))
+    return out

@@ -52,7 +52,9 @@ from pyspark.sql.types import (
 )
 
 from xapian_spark.index.build import ANALYZERS, MAX_SAFE_TERM_LENGTH
-from xapian_spark.index.codec import CHUNK_TARGET_BYTES, encode_chunks
+from xapian_spark.index.codec import (
+    CHUNK_TARGET_BYTES, encode_chunks, encode_positions,
+)
 
 DOCLEN_TERM = ""  # reserved pseudo-term whose chunks hold (doc_id, 0, doclen)
 
@@ -66,6 +68,7 @@ CHUNKS_SCHEMA = StructType([
     StructField("max_wdf", IntegerType(), False),
     StructField("min_doclen", LongType(), False),
     StructField("data", BinaryType(), False),
+    StructField("pos_data", BinaryType(), True),
 ])
 
 MANIFEST_SCHEMA = StructType([
@@ -102,7 +105,7 @@ SEG_ANALYZERS["simple"] = simple_analyzer
 
 def _invert_segment(
     pdf, analyzer: Callable, text_col: str, id_col: str,
-    target_bytes: int,
+    target_bytes: int, keep_positions: bool = False,
 ):
     """One segment's docs (pandas) → chunk rows (pandas). The Inverter."""
     import pandas as pd
@@ -112,18 +115,19 @@ def _invert_segment(
     terms_acc: dict = {}
     doclens = np.zeros(doc_ids.size, dtype=np.int64)
     for i, text in enumerate(pdf[text_col]):
-        tl = [(t, w) for t, w, _p in analyzer(text)
+        tl = [(t, w, p) for t, w, p in analyzer(text)
               if len(t.encode("utf-8")) <= MAX_SAFE_TERM_LENGTH]
-        doclens[i] = sum(w for _t, w in tl)
-        for t, w in tl:
-            terms_acc.setdefault(t, ([], []))
+        doclens[i] = sum(w for _t, w, _p in tl)
+        for t, w, p in tl:
+            terms_acc.setdefault(t, ([], [], []))
             terms_acc[t][0].append(i)
             terms_acc[t][1].append(w)
+            terms_acc[t][2].append(p if keep_positions else None)
 
     seg_id = int(pdf["seg_id"].iloc[0]) if "seg_id" in pdf else 0
     rows = {k.name: [] for k in CHUNKS_SCHEMA.fields}
 
-    def emit(term: str, idxs: List[int], wdfs: List[int]):
+    def emit(term: str, idxs: List[int], wdfs: List[int], plists):
         ids = doc_ids[idxs]
         dls = doclens[idxs]
         w = np.asarray(wdfs, dtype=np.int64)
@@ -140,11 +144,14 @@ def _invert_segment(
             rows["max_wdf"].append(c.max_wdf)
             rows["min_doclen"].append(c.min_doclen)
             rows["data"].append(c.data)
+            rows["pos_data"].append(
+                encode_positions(plists[pos: pos + c.n])
+                if keep_positions else None)
             pos += c.n
 
     for term in sorted(terms_acc):
-        idxs, wdfs = terms_acc[term]
-        emit(term, idxs, wdfs)
+        idxs, wdfs, plists = terms_acc[term]
+        emit(term, idxs, wdfs, plists)
     # doclen pseudo-term: one posting per doc, wdf=0, doclen inline.
     # per-chunk cf / max_wdf / min_doclen here describe DOClens:
     # cf = Σ doclen (chunk), max_wdf = max doclen, min_doclen = min.
@@ -163,6 +170,7 @@ def _invert_segment(
             rows["max_wdf"].append(c.max_wdf)
             rows["min_doclen"].append(c.min_doclen)
             rows["data"].append(c.data)
+            rows["pos_data"].append(None)
             pos += c.n
     return pd.DataFrame(rows)
 
@@ -227,22 +235,30 @@ class SegmentIndex:
         schema = ("term string, doc_id long, wdf int, doclen long,"
                   " positions array<int>")
 
+        from xapian_spark.index.codec import decode_positions
+
         def gen(batches):
             import pandas as pd
 
             for pdf in batches:
                 out = {"term": [], "doc_id": [], "wdf": [],
                        "doclen": [], "positions": []}
-                for term, data in zip(pdf["term"], pdf["data"]):
+                for term, data, pd_ in zip(pdf["term"], pdf["data"],
+                                           pdf["pos_data"]):
                     ids, wdfs, dls = decode_chunk(bytes(data))
                     out["term"].extend([term] * len(ids))
                     out["doc_id"].extend(int(x) for x in ids)
                     out["wdf"].extend(int(x) for x in wdfs)
                     out["doclen"].extend(int(x) for x in dls)
-                    out["positions"].extend([None] * len(ids))
+                    if pd_ is None:
+                        out["positions"].extend([None] * len(ids))
+                    else:
+                        out["positions"].extend(
+                            [p.tolist() for p in decode_positions(
+                                bytes(pd_), len(ids))])
                 yield pd.DataFrame(out)
 
-        return (self.postings_chunks.select("term", "data")
+        return (self.postings_chunks.select("term", "data", "pos_data")
                 .mapInPandas(gen, schema))
 
     def to_inverted_index(self, docs: Optional[DataFrame] = None):
@@ -250,8 +266,9 @@ class SegmentIndex:
         InvertedIndex whose postings decode on demand, so the entire
         executor algebra (boolean trees, collapse, facets, expand,
         every weighting scheme) runs against the segment index.
-        Positions are not stored in chunks — phrase/NEAR need an index
-        built with build_index(keep_positions=True)."""
+        Phrase/NEAR work when the index was built with
+        keep_positions=True (positions ride in per-chunk pos_data,
+        the brass position-table analog)."""
         from xapian_spark.index.build import InvertedIndex
 
         postings = self.to_postings()
@@ -288,17 +305,20 @@ def compact(
                          .distinct().count() // 4)
 
     rows_schema = ("term string, doc_id long, wdf int, doclen long,"
-                   " seg_id int")
+                   " seg_id int, positions array<int>")
 
     nseg = n_segments
+
+    from xapian_spark.index.codec import decode_positions
 
     def explode(batches):
         import pandas as pd
 
         for pdf in batches:
             out = {"term": [], "doc_id": [], "wdf": [], "doclen": [],
-                   "seg_id": []}
-            for term, data in zip(pdf["term"], pdf["data"]):
+                   "seg_id": [], "positions": []}
+            for term, data, pd_ in zip(pdf["term"], pdf["data"],
+                                       pdf["pos_data"]):
                 ids, wdfs, dls = decode_chunk(bytes(data))
                 out["term"].extend([term] * len(ids))
                 out["doc_id"].extend(int(x) for x in ids)
@@ -307,6 +327,12 @@ def compact(
                 out["seg_id"].extend(
                     int((x - 1) % nseg) if x >= 1 else int(x % nseg)
                     for x in ids)
+                if pd_ is None:
+                    out["positions"].extend([None] * len(ids))
+                else:
+                    out["positions"].extend(
+                        [p.tolist() for p in decode_positions(
+                            bytes(pd_), len(ids))])
             yield pd.DataFrame(out)
 
     def reencode(batches):
@@ -325,6 +351,8 @@ def compact(
                 ids = tg["doc_id"].to_numpy(dtype=np.int64)
                 w = tg["wdf"].to_numpy(dtype=np.int64)
                 dl = tg["doclen"].to_numpy(dtype=np.int64)
+                plists = list(tg["positions"])
+                has_pos = term and any(p is not None for p in plists)
                 pos = 0
                 for c in encode_chunks(ids, w, dl, target_bytes):
                     rows["term"].append(term)
@@ -338,14 +366,17 @@ def compact(
                     rows["max_wdf"].append(c.max_wdf)
                     rows["min_doclen"].append(c.min_doclen)
                     rows["data"].append(c.data)
+                    rows["pos_data"].append(
+                        encode_positions(plists[pos: pos + c.n])
+                        if has_pos else None)
                     pos += c.n
             yield pd.DataFrame(rows)
 
     import time as _time
 
     t0 = _time.time()
-    exploded = index.chunks.select("term", "data").mapInPandas(
-        explode, rows_schema)
+    exploded = index.chunks.select("term", "data", "pos_data") \
+        .mapInPandas(explode, rows_schema)
     (exploded
      .repartitionByRange(n_segments, "seg_id")
      .mapInPandas(reencode, CHUNKS_SCHEMA)
@@ -387,6 +418,7 @@ def build_segments(
     input_desc: Optional[str] = None,
     resume: bool = True,
     seg_id_offset: int = 0,
+    keep_positions: bool = False,
 ) -> SegmentIndex:
     """Build (or resume building) a SegmentIndex at `path`.
 
@@ -437,7 +469,7 @@ def build_segments(
                 return
             for _seg, g in pdf.groupby("seg_id", sort=True):
                 yield _invert_segment(g, fn, text_col, id_col,
-                                      target_bytes)
+                                      target_bytes, keep_positions)
 
         # One segment per task: repartitionByRange on seg_id gives a
         # near-perfect 1:1 segment→partition mapping (hash partitioning
