@@ -66,7 +66,8 @@ def _segment_index(spark: SparkSession, sf_dir: str):
         path = tempfile.mkdtemp(prefix="xapian_spark_segidx_")
         _CACHE[key] = build_segments(
             _docs(spark, sf_dir), path, n_segments=8, analyzer="simple",
-            input_desc=f"{sf_dir}/documents.parquet")
+            input_desc=f"{sf_dir}/documents.parquet",
+            keep_positions=True)
     return _CACHE[key]
 
 
@@ -197,6 +198,18 @@ def q_bm25_wand_or(spark, sf_dir):
 
 def q_bm25_wand_and(spark, sf_dir):
     return _wand_mset(spark, sf_dir, ["batch", "window"], op="and")
+
+
+def q_segment_phrase(spark, sf_dir):
+    """Phrase query answered from the chunk-encoded segment storage
+    (per-chunk pos_data, the brass position-table analog) through
+    to_inverted_index() — identical to the flat bm25_phrase."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    view = _segment_index(spark, sf_dir).to_inverted_index()
+    df = Enquire(view).get_mset(ops.Phrase(["batch", "window"]), 0, 10)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def q_segment_manifest(spark, sf_dir):
@@ -555,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_search": q_parser_search,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_wand_and": q_bm25_wand_and,
+        "segment_phrase": q_segment_phrase,
         "segment_manifest": q_segment_manifest,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
@@ -858,6 +872,7 @@ SELECT doc_id, round(score, 6) AS score FROM agg JOIN adj USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     out["parser_search"] = _bm25_topk("'batch','scan','spark'")
+    out["segment_phrase"] = out["bm25_phrase"]
     out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_and"] = _bm25_topk("'batch','window'",
                                       having="AND nterms = 2")
