@@ -232,3 +232,22 @@ def test_full_reference_corpus(qp):
         if got != want:
             bad.append((q, want, got))
     assert bad == [], f"{len(bad)} regressions, first: {bad[:3]}"
+
+
+def test_and_mode_corpus():
+    """default_op=AND goldens (queryparsertest.cc test_and_queries;
+    the 2 CJK FLAG_CJK_NGRAM cases are out of scope)."""
+    import json
+    import os
+
+    from xapian_spark.query.parser import QueryParser
+
+    p = QueryParser(default_op="and")
+    p.add_prefix("title", "XT")
+    p.add_boolean_prefix("site", "H")
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "queryparser_and_golden.json")
+    cases = json.load(open(path))
+    assert len(cases) >= 10
+    for q, want in cases:
+        assert describe(p.parse_query(q)) == want, q

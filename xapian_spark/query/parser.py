@@ -192,6 +192,9 @@ class QueryParser:
             next_ch = s[j] if j < n else ""
             i = j
             seg_toks = self._lex_segment(seg, love, hate, next_ch)
+            pending_only = bool(seg_toks) and all(
+                t.kind in ("field_only", "bool_field_only")
+                for t in seg_toks)
             for tok in seg_toks:
                 if tok.kind == "field_only":
                     pend_field = tok.field
@@ -200,7 +203,10 @@ class QueryParser:
                     pend_bool = tok.bool_field
                     continue
                 toks.append(tok)
-            love = hate = False
+            if not pending_only:
+                # a lovehate marker attached to field:"…" survives until
+                # the quoted value ('hello -title:"hello world"')
+                love = hate = False
         return toks
 
     def _lex_segment(self, seg: str, love: bool, hate: bool,
@@ -457,12 +463,20 @@ class QueryParser:
                               else ops.Or(list(run)))
                 run.clear()
 
+        and_mode = self.default_op == "and"
+
         def add(node: ops.Query, love: bool, hate: bool,
                 is_term: bool) -> None:
-            if love:
-                loves.append(node)
-            elif hate:
+            if hate:
                 hates.append(node)
+            elif and_mode:
+                # default op AND: loved terms are ordinary members
+                # (AND already requires them — test_and_queries
+                # "one +two three" → ((one AND two) AND three))
+                close_run()
+                chunks.append(node)
+            elif love:
+                loves.append(node)
             elif is_term:
                 run.append(node)
             else:
@@ -541,10 +555,11 @@ class QueryParser:
 
         close_run()
 
-        # assemble: chunks fold left-associatively with default op
+        # assemble: chunks fold left-associatively with the default op
+        combine = ops.And if and_mode else ops.Or
         base: Optional[ops.Query] = None
         for c in chunks:
-            base = c if base is None else ops.Or([base, c])
+            base = c if base is None else combine([base, c])
         if loves:
             lv = loves[0] if len(loves) == 1 else ops.And(loves)
             base = lv if base is None else ops.AndMaybe(lv, base)
