@@ -251,3 +251,46 @@ def test_and_mode_corpus():
     assert len(cases) >= 10
     for q, want in cases:
         assert describe(p.parse_query(q)) == want, q
+
+
+def test_value_range_corpus():
+    """StringValueRangeProcessor goldens (queryparsertest.cc
+    test_value_range1_queries, all 18 — parsed unstemmed as in the
+    reference test)."""
+    import json
+    import os
+
+    from xapian_spark.query.parser import (
+        QueryParser, StringValueRangeProcessor,
+    )
+
+    p = QueryParser(stemmer=None)
+    p.add_boolean_prefix("test", "XTEST")
+    p.add_valuerangeprocessor(StringValueRangeProcessor(1))
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "queryparser_range_golden.json")
+    cases = json.load(open(path))
+    assert len(cases) == 18
+    for q, want in cases:
+        assert describe(p.parse_query(q)) == want, q
+
+
+def test_value_range_executes(spark):
+    """A parsed numeric range filters real docs end-to-end."""
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query.executor import Enquire
+    from xapian_spark.query.parser import (
+        NumberValueRangeProcessor, QueryParser,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, analyzer="simple")
+    p = QueryParser(stemmer=None)
+    p.add_valuerangeprocessor(
+        NumberValueRangeProcessor(1, column="n_chars"))
+    q = p.parse_query("batch 100..300")
+    rows = Enquire(idx).get_mset(q, 0, 50).collect()
+    assert rows
+    in_range = {r["doc_id"] for r in
+                docs.filter("n_chars between 100 and 300").collect()}
+    assert all(r["doc_id"] in in_range for r in rows)

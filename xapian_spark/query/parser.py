@@ -67,6 +67,7 @@ class Tok:
     window: int = DEFAULT_WINDOW  # for posop
     has_upper: bool = False
     group_break: bool = False     # trailing phrase-gen ends the group
+    range_node: object = None     # for kind == "range"
 
 
 # straight + Unicode curly double quotes (queryparser.lemony
@@ -84,6 +85,51 @@ class QueryParserError(ValueError):
     <expression>")."""
 
 
+class StringValueRangeProcessor:
+    """StringValueRangeProcessor(slot) (queryparser.h:117-160): accepts
+    any begin..end pair verbatim. `column` names the docs column the
+    range filters at execution time (the value-slot analog); it
+    defaults to the slot number, which is what describe() prints."""
+
+    def __init__(self, slot, column=None):
+        self.column = str(slot) if column is None else column
+
+    def __call__(self, begin: str, end: str):
+        if begin and end and end < begin:
+            # begin > end matches nothing (the reference's
+            # OP_VALUE_RANGE normalizes to the empty query)
+            return ops.MatchNothing()
+        return ops.ValueRange(self.column,
+                              begin if begin != "" else None,
+                              end if end != "" else None)
+
+
+class NumberValueRangeProcessor:
+    """NumberValueRangeProcessor(slot, prefix) — accepts only when both
+    ends (after stripping `prefix`) parse as numbers."""
+
+    def __init__(self, slot, prefix: str = "", column=None):
+        self.column = str(slot) if column is None else column
+        self.prefix = prefix
+
+    def _num(self, v: str):
+        if self.prefix:
+            if not v.startswith(self.prefix):
+                return None
+            v = v[len(self.prefix):]
+        try:
+            return float(v)
+        except ValueError:
+            return None
+
+    def __call__(self, begin: str, end: str):
+        lo = self._num(begin) if begin else None
+        hi = self._num(end) if end else None
+        if (begin and lo is None) or (end and hi is None):
+            return None
+        return ops.ValueRange(self.column, lo, hi)
+
+
 class QueryParser:
     """Xapian::QueryParser analog (text syntax subset; see module doc)."""
 
@@ -98,7 +144,13 @@ class QueryParser:
         # (queryparser.h:461-474; synonym B-tree replaced by this
         # broadcastable dict)
         self.synonyms = synonyms or {}
+        self.vrps: List = []
         self._tg = TermGenerator()
+
+    def add_valuerangeprocessor(self, vrp) -> None:
+        """Chain a range processor (first accepting one wins —
+        QueryParser::add_valuerangeprocessor)."""
+        self.vrps.append(vrp)
 
     def add_prefix(self, field: str, prefix: str) -> None:
         self.prefixes.setdefault(field, []).append(prefix)
@@ -175,15 +227,28 @@ class QueryParser:
                 i = j + 1 if j < n else n
                 continue
             if ch in "+-" and not love and not hate:
-                # lovehate marker: must be glued to a word/quote/paren
-                if i + 1 < n and not s[i + 1].isspace() \
+                if self.vrps:
+                    j2 = i
+                    while j2 < n and not s[j2].isspace() \
+                            and s[j2] not in _BREAK:
+                        j2 += 1
+                    if ".." in s[i:j2]:
+                        # "-5..7" is a range, not a hated term
+                        pass_range = True
+                    else:
+                        pass_range = False
+                else:
+                    pass_range = False
+                if not pass_range and i + 1 < n \
+                        and not s[i + 1].isspace() \
                         and s[i + 1] not in "+-)":
                     love = ch == "+"
                     hate = ch == "-"
                     i += 1
                     continue
-                i += 1  # bare +/-: ignored
-                continue
+                if not pass_range:
+                    i += 1  # bare +/-: ignored
+                    continue
             # word segment
             j = i
             while j < n and not s[j].isspace() and s[j] not in _BREAK:
@@ -214,6 +279,14 @@ class QueryParser:
         # ALL-CAPS operators (FLAG_BOOLEAN)
         if seg in _OPS:
             return [Tok("op", raw=seg)]
+        # value range "begin..end" (ValueRangeProcessor chain; first
+        # processor that accepts wins — queryparser.h:117-306)
+        if self.vrps and ".." in seg:
+            begin, end = seg.split("..", 1)
+            for vrp in self.vrps:
+                node = vrp(begin, end)
+                if node is not None:
+                    return [Tok("range", range_node=node)]
         # operator glued to a phrase by generators: "one AND/two/three"
         m = re.match(r"(AND|OR|NOT|XOR)([.\-/:\\@]+)(.+)$", seg)
         if m and self._scan(m.group(3)):
@@ -302,7 +375,8 @@ class QueryParser:
     def _make_term(self, word: str, prefix: Optional[str],
                    has_upper: bool, pos: int, stemmed: bool) -> ops.Term:
         p = prefix or ""
-        if stemmed and not has_upper and should_stem(word):
+        if stemmed and self.stemmer is not None and not has_upper \
+                and should_stem(word):
             t = ops.Term("Z" + p + self.stemmer(word), pos=pos)
         else:
             t = ops.Term(p + word, pos=pos)
@@ -456,6 +530,7 @@ class QueryParser:
         filters: Dict[str, List[str]] = {}
         hate_filters: List[Tuple[str, str]] = []
         love_filters: Dict[str, List[str]] = {}
+        ranges: List[ops.Query] = []
 
         def close_run():
             if run:
@@ -531,6 +606,9 @@ class QueryParser:
                     filters.setdefault(tok.bool_field, []).append(
                         tok.value)
                 continue
+            if tok.kind == "range":
+                ranges.append(tok.range_node)
+                continue
             if tok.kind == "partial":
                 st.pos += 1
                 node = tok.partial_node
@@ -579,6 +657,17 @@ class QueryParser:
                                  else ops.Or(terms))
             fnode = per_field[0] if len(per_field) == 1 \
                 else ops.And(per_field)
+        if any(isinstance(r, ops.MatchNothing) for r in ranges):
+            # an invalid range (begin > end) empties the whole query
+            return ops.MatchNothing(), False
+        if ranges:
+            by_col: Dict[str, List[ops.Query]] = {}
+            for r in ranges:
+                by_col.setdefault(getattr(r, "column", ""), []).append(r)
+            per_col = [rs[0] if len(rs) == 1 else ops.Or(rs)
+                       for rs in by_col.values()]
+            rnode = per_col[0] if len(per_col) == 1 else ops.And(per_col)
+            fnode = rnode if fnode is None else ops.And([rnode, fnode])
         if fnode is not None:
             base = ops.ScaleWeight(fnode, 0.0) if base is None \
                 else ops.Filter(base, fnode)
@@ -713,6 +802,12 @@ def describe(q: ops.Query) -> str:
     "(a@1 PHRASE 2 b@2)", 0-scale as "0 * …"."""
     if isinstance(q, ops.MatchNothing):
         return ""
+    if isinstance(q, ops.ValueRange):
+        if q.lo is None:
+            return f"VALUE_LE {q.column} {q.hi}"
+        if q.hi is None:
+            return f"VALUE_GE {q.column} {q.lo}"
+        return f"VALUE_RANGE {q.column} {q.lo} {q.hi}"
     if isinstance(q, ops.Term):
         return f"{q.term}@{q.pos}" if q.pos else q.term
     if isinstance(q, ops.ScaleWeight):
