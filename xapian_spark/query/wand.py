@@ -110,7 +110,7 @@ class _TermCursor:
                     continue  # no candidate falls in this chunk's range
             ids, wdf, dl = decode_chunk(self.datas[i])
             if keep_docs is not None:
-                m = np.isin(ids, keep_docs, assume_unique=True)
+                m = _member_sorted(ids, keep_docs)
                 if not m.any():
                     continue
                 ids, wdf, dl = ids[m], wdf[m], dl[m]
@@ -124,6 +124,16 @@ class _TermCursor:
         parts = _sumpart_np(self.weight, self.tw, np.concatenate(w_l),
                             np.concatenate(dl_l), self.len_factor)
         return ids, parts
+
+
+def _member_sorted(ids: np.ndarray, keep_sorted: np.ndarray
+                   ) -> np.ndarray:
+    """Membership mask of ids in a SORTED unique array — O(n log m)
+    searchsorted, much cheaper than np.isin's sort-based path."""
+    idx = np.searchsorted(keep_sorted, ids)
+    m = idx < keep_sorted.size
+    m[m] = keep_sorted[idx[m]] == ids[m]
+    return m
 
 
 def _segment_topk(
@@ -152,9 +162,9 @@ def _segment_topk(
         if cand.size == 0:
             return e, e.astype(np.float64)
         all_d = np.concatenate(
-            [d[np.isin(d, cand, assume_unique=True)] for d in pair_docs])
+            [d[_member_sorted(d, cand)] for d in pair_docs])
         all_p = np.concatenate(
-            [p[np.isin(d, cand, assume_unique=True)]
+            [p[_member_sorted(d, cand)]
              for d, p in zip(pair_docs, pair_parts)])
         docs, scores = _sum_parts_sorted(all_d, all_p)
         return _take_topk(docs, scores, k)
@@ -170,6 +180,10 @@ def _segment_topk(
     pair_docs: List[np.ndarray] = []
     pair_parts: List[np.ndarray] = []
     cand: Optional[np.ndarray] = None  # None = still admitting new docs
+    # running per-doc partial sums (θ bound only — final scores are
+    # recomputed with the deterministic summation below). Maintained
+    # INCREMENTALLY: one sorted merge per term, not a from-scratch
+    # re-aggregation of every pair array each iteration.
     cur_docs = np.empty(0, dtype=np.int64)
     cur_scores = np.empty(0, dtype=np.float64)
     for i, cur in enumerate(cursors):
@@ -178,10 +192,19 @@ def _segment_topk(
         pair_parts.append(parts)
         if exhaustive:
             continue
-        # partial per-doc sums so far (for the θ bound only — final
-        # scores are recomputed with the deterministic summation below)
-        cur_docs, cur_scores = _sum_parts_sorted(
-            np.concatenate(pair_docs), np.concatenate(pair_parts))
+        if ids.size:
+            # ids are docid-ascending (chunks are sorted and disjoint
+            # within a segment); merge into the running aggregate
+            idx = np.searchsorted(cur_docs, ids)
+            hit = idx < cur_docs.size
+            hit[hit] = cur_docs[idx[hit]] == ids[hit]
+            np.add.at(cur_scores, idx[hit], parts[hit])
+            if (~hit).any():
+                new_ids = ids[~hit]
+                new_parts = parts[~hit]
+                at = np.searchsorted(cur_docs, new_ids)
+                cur_docs = np.insert(cur_docs, at, new_ids)
+                cur_scores = np.insert(cur_scores, at, new_parts)
         if cur_docs.size >= k and i + 1 < len(cursors):
             theta = np.partition(cur_scores, cur_docs.size - k)[
                 cur_docs.size - k]
@@ -190,8 +213,9 @@ def _segment_topk(
                 # those whose upper bound can still matter
                 ub = cur_scores + tail_max[i]
                 keep = ub >= theta  # keep ties (docid tiebreak)
-                # always keep current top-k as well
-                cand = np.sort(cur_docs[keep])
+                cand = cur_docs[keep]
+                cur_docs = cand
+                cur_scores = cur_scores[keep]
 
     docs, scores = _sum_parts_sorted(
         np.concatenate(pair_docs), np.concatenate(pair_parts))
