@@ -294,3 +294,51 @@ def test_value_range_executes(spark):
     in_range = {r["doc_id"] for r in
                 docs.filter("n_chars between 100 and 300").collect()}
     assert all(r["doc_id"] in in_range for r in rows)
+
+
+def test_value_range_chaining_corpus():
+    """VRP chaining goldens (test_value_range2_queries, all 25):
+    Date/Number(plain,$-prefix,kg-suffix)/String processors, outputs
+    sortable_serialise-encoded exactly as the reference."""
+    import json
+    import os
+
+    from xapian_spark.query.parser import (
+        DateValueRangeProcessor, NumberValueRangeProcessor,
+        QueryParser, StringValueRangeProcessor,
+    )
+
+    p = QueryParser(stemmer=None)
+    p.add_boolean_prefix("test", "XTEST")
+    p.add_valuerangeprocessor(DateValueRangeProcessor(1))
+    p.add_valuerangeprocessor(NumberValueRangeProcessor(2))
+    p.add_valuerangeprocessor(NumberValueRangeProcessor(4, "$"))
+    p.add_valuerangeprocessor(NumberValueRangeProcessor(5, "kg", False))
+    p.add_valuerangeprocessor(StringValueRangeProcessor(3))
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "queryparser_range2_golden.json")
+    cases = json.load(open(path))
+    assert len(cases) == 25
+    for q, want in cases:
+        assert describe(p.parse_query(q)) == want, q
+
+
+def test_sortable_serialise_goldens():
+    """Order-preserving double encoding, byte-exact vs the reference
+    (api/sortable-serialise.cc; vectors from value_range2 goldens)."""
+    from xapian_spark.index.sortable import (
+        sortable_serialise as ser, sortable_unserialise as unser,
+    )
+
+    assert ser(1) == b"\xa0" and ser(12) == b"\xae"
+    assert ser(10) == b"\xad" and ser(20) == b"\xb1"
+    assert ser(42) == b"\xb5@" and ser(0) == b"\x80"
+    import random
+
+    rng = random.Random(7)
+    vals = [0.0, 1.5, -2.75, 3.14159, 1e300, -1e300, 1e-300]
+    vals += [rng.uniform(-1e9, 1e9) for _ in range(2000)]
+    for v in vals:
+        assert unser(ser(v)) == v
+    sv = sorted(vals)
+    assert [ser(v) for v in sv] == sorted(ser(v) for v in sv)

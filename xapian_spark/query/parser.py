@@ -105,29 +105,109 @@ class StringValueRangeProcessor:
 
 
 class NumberValueRangeProcessor:
-    """NumberValueRangeProcessor(slot, prefix) — accepts only when both
-    ends (after stripping `prefix`) parse as numbers."""
+    """NumberValueRangeProcessor(slot, str_, prefix=True) — the
+    reference semantics (queryparser.h:180-260): with a prefix string
+    the BEGIN must carry it ("$10..20", "$10..$20", "$..20"); with
+    str_ as suffix the END must carry it ("12..42kg"); accepted values
+    are emitted as sortable_serialise bytes (golden-identical). Pass
+    `column` to target a docs column with plain floats instead (the
+    executable mode)."""
 
-    def __init__(self, slot, prefix: str = "", column=None):
-        self.column = str(slot) if column is None else column
+    def __init__(self, slot, str_: str = "", prefix: bool = True,
+                 column=None):
+        self.slot = str(slot)
+        self.column = column
+        self.str_ = str_
         self.prefix = prefix
 
-    def _num(self, v: str):
-        if self.prefix:
-            if not v.startswith(self.prefix):
-                return None
-            v = v[len(self.prefix):]
+    def _parse(self, v: str, required: bool):
+        if self.str_:
+            if self.prefix:
+                if v.startswith(self.str_):
+                    v = v[len(self.str_):]
+                elif required:
+                    return None, False
+            else:
+                if v.endswith(self.str_):
+                    v = v[: -len(self.str_)]
+                elif required:
+                    return None, False
+        if v == "":
+            return None, True  # open end
         try:
-            return float(v)
+            return float(v), True
         except ValueError:
-            return None
+            return None, False
 
     def __call__(self, begin: str, end: str):
-        lo = self._num(begin) if begin else None
-        hi = self._num(end) if end else None
-        if (begin and lo is None) or (end and hi is None):
+        if begin == "" and self.str_ and self.prefix:
+            return None  # "..$20" is not a cash range
+        lo, ok1 = self._parse(begin, required=self.prefix) \
+            if begin != "" else (None, True)
+        hi, ok2 = self._parse(end, required=not self.prefix) \
+            if end != "" else (None, True)
+        if not (ok1 and ok2):
             return None
-        return ops.ValueRange(self.column, lo, hi)
+        if lo is not None and hi is not None and hi < lo:
+            return ops.MatchNothing()
+        if self.column is not None:
+            return ops.ValueRange(self.column, lo, hi)
+        from xapian_spark.index.sortable import sortable_serialise
+
+        enc = (lambda x: sortable_serialise(x).decode("latin-1"))
+        return ops.ValueRange(
+            self.slot,
+            enc(lo) if lo is not None else None,
+            enc(hi) if hi is not None else None)
+
+
+class DateValueRangeProcessor:
+    """DateValueRangeProcessor(slot) (queryparser.h:166-178): accepts
+    YYYYMMDD, YYYY-MM-DD / YYYY/MM/DD / YYYY.MM.DD, and two-digit-year
+    D/M/Y forms (retrying M/D/Y when day > 12 forces it, matching the
+    reference goldens); emits "YYYYMMDD" strings."""
+
+    def __init__(self, slot, prefer_mdy: bool = False,
+                 epoch_year: int = 1970, column=None):
+        self.column = str(slot) if column is None else column
+        self.prefer_mdy = prefer_mdy
+        self.epoch_year = epoch_year
+
+    def _year(self, y: int) -> int:
+        if y >= 100:
+            return y
+        return 2000 + y if (1900 + y) < self.epoch_year else 1900 + y
+
+    def _one(self, v: str, mdy: bool):
+        m = re.fullmatch(r"(\d{4})(\d{2})(\d{2})", v)
+        if m:
+            y, mo, d = map(int, m.groups())
+            return (y, mo, d)
+        m = re.fullmatch(r"(\d{4})[-./](\d{1,2})[-./](\d{1,2})", v)
+        if m:
+            y, mo, d = map(int, m.groups())
+            return (y, mo, d) if 1 <= mo <= 12 and 1 <= d <= 31 \
+                else None
+        m = re.fullmatch(r"(\d{1,2})[-./](\d{1,2})[-./](\d{1,4})", v)
+        if m:
+            a, b, y = map(int, m.groups())
+            d, mo = (b, a) if mdy else (a, b)
+            if 1 <= mo <= 12 and 1 <= d <= 31:
+                return (self._year(y), mo, d)
+        return None
+
+    def __call__(self, begin: str, end: str):
+        for mdy in ((True,) if self.prefer_mdy else (False, True)):
+            lo = self._one(begin, mdy) if begin else None
+            hi = self._one(end, mdy) if end else None
+            if (begin and lo is None) or (end and hi is None):
+                continue
+            fmt = "{:04d}{:02d}{:02d}".format
+            return ops.ValueRange(
+                self.column,
+                fmt(*lo) if lo else None,
+                fmt(*hi) if hi else None)
+        return None
 
 
 class QueryParser:
@@ -664,8 +744,9 @@ class QueryParser:
             by_col: Dict[str, List[ops.Query]] = {}
             for r in ranges:
                 by_col.setdefault(getattr(r, "column", ""), []).append(r)
-            per_col = [rs[0] if len(rs) == 1 else ops.Or(rs)
-                       for rs in by_col.values()]
+            per_col = [by_col[c][0] if len(by_col[c]) == 1
+                       else ops.Or(by_col[c])
+                       for c in sorted(by_col)]
             rnode = per_col[0] if len(per_col) == 1 else ops.And(per_col)
             fnode = rnode if fnode is None else ops.And([rnode, fnode])
         if fnode is not None:
@@ -803,11 +884,17 @@ def describe(q: ops.Query) -> str:
     if isinstance(q, ops.MatchNothing):
         return ""
     if isinstance(q, ops.ValueRange):
+        def esc(v):
+            if not isinstance(v, str):
+                return v
+            return "".join(
+                c if 32 <= ord(c) < 127 else f"\\x{ord(c):02x}"
+                for c in v)
         if q.lo is None:
-            return f"VALUE_LE {q.column} {q.hi}"
+            return f"VALUE_LE {q.column} {esc(q.hi)}"
         if q.hi is None:
-            return f"VALUE_GE {q.column} {q.lo}"
-        return f"VALUE_RANGE {q.column} {q.lo} {q.hi}"
+            return f"VALUE_GE {q.column} {esc(q.lo)}"
+        return f"VALUE_RANGE {q.column} {esc(q.lo)} {esc(q.hi)}"
     if isinstance(q, ops.Term):
         return f"{q.term}@{q.pos}" if q.pos else q.term
     if isinstance(q, ops.ScaleWeight):
