@@ -419,10 +419,11 @@ class QueryParser:
                 chunks[-1].append(cur)
             else:
                 chunks.append([cur])
-        # trailing phrase generators break the prob group (golden
-        # "d- school report")
+        # trailing punctuation breaks the prob group — EXCEPT pure
+        # phrase-generator runs other than '-' (goldens: "d-" and
+        # "sorry," break; "function:" and "2003:" do not)
         tail = body[spans[-1][2]:]
-        breaks = any(c in _PHRASE_GEN for c in tail)
+        breaks = any(c not in "./:\\@" for c in tail)
 
         out: List[Tok] = []
         for ci, chunk in enumerate(chunks):
@@ -673,6 +674,8 @@ class QueryParser:
                     if tok.field is not None:
                         sub = _apply_prefix(sub, tok.field)
                     add(sub, tok.love, tok.hate, False)
+                else:
+                    close_run()  # empty parens still break the group
                 continue
             if tok.kind == "op":   # unreachable (loop breaks on op)
                 continue
