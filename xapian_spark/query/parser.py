@@ -306,7 +306,9 @@ class QueryParser:
                 pend_field = pend_bool = None
                 i = j + 1 if j < n else n
                 continue
-            if ch in "+-" and not love and not hate:
+            at_start = i == 0 or s[i - 1].isspace() \
+                or s[i - 1] in "(\"“”"
+            if ch in "+-" and not love and not hate and at_start:
                 if self.vrps:
                     j2 = i
                     while j2 < n and not s[j2].isspace() \
@@ -337,6 +339,10 @@ class QueryParser:
             next_ch = s[j] if j < n else ""
             i = j
             seg_toks = self._lex_segment(seg, love, hate, next_ch)
+            if not seg_toks:
+                # a tokenless segment ("!!", "/", ":)") still breaks
+                # the adjacent-term grouping
+                toks.append(Tok("brk"))
             pending_only = bool(seg_toks) and all(
                 t.kind in ("field_only", "bool_field_only")
                 for t in seg_toks)
@@ -688,6 +694,9 @@ class QueryParser:
                 else:
                     filters.setdefault(tok.bool_field, []).append(
                         tok.value)
+                continue
+            if tok.kind == "brk":
+                close_run()
                 continue
             if tok.kind == "range":
                 ranges.append(tok.range_node)
