@@ -113,3 +113,58 @@ def test_doclen_includes_z_terms():
     doc = tg.index_text("hello World Test")
     # 3 unstemmed + 3 Z-stems, each wdf 1 → doclen 6 (NOT 3)
     assert doc.doclen() == 6
+
+
+def test_full_termgentest_table():
+    """ALL 42 cases of the reference's termgentest.cc test_simple table
+    (fixture tests/data/termgen_golden.json), replayed statefully with
+    the harness conventions: persistent stem/strategy/prefix options,
+    `cont` appends with a 100-position gap, CJK n-grams enabled
+    (XAPIAN_CJK_NGRAM=1 as the reference harness sets, :846-852)."""
+    import json
+    import os
+
+    from xapian_spark.analysis.porter2 import stem as en_stem
+    from xapian_spark.analysis.tokenizer import (
+        Document, STEM_ALL, STEM_ALL_Z, STEM_NONE, STEM_SOME,
+        TermGenerator, describe_document,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "termgen_golden.json")
+    cases = json.load(open(path))
+    assert len(cases) == 42
+    state = {"stemmer": None, "strategy": STEM_SOME, "prefix": ""}
+    doc = None
+    for case in cases:
+        weight, nopos = 1, False
+        for o in (x for x in case["opts"].split(",") if x):
+            if o == "cont":
+                pass
+            elif o == "nopos":
+                nopos = True
+            elif o.startswith("weight="):
+                weight = int(o.split("=")[1])
+            elif o.startswith("stem="):
+                lang = o.split("=")[1]
+                state["stemmer"] = en_stem if lang in ("en", "english") \
+                    else None
+            elif o == "all":
+                state["strategy"] = STEM_ALL
+            elif o == "all_z":
+                state["strategy"] = STEM_ALL_Z
+            elif o == "none":
+                state["strategy"] = STEM_NONE
+            elif o == "some":
+                state["strategy"] = STEM_SOME
+            elif o.startswith("prefix="):
+                state["prefix"] = o.split("=", 1)[1]
+        tg = TermGenerator(stemmer=state["stemmer"],
+                           strategy=state["strategy"], cjk_ngram=True)
+        if "cont" not in case["opts"].split(",") or doc is None:
+            doc = Document()
+        else:
+            doc.termpos += 100
+        tg.index_text(case["text"], doc=doc, wdf_inc=weight,
+                      prefix=state["prefix"], with_positions=not nopos)
+        assert describe_document(doc) == case["expect"], case
