@@ -387,6 +387,15 @@ def q_dedup_exact(spark, sf_dir):
         "fingerprint", "n_docs", "keep_doc_id")
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Corpus after exact-dedup apply (keep lowest doc_id per
+    fingerprint)."""
+    from xapian_spark.pipeline.dedup import deduplicate_exact
+
+    return deduplicate_exact(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars")
+
+
 def q_dedup_jaccard(spark, sf_dir):
     from xapian_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -587,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doccount": q_doccount,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
+        "dedup_apply": q_dedup_apply,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
@@ -1067,6 +1077,19 @@ SELECT term, tf FROM tstats WHERE term LIKE 's%'
 SELECT n AS doccount,
        (SELECT sum(doclen) FROM doclens)::BIGINT AS total_doclen
 FROM gstats
+"""
+    out["dedup_apply"] = """
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS fingerprint,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                           '\\s+', ' ', 'g'))
+           ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, n_chars FROM fp WHERE rn = 1
 """
     out["dedup_exact"] = """
 WITH fp AS (

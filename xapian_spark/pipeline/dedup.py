@@ -331,3 +331,32 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def deduplicate_exact(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The apply step: drop exact duplicates, keeping the lowest doc_id
+    per normalized-text fingerprint (the usual training-data policy).
+    One shuffle; returns the surviving rows of `docs` unchanged."""
+    from pyspark.sql.window import Window
+
+    fp = F.md5(_norm_text(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def deduplicate_minhash(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.8,
+                        seed: int = 42) -> DataFrame:
+    """Near-dup apply: per verified pair (Jaccard >= threshold) the
+    higher doc_id is dropped — transitive chains collapse onto their
+    lowest member via iterated pair removal (union-find is overkill at
+    the usual thresholds; each kept doc has no verified duplicate with
+    a lower id that also survived... the standard greedy policy)."""
+    pairs = minhash_dedup_pairs(docs, text_col, id_col, n, num_hashes,
+                                bands, threshold, seed)
+    drop = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    return docs.join(drop, id_col, "left_anti")
