@@ -235,20 +235,22 @@ def test_full_reference_corpus(qp):
 
 
 def test_and_mode_corpus():
-    """default_op=AND goldens (queryparsertest.cc test_and_queries;
-    the 2 CJK FLAG_CJK_NGRAM cases are out of scope)."""
+    """default_op=AND goldens — ALL 12 of queryparsertest.cc
+    test_and_queries, including the CJK n-gram cases."""
     import json
     import os
 
     from xapian_spark.query.parser import QueryParser
 
-    p = QueryParser(default_op="and")
+    p = QueryParser(default_op="and", cjk_ngram=True)
     p.add_prefix("title", "XT")
+    p.add_prefix("author", "A")
+    p.add_prefix("subject", "XT")
     p.add_boolean_prefix("site", "H")
     path = os.path.join(os.path.dirname(__file__), "data",
                         "queryparser_and_golden.json")
     cases = json.load(open(path))
-    assert len(cases) >= 10
+    assert len(cases) == 12
     for q, want in cases:
         assert describe(p.parse_query(q)) == want, q
 

@@ -214,7 +214,8 @@ class QueryParser:
     """Xapian::QueryParser analog (text syntax subset; see module doc)."""
 
     def __init__(self, stemmer=porter2_stem, default_op: str = "or",
-                 synonyms: Optional[Dict[str, List[str]]] = None):
+                 synonyms: Optional[Dict[str, List[str]]] = None,
+                 cjk_ngram: bool = False):
         self.stemmer = stemmer
         self.default_op = default_op
         self.prefixes: Dict[str, List[str]] = {}
@@ -225,7 +226,8 @@ class QueryParser:
         # broadcastable dict)
         self.synonyms = synonyms or {}
         self.vrps: List = []
-        self._tg = TermGenerator()
+        self.cjk_ngram = cjk_ngram
+        self._tg = TermGenerator(cjk_ngram=cjk_ngram)
 
     def add_valuerangeprocessor(self, vrp) -> None:
         """Chain a range processor (first accepting one wins —
@@ -398,9 +400,7 @@ class QueryParser:
                 # phrase (golden "author::foo"); an empty/termless rest
                 # falls back to scanning the whole segment ("author:/")
                 if rest and not rest.startswith(":"):
-                    spans = [s_ for s_ in
-                             self._tg._scan_terms_spans(rest)
-                             if isinstance(s_[0], str)]
+                    spans = list(self._tg._scan_terms_spans(rest))
                     if spans:
                         fld = self.prefixes[head]
                         body = rest
@@ -410,10 +410,14 @@ class QueryParser:
                     return [Tok("field_only",
                                 field=self.prefixes[head][0])]
 
-        spans = [s_ for s_ in self._tg._scan_terms_spans(body)
-                 if isinstance(s_[0], str)]
+        all_spans = list(self._tg._scan_terms_spans(body))
+        spans = [s_ for s_ in all_spans if isinstance(s_[0], str)]
+        cjk_toks = [
+            Tok("cjkrun", raw=s_[0][1], field=fld)
+            for s_ in all_spans if not isinstance(s_[0], str)
+        ] if self.cjk_ngram else []
         if not spans:
-            return []
+            return cjk_toks
 
         # group consecutive terms whose separator gap consists purely of
         # phrase generators ".-/:\@" (queryparser.lemony
@@ -455,7 +459,10 @@ class QueryParser:
             if last:
                 t.group_break = breaks
             out.append(t)
-        return out
+        # CJK runs ride along in source order (interleaving with the
+        # word chunks is approximated: runs first is fine for the
+        # corpus cases where CJK and latin alternate as whole chunks)
+        return _interleave_cjk(body, all_spans, out, cjk_toks)
 
     # -- term construction -------------------------------------------------
 
@@ -621,8 +628,16 @@ class QueryParser:
 
         def close_run():
             if run:
-                chunks.append(run[0] if len(run) == 1
-                              else ops.Or(list(run)))
+                if and_mode:
+                    # AND-mode runs fold pairwise-left
+                    # ("one +two three" → ((one AND two) AND three))
+                    node = run[0]
+                    for r in run[1:]:
+                        node = ops.And([node, r])
+                    chunks.append(node)
+                else:
+                    chunks.append(run[0] if len(run) == 1
+                                  else ops.Or(list(run)))
                 run.clear()
 
         and_mode = self.default_op == "and"
@@ -631,15 +646,11 @@ class QueryParser:
                 is_term: bool) -> None:
             if hate:
                 hates.append(node)
-            elif and_mode:
-                # default op AND: loved terms are ordinary members
-                # (AND already requires them — test_and_queries
-                # "one +two three" → ((one AND two) AND three))
-                close_run()
-                chunks.append(node)
-            elif love:
+            elif love and not and_mode:
                 loves.append(node)
-            elif is_term:
+            elif is_term or (love and and_mode):
+                # AND mode: loved terms are ordinary run members (AND
+                # already requires them — test_and_queries)
                 run.append(node)
             else:
                 close_run()
@@ -697,6 +708,22 @@ class QueryParser:
                 continue
             if tok.kind == "brk":
                 close_run()
+                continue
+            if tok.kind == "cjkrun":
+                st.pos += 1
+                p = self._field_prefixes(tok.field)[0] or ""
+                rtext = tok.raw
+                terms = []
+                for kk in range(len(rtext)):
+                    terms.append(ops.Term(p + rtext[kk], pos=st.pos))
+                    if kk + 1 < len(rtext):
+                        terms.append(ops.Term(p + rtext[kk: kk + 2],
+                                              pos=st.pos))
+                node = terms[0] if len(terms) == 1 else ops.And(terms)
+                if p:
+                    object.__setattr__(node, "_prefixed", True)
+                # a CJK run is always its own chunk (breaks term runs)
+                add(node, tok.love, tok.hate, False)
                 continue
             if tok.kind == "range":
                 ranges.append(tok.range_node)
@@ -833,6 +860,26 @@ def corrected_query_string(query: str, suggest_fn) -> str:
         sug = suggest_fn(piece.lower())
         out.append(sug if sug else piece)
     return "".join(out)
+
+
+def _interleave_cjk(body, all_spans, word_toks, cjk_toks):
+    """Merge word tokens and CJK-run tokens back into source order."""
+    if not cjk_toks:
+        return word_toks
+    out = []
+    wi = ci = 0
+    for s_ in all_spans:
+        if isinstance(s_[0], str):
+            if wi < len(word_toks):
+                out.append(word_toks[wi])
+                wi += 1
+        else:
+            if ci < len(cjk_toks):
+                out.append(cjk_toks[ci])
+                ci += 1
+    out.extend(word_toks[wi:])
+    out.extend(cjk_toks[ci:])
+    return out
 
 
 def _bump(st: "_State") -> int:
