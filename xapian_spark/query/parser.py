@@ -67,6 +67,7 @@ class Tok:
     window: int = DEFAULT_WINDOW  # for posop
     has_upper: bool = False
     group_break: bool = False     # trailing phrase-gen ends the group
+    break_if_first: bool = False  # tail breaks only a 1-token group
     range_node: object = None     # for kind == "range"
 
 
@@ -434,6 +435,10 @@ class QueryParser:
         # "sorry," break; "function:" and "2003:" do not)
         tail = body[spans[-1][2]:]
         breaks = any(c not in "./:\\@" for c in tail)
+        # a phrase-generator tail on the FIRST token of a group still
+        # breaks it ("Warning: stat failed" groups warning alone;
+        # "Call to undefined function: imagecreate" keeps going)
+        breaks_if_first = bool(tail) and not breaks
 
         out: List[Tok] = []
         for ci, chunk in enumerate(chunks):
@@ -458,6 +463,7 @@ class QueryParser:
                         or after in _STEM_PREVENT)
             if last:
                 t.group_break = breaks
+                t.break_if_first = breaks_if_first
             out.append(t)
         # CJK runs ride along in source order (interleaving with the
         # word chunks is approximated: runs first is fine for the
@@ -741,8 +747,10 @@ class QueryParser:
                 add(ops.Or(fixed), tok.love, tok.hate, False)
                 continue
             if tok.kind == "word":
+                was_empty = not run
                 add(self._word_node(tok, st), tok.love, tok.hate, True)
-                if tok.group_break:
+                if tok.group_break or (tok.break_if_first and was_empty
+                                       and len(run) == 1):
                     close_run()
                 continue
             if tok.kind == "phrase":
