@@ -262,6 +262,18 @@ class QueryParser:
                 i += 1
                 continue
             if ch == "(":
+                if not (i == 0 or s[i - 1].isspace()
+                        or s[i - 1] in "()+-:\"“”"):
+                    # glued "(" is punctuation, not a bracket — it
+                    # breaks the adjacent-term group ("Chr(10)",
+                    # "ip_masq_new(proto=TCP)"); a +/- right after it
+                    # is punctuation too ("history.go(-1)"), not a
+                    # lovehate marker
+                    toks.append(Tok("brk"))
+                    i += 1
+                    while i < n and s[i] in "+-":
+                        i += 1
+                    continue
                 toks.append(Tok("lparen", love=love, hate=hate,
                                field=pend_field))
                 love = hate = False
@@ -668,7 +680,8 @@ class QueryParser:
                     (tok.kind == "op"):
                 if tok is not None and tok.kind == "rparen":
                     if st.depth == 0:
-                        st.take()   # stray ')': skip it
+                        st.take()   # stray ')': punctuation — breaks
+                        close_run()
                         continue
                 break
             if tok.kind == "posop":
