@@ -317,6 +317,9 @@ class QueryParser:
                 if words:
                     toks.append(Tok("phrase", raw=content, words=words,
                                     love=love, hate=hate, field=pend_field))
+                else:
+                    # a term-less quote ('"+"') is punctuation: breaks
+                    toks.append(Tok("brk"))
                 love = hate = False
                 pend_field = pend_bool = None
                 i = j + 1 if j < n else n
@@ -424,6 +427,7 @@ class QueryParser:
                                 field=self.prefixes[head][0])]
 
         all_spans = list(self._tg._scan_terms_spans(body))
+        lead_break = bool(all_spans) and all_spans[0][1] > 0
         spans = [s_ for s_ in all_spans if isinstance(s_[0], str)]
         cjk_toks = [
             Tok("cjkrun", raw=s_[0][1], field=fld)
@@ -453,6 +457,10 @@ class QueryParser:
         breaks_if_first = bool(tail) and not breaks
 
         out: List[Tok] = []
+        if lead_break:
+            # leading punctuation ("'localhost'", ":welke",
+            # "`kernel_thread") separates this token from the group
+            out.append(Tok("brk"))
         for ci, chunk in enumerate(chunks):
             first = ci == 0
             last = ci == len(chunks) - 1
