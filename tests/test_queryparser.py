@@ -200,10 +200,10 @@ def test_flag_partial(qp, spark, simpledata_index):
 
 
 def test_full_reference_corpus(qp):
-    """562 (query → describe/error) cases from the reference's
+    """576 (query → describe/error) cases from the reference's
     test_or_queries table (tests/queryparsertest.cc:48+), extracted
     verbatim into tests/data/queryparser_golden.json. Every case in
-    the fixture must keep passing; the ~61 cases not in the fixture
+    the fixture must keep passing; the ~47 cases not in the fixture
     are known divergences (exotic lexer grouping, CJK queries, wqf
     accumulation) — see git history for the extraction probe."""
     import json
@@ -211,14 +211,15 @@ def test_full_reference_corpus(qp):
 
     from xapian_spark.query.parser import QueryParser
 
-    p = QueryParser()
+    p = QueryParser(cjk_ngram=True)
     for f, pre in [("author", "A"), ("writer", "A"), ("title", "XT"),
                    ("subject", "XT"), ("authortitle", "A"),
                    ("authortitle", "XT")]:
         p.add_prefix(f, pre)
     for f, pre in [("site", "H"), ("site2", "J"), ("multisite", "H"),
-                   ("multisite", "J"), ("category", "XCAT")]:
+                   ("multisite", "J")]:
         p.add_boolean_prefix(f, pre)
+    p.add_boolean_prefix("category", "XCAT", False)
     path = os.path.join(os.path.dirname(__file__), "data",
                         "queryparser_golden.json")
     cases = json.load(open(path))

@@ -227,6 +227,7 @@ class QueryParser:
         # broadcastable dict)
         self.synonyms = synonyms or {}
         self.vrps: List = []
+        self._nonexclusive: set = set()
         self.cjk_ngram = cjk_ngram
         self._tg = TermGenerator(cjk_ngram=cjk_ngram)
 
@@ -239,8 +240,10 @@ class QueryParser:
         self.prefixes.setdefault(field, []).append(prefix)
 
     def add_boolean_prefix(self, field: str, prefix: str,
-                           *_args) -> None:
+                           exclusive: bool = True) -> None:
         self.boolean_prefixes.setdefault(field, []).append(prefix)
+        if not exclusive:
+            self._nonexclusive.add(field)
 
     # -- lexing ------------------------------------------------------------
 
@@ -479,7 +482,7 @@ class QueryParser:
                 t = Tok("word", raw=raw, words=[term],
                         love=love and first, hate=hate and first,
                         field=fld,
-                        has_upper=any(c.isupper() for c in raw)
+                        has_upper=raw[:1].isupper()
                         or after in _STEM_PREVENT)
             if last:
                 t.group_break = breaks
@@ -546,19 +549,31 @@ class QueryParser:
         return t
 
     def _phrase_node(self, tok: Tok, state: "_State") -> ops.Query:
-        prefix = self._field_prefixes(tok.field)[0]
-        terms = []
-        for w in tok.words:
-            state.pos += 1
-            t = self._make_term(w, prefix, True, state.pos,
-                                stemmed=False)
-            terms.append(t)
-        if len(terms) == 1:
-            return terms[0]
-        node = ops.Phrase([t.term for t in terms], window=len(terms))
-        object.__setattr__(node, "positions",
-                           tuple(t.pos for t in terms))
-        return node
+        prefixes = self._field_prefixes(tok.field)
+        start_pos = state.pos
+        variants = []
+        for pi, prefix in enumerate(prefixes):
+            pos = start_pos
+            terms = []
+            for w in tok.words:
+                pos += 1
+                terms.append(self._make_term(w, prefix, True, pos,
+                                             stemmed=False))
+            if pi == 0:
+                state.pos = pos
+            if len(terms) == 1:
+                variants.append(terms[0])
+                continue
+            node = ops.Phrase([t.term for t in terms],
+                              window=len(terms))
+            object.__setattr__(node, "positions",
+                               tuple(t.pos for t in terms))
+            variants.append(node)
+        if len(variants) == 1:
+            return variants[0]
+        out = ops.Or(variants)
+        object.__setattr__(out, "_prefixed", True)
+        return out
 
     # -- parsing -----------------------------------------------------------
 
@@ -695,7 +710,8 @@ class QueryParser:
             if tok.kind == "posop":
                 # positional chain: last plain term NEAR next term(s)
                 nxt = st.peek(1)
-                if run and nxt is not None and nxt.kind == "word":
+                if run and isinstance(run[-1], ops.Term) \
+                        and nxt is not None and nxt.kind == "word":
                     node = self._parse_positional(st, run)
                     if run:
                         pass  # chain replaced the last run entry
@@ -787,7 +803,9 @@ class QueryParser:
         for c in chunks:
             base = c if base is None else combine([base, c])
         if loves:
-            lv = loves[0] if len(loves) == 1 else ops.And(loves)
+            lv = loves[0]
+            for extra in loves[1:]:
+                lv = ops.And([lv, extra])
             base = lv if base is None else ops.AndMaybe(lv, base)
         # boolean filters: OR within a field (and across a field's
         # multiple prefixes), AND across fields
@@ -801,8 +819,10 @@ class QueryParser:
                             key=lambda f: self.boolean_prefixes[f][0]):
                 terms = [t for v in all_filters[f]
                          for t in self._bool_terms(f, v)]
+                combine_f = ops.And if f in self._nonexclusive \
+                    else ops.Or
                 per_field.append(terms[0] if len(terms) == 1
-                                 else ops.Or(terms))
+                                 else combine_f(terms))
             fnode = per_field[0] if len(per_field) == 1 \
                 else ops.And(per_field)
         if any(isinstance(r, ops.MatchNothing) for r in ranges):
