@@ -291,11 +291,14 @@ class QueryParser:
             if ch in _QUOTES:
                 if pend_bool is not None:
                     # quoted boolean-filter value, "" escapes a quote
-                    # (golden 'category:"literal """')
+                    # (golden 'category:"literal """'); a straight
+                    # opener closes only on a straight quote — curly
+                    # quotes inside are literal ('category:" ”"')
+                    closers = {'"'} if ch == '"' else _QUOTES
                     val = []
                     k = i + 1
                     while k < n:
-                        if s[k] in _QUOTES:
+                        if s[k] in closers:
                             if s[k] == '"' and k + 1 < n \
                                     and s[k + 1] == '"':
                                 val.append('"')
@@ -453,10 +456,11 @@ class QueryParser:
         # phrase-generator runs other than '-' (goldens: "d-" and
         # "sorry," break; "function:" and "2003:" do not)
         tail = body[spans[-1][2]:]
-        breaks = any(c not in "./:\\@" for c in tail)
-        # a phrase-generator tail on the FIRST token of a group still
-        # breaks it ("Warning: stat failed" groups warning alone;
-        # "Call to undefined function: imagecreate" keeps going)
+        breaks = any(c not in "./:\\@-" for c in tail)
+        # a phrase-generator or '-' tail on the FIRST token of a group
+        # still breaks it ("d- school report" and "Warning: stat"
+        # group their first token alone; "De lees- of ..." and
+        # "function: imagecreate" keep going)
         breaks_if_first = bool(tail) and not breaks
 
         out: List[Tok] = []
