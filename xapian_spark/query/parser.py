@@ -228,6 +228,7 @@ class QueryParser:
         self.synonyms = synonyms or {}
         self.vrps: List = []
         self._nonexclusive: set = set()
+        self._bool_order: Dict[str, int] = {}
         self.cjk_ngram = cjk_ngram
         self._tg = TermGenerator(cjk_ngram=cjk_ngram)
 
@@ -241,6 +242,7 @@ class QueryParser:
 
     def add_boolean_prefix(self, field: str, prefix: str,
                            exclusive: bool = True) -> None:
+        self._bool_order.setdefault(field, len(self._bool_order))
         self.boolean_prefixes.setdefault(field, []).append(prefix)
         if not exclusive:
             self._nonexclusive.add(field)
@@ -353,7 +355,9 @@ class QueryParser:
                     i += 1
                     continue
                 if not pass_range:
-                    i += 1  # bare +/-: ignored
+                    # bare +/-: punctuation, breaks the group
+                    toks.append(Tok("brk"))
+                    i += 1
                     continue
             # word segment
             j = i
@@ -430,7 +434,7 @@ class QueryParser:
                         pass  # "author:/" → scan full segment
                 elif not rest:
                     return [Tok("field_only",
-                                field=self.prefixes[head][0])]
+                                field=self.prefixes[head])]
 
         all_spans = list(self._tg._scan_terms_spans(body))
         lead_break = bool(all_spans) and all_spans[0][1] > 0
@@ -464,11 +468,22 @@ class QueryParser:
         breaks_if_first = bool(tail) and not breaks
 
         out: List[Tok] = []
+        _n_chunks_emitted = 0
         if lead_break:
             # leading punctuation ("'localhost'", ":welke",
             # "`kernel_thread") separates this token from the group
             out.append(Tok("brk"))
+        from xapian_spark.analysis.tokenizer import _is_wordchar
+
         for ci, chunk in enumerate(chunks):
+            if ci > 0:
+                # separating punctuation ("state=1", "a|so",
+                # "offsetX,offsetY") breaks the adjacent-term group;
+                # wordchar-only gaps (CJK runs between latin pieces)
+                # do not
+                gap = body[chunks[ci - 1][-1][2]: chunk[0][1]]
+                if any(not _is_wordchar(c) for c in gap):
+                    out.append(Tok("brk"))
             first = ci == 0
             last = ci == len(chunks) - 1
             words = [t for t, _s, _e in chunk]
@@ -736,7 +751,8 @@ class QueryParser:
                 st.depth -= 1
                 if sub is not None:
                     if tok.field is not None:
-                        sub = _apply_prefix(sub, tok.field)
+                        sub = _apply_prefix(
+                            sub, self._field_prefixes(tok.field)[0])
                     add(sub, tok.love, tok.hate, False)
                 else:
                     close_run()  # empty parens still break the group
@@ -758,16 +774,20 @@ class QueryParser:
                 continue
             if tok.kind == "cjkrun":
                 st.pos += 1
-                p = self._field_prefixes(tok.field)[0] or ""
+                prefixes = [pp or "" for pp in
+                            self._field_prefixes(tok.field)]
                 rtext = tok.raw
                 terms = []
                 for kk in range(len(rtext)):
-                    terms.append(ops.Term(p + rtext[kk], pos=st.pos))
-                    if kk + 1 < len(rtext):
-                        terms.append(ops.Term(p + rtext[kk: kk + 2],
+                    for pp in prefixes:
+                        terms.append(ops.Term(pp + rtext[kk],
                                               pos=st.pos))
+                    if kk + 1 < len(rtext):
+                        for pp in prefixes:
+                            terms.append(ops.Term(
+                                pp + rtext[kk: kk + 2], pos=st.pos))
                 node = terms[0] if len(terms) == 1 else ops.And(terms)
-                if p:
+                if any(prefixes):
                     object.__setattr__(node, "_prefixed", True)
                 # a CJK run is always its own chunk (breaks term runs)
                 add(node, tok.love, tok.hate, False)
@@ -820,7 +840,7 @@ class QueryParser:
         if all_filters:
             per_field = []
             for f in sorted(all_filters,
-                            key=lambda f: self.boolean_prefixes[f][0]):
+                            key=lambda f: self._bool_order[f]):
                 terms = [t for v in all_filters[f]
                          for t in self._bool_terms(f, v)]
                 combine_f = ops.And if f in self._nonexclusive \
