@@ -253,6 +253,26 @@ class QueryParser:
         return [t for t in self._tg._scan_terms(text)
                 if isinstance(t, str)]
 
+    def _scan_phrase(self, text: str):
+        """(words, group_ids) for quoted content: a CJK run expands to
+        its unigrams, all sharing one position group
+        ('"久有test归"' → 久@1 有@1 test@2 归@3)."""
+        words, groups = [], []
+        g = 0
+        for t in self._tg._scan_terms(text):
+            g += 1
+            if isinstance(t, str):
+                words.append(t)
+                groups.append(g)
+            elif self.cjk_ngram:
+                for chch in t[1]:
+                    words.append(chch)
+                    groups.append(g)
+            else:
+                words.append(t[1])
+                groups.append(g)
+        return words, groups
+
     def _lex(self, s: str) -> List[Tok]:
         toks: List[Tok] = []
         i, n = 0, len(s)
@@ -321,10 +341,12 @@ class QueryParser:
                 while j < n and s[j] not in _QUOTES:
                     j += 1
                 content = s[i + 1: j]  # unmatched → phrase to EOF
-                words = self._scan(content)
+                words, groups = self._scan_phrase(content)
                 if words:
-                    toks.append(Tok("phrase", raw=content, words=words,
-                                    love=love, hate=hate, field=pend_field))
+                    qt = Tok("phrase", raw=content, words=words,
+                             love=love, hate=hate, field=pend_field)
+                    qt.pos_groups = groups
+                    toks.append(qt)
                 else:
                     # a term-less quote ('"+"') is punctuation: breaks
                     toks.append(Tok("brk"))
@@ -570,12 +592,17 @@ class QueryParser:
     def _phrase_node(self, tok: Tok, state: "_State") -> ops.Query:
         prefixes = self._field_prefixes(tok.field)
         start_pos = state.pos
+        groups = getattr(tok, 'pos_groups', None) \
+            or list(range(1, len(tok.words) + 1))
         variants = []
         for pi, prefix in enumerate(prefixes):
-            pos = start_pos
             terms = []
-            for w in tok.words:
-                pos += 1
+            prev_g = None
+            pos = start_pos
+            for w, gid in zip(tok.words, groups):
+                if gid != prev_g:
+                    pos += 1
+                    prev_g = gid
                 terms.append(self._make_term(w, prefix, True, pos,
                                              stemmed=False))
             if pi == 0:
