@@ -70,3 +70,26 @@ def test_stemmer_total_on_ascii(word):
     # idempotence is NOT guaranteed by Porter2, but totality and
     # non-explosion are
     assert len(s) <= len(word) + 3
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=250, deadline=None)
+def test_parser_total_on_arbitrary_input(text):
+    """The QueryParser either returns a Query or raises
+    QueryParserError with a reference-style message — never any other
+    exception (stemtest-style junk fuzzing)."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.parser import (
+        NumberValueRangeProcessor, QueryParser, QueryParserError,
+    )
+
+    qp = QueryParser(cjk_ngram=True)
+    qp.add_prefix("author", "A")
+    qp.add_boolean_prefix("site", "H")
+    qp.add_valuerangeprocessor(NumberValueRangeProcessor(1))
+    try:
+        q = qp.parse_query(text)
+    except QueryParserError as e:
+        assert str(e).startswith("Syntax:")
+        return
+    assert isinstance(q, ops.Query)
