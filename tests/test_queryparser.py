@@ -200,10 +200,10 @@ def test_flag_partial(qp, spark, simpledata_index):
 
 
 def test_full_reference_corpus(qp):
-    """600 (query → describe/error) cases from the reference's
+    """601 (query → describe/error) cases from the reference's
     test_or_queries table (tests/queryparsertest.cc:48+), extracted
     verbatim into tests/data/queryparser_golden.json. Every case in
-    the fixture must keep passing; the 15 cases not in the fixture (of the 615 live entries;
+    the fixture must keep passing; the 14 cases not in the fixture (of the 615 live entries;
     #if-0/commented entries excluded)
     are known divergences (exotic lexer grouping, CJK queries, wqf
     accumulation) — see git history for the extraction probe."""

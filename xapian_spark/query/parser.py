@@ -836,7 +836,15 @@ class QueryParser:
                 continue
             if tok.kind == "word":
                 was_empty = not run
-                add(self._word_node(tok, st), tok.love, tok.hate, True)
+                hate = tok.hate
+                if hate and st.peek() is not None \
+                        and st.peek().kind == "rparen" \
+                        and st.depth == 0:
+                    # "-p)" with no open bracket: the ')' voids the
+                    # hate but still separates the term
+                    add(self._word_node(tok, st), False, False, False)
+                    continue
+                add(self._word_node(tok, st), tok.love, hate, True)
                 if tok.group_break or (tok.break_if_first and was_empty
                                        and len(run) == 1):
                     close_run()
