@@ -1,0 +1,104 @@
+"""Round-2 regression tests for the ADVICE.md defects.
+
+- WAND AND over a SegmentIndex where a query term is entirely absent
+  from some segment (wand.py): the per-segment kernel must match
+  NOTHING in that segment, not intersect the remaining terms.
+- encode_chunks rejects doc_id 0 (codec.py: gap codec + interleave
+  assume the reference's 1-based docid contract).
+- letor idf guard: a term occurring in every document made
+  log10(n // (1 + tf)) raise ValueError (integer quotient 0).
+- build_segments replay idempotency: chunks committed but manifest
+  lost (crash / foreachBatch retry window) must not double postings
+  on replay.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.index.build import build_index
+from xapian_spark.index.codec import encode_chunks
+from xapian_spark.index.segments import build_segments
+from xapian_spark.query import ops
+from xapian_spark.query.executor import Enquire
+from xapian_spark.query.letor import extract_features
+from xapian_spark.query.wand import WandEnquire
+
+
+def _pairs(df):
+    return [(r["doc_id"], round(r["score"], 12)) for r in df.collect()]
+
+
+def test_wand_and_term_missing_from_segment(spark, tmp_path):
+    # 'foo' occurs only in odd docs → with the (doc_id-1)%2 interleave
+    # it has NO postings in segment 1; 'bar' occurs everywhere.
+    docs = spark.createDataFrame(
+        [(1, "foo bar"), (2, "bar baz"), (3, "foo bar"), (4, "bar baz")],
+        "doc_id long, text string")
+    seg = build_segments(docs, str(tmp_path / "seg"), n_segments=2,
+                         analyzer="simple")
+    flat = build_index(docs, analyzer="simple")
+
+    got = _pairs(WandEnquire(seg).get_mset(["foo", "bar"], 10, op="and"))
+    expect = _pairs(Enquire(flat).get_mset(
+        ops.And([ops.Term("foo"), ops.Term("bar")]), 0, 10))
+    assert [d for d, _ in got] == [1, 3]
+    assert got == expect
+
+
+def test_codec_docid_zero_roundtrips_exactly():
+    # docid 0 used to be stored as 0-1 in uint64 (2^64-1): a 10-byte
+    # varint that round-tripped only via int64 wraparound. Now the
+    # first entry is stored absolute — exact and compact.
+    from xapian_spark.index.codec import decode_chunk
+
+    ids = np.array([0, 1, 5], dtype=np.int64)
+    chunks = encode_chunks(ids, np.ones(3, dtype=np.int64),
+                           np.ones(3, dtype=np.int64))
+    assert len(chunks) == 1
+    out, _, _ = decode_chunk(chunks[0].data)
+    assert (out == ids).all()
+    assert len(chunks[0].data) < 12  # no 10-byte underflow varint
+
+
+def test_codec_rejects_negative_docid():
+    with pytest.raises(ValueError, match=">= 0"):
+        encode_chunks(np.array([-1, 1, 2], dtype=np.int64),
+                      np.ones(3, dtype=np.int64),
+                      np.ones(3, dtype=np.int64))
+
+
+def test_letor_idf_ubiquitous_term(spark):
+    # 'bar' appears in every document: n // (1 + tf) == 0 used to raise
+    # "math domain error"; the guard clamps idf to 0.0.
+    docs = spark.createDataFrame(
+        [(1, "bar apple"), (2, "bar cherry"), (3, "bar")],
+        "doc_id long, text string")
+    idx = build_index(docs, analyzer="simple")
+    rows = extract_features(idx, ["bar"]).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    for r in rows:
+        for i in range(1, 20):
+            v = r[f"f{i}"]
+            assert np.isfinite(v), (r["doc_id"], i, v)
+
+
+def test_segment_replay_idempotent(spark, tmp_path):
+    import shutil
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    path = str(tmp_path / "seg")
+    seg = build_segments(docs, path, n_segments=4, analyzer="simple")
+    stats = seg.stats()
+    n_chunks = seg.chunks.count()
+
+    # simulate the crash window: chunks committed, manifest lost
+    shutil.rmtree(f"{path}/manifest")
+    seg2 = build_segments(docs, path, n_segments=4, analyzer="simple",
+                          resume=True)
+    assert seg2.chunks.count() == n_chunks
+    st2 = seg2.stats()
+    assert st2.doccount == stats.doccount
+    assert st2.average_length == stats.average_length
+    assert seg2.manifest().count() == 4

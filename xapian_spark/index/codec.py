@@ -114,6 +114,12 @@ def encode_chunks(
     doclens = np.asarray(doclens, dtype=np.int64)
     if n > 1 and (np.diff(doc_ids) <= 0).any():
         raise ValueError("doc_ids must be strictly ascending")
+    if doc_ids[0] < 0:
+        # the reference's docid contract is 1-based (omdatabase.cc), but
+        # external corpora are commonly 0-based; the codec supports any
+        # non-negative docid (first entry stored absolute, so 0 cannot
+        # underflow the uint64 gap stream). Negatives are invalid.
+        raise ValueError(f"doc_ids must be >= 0 (got {int(doc_ids[0])})")
 
     # ~2.5 bytes/int average at web scale; 3 ints per posting
     per_posting = 8
@@ -125,9 +131,10 @@ def encode_chunks(
         w = wdfs[s:e]
         dl = doclens[s:e]
         gaps = np.empty(e - s, dtype=np.uint64)
-        gaps[0] = ids[0]  # first entry: absolute docid (gap from 0) - 1
-        gaps[1:] = np.diff(ids).astype(np.uint64)
-        gaps -= np.uint64(1)
+        # first entry: ABSOLUTE docid (no -1 — docid 0 must not
+        # underflow uint64); rest: gap-1 (gaps are >= 1)
+        gaps[0] = ids[0]
+        gaps[1:] = np.diff(ids).astype(np.uint64) - np.uint64(1)
         tri = np.empty(3 * (e - s), dtype=np.uint64)
         tri[0::3] = gaps
         tri[1::3] = w.astype(np.uint64)
@@ -146,7 +153,8 @@ def encode_chunks(
 def decode_chunk(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """bytes → (doc_ids, wdfs, doclens), all int64 arrays."""
     tri = vbyte_decode(data)
-    gaps = tri[0::3].astype(np.int64) + 1
+    gaps = tri[0::3].astype(np.int64)
+    gaps[1:] += 1  # first entry is absolute; rest are stored as gap-1
     doc_ids = np.cumsum(gaps)
     return doc_ids, tri[1::3].astype(np.int64), tri[2::3].astype(np.int64)
 

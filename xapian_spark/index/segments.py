@@ -481,9 +481,25 @@ def build_segments(
             todo.repartitionByRange(n_segments, "seg_id")
             .mapInPandas(gen, CHUNKS_SCHEMA)
         )
-        (chunk_df
-         .write.mode("append").partitionBy("seg_id")
-         .parquet(f"{path}/chunks"))
+        # Idempotent per-segment commit: dynamic partition overwrite
+        # replaces exactly the seg_id partitions present in chunk_df,
+        # so a crash (or foreachBatch retry) after the chunks write but
+        # before the manifest append leaves orphan rows that the replay
+        # OVERWRITES rather than duplicates — postings can never be
+        # double-counted. Manifested segments are excluded from `todo`
+        # and therefore never touched.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (chunk_df
+             .write.mode("overwrite").partitionBy("seg_id")
+             .parquet(f"{path}/chunks"))
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         build_sec = time.time() - t0
 
         # manifest rows for the newly built segments (lineage + metrics)

@@ -77,7 +77,11 @@ def get_eset(
     ts = index.term_stats.select(
         "term", F.col("tf").cast("double").alias("tf"),
         F.col("cf").cast("double").alias("cf"))
-    j = acc.join(F.broadcast(ts) if rsize < 10000 else ts, "term")
+    # broadcast the SMALL side: acc is bounded by distinct terms in the
+    # RSet's few docs; ts is the whole dictionary (unbounded at web
+    # scale — broadcasting it would OOM regardless of RSet size)
+    j = F.broadcast(acc).join(ts, "term") if rsize < 10000 \
+        else acc.join(ts, "term")
 
     if scheme == "bo1":
         mean = F.col("cf") / F.lit(float(n))

@@ -83,7 +83,10 @@ def extract_features(
     cf = {}
     for t in query_terms:
         tf_t, cf_t = stats_rows.get(t, (0, 0))
-        idf[t] = math.log10(n // (1 + tf_t)) if tf_t else 0.0
+        # guard q == 0 (term in every doc): C++ log10(0) is -inf, which
+        # would poison every downstream feature sum — clamp to 0.0
+        q = n // (1 + tf_t)
+        idf[t] = math.log10(q) if (tf_t and q > 0) else 0.0
         cf[t] = cf_t
 
     # per-doc title length (Σ wdf over 'S'-prefix terms)

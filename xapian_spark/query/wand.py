@@ -138,9 +138,17 @@ def _member_sorted(ids: np.ndarray, keep_sorted: np.ndarray
 
 def _segment_topk(
     cursors: List[_TermCursor], k: int, op: str, exhaustive: bool,
+    n_query_terms: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """MaxScore over one segment → (top-k doc_ids, scores)."""
-    if not cursors:
+    """MaxScore over one segment → (top-k doc_ids, scores).
+
+    n_query_terms is the number of terms in the WHOLE query: a segment
+    may hold chunks for only a subset (a term can be entirely absent
+    from one segment while present in others), in which case an AND can
+    match nothing in this segment — intersecting just the present terms
+    would wrongly admit docs lacking the absent term."""
+    if (not cursors) or (op == "and"
+                         and len(cursors) < n_query_terms):
         e = np.empty(0, dtype=np.int64)
         return e, e.astype(np.float64)
 
@@ -263,6 +271,7 @@ class WandEnquire:
         }
         weight = self.weight
         k = maxitems
+        n_query_terms = len(present)
 
         chunk_rows = (
             self.index.postings_chunks
@@ -286,7 +295,8 @@ class WandEnquire:
                     g["min_doclen"].to_numpy(),
                     list(g["data"]),
                 ))
-            docs, scores = _segment_topk(cursors, k, op, exhaustive)
+            docs, scores = _segment_topk(cursors, k, op, exhaustive,
+                                         n_query_terms)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         per_seg = chunk_rows.groupBy("seg_id").applyInPandas(
