@@ -439,11 +439,7 @@ def q_token_stats(spark, sf_dir):
 def q_quality(spark, sf_dir):
     from xapian_spark.pipeline.textstats import quality_scores
 
-    return q_round_all(quality_scores(_docs(spark, sf_dir)))
-
-
-def q_round_all(df):
-    return df
+    return quality_scores(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):

@@ -83,6 +83,41 @@ def test_letor_idf_ubiquitous_term(spark):
             assert np.isfinite(v), (r["doc_id"], i, v)
 
 
+def test_paginated_mset_has_no_global_window(spark):
+    """get_mset(first>0) must stay a bounded TakeOrdered/Limit —
+    a global row_number() Window drags the whole scored set into ONE
+    task (scale-killer on any paginated query)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, analyzer="simple")
+    enq = Enquire(idx)
+    q = ops.Or([ops.Term("the"), ops.Term("data")])
+    page = enq.get_mset(q, first=5, maxitems=5)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    # the pagination itself must be a bounded TakeOrdered with offset,
+    # never a row_number() window (the build-phase InMemoryRelation
+    # legitimately contains a per-doc Window — ignore it)
+    assert "row_number" not in plan, plan
+    assert "offset=5" in plan, plan
+    # and pagination slices the same global ordering
+    full = [r["doc_id"] for r in enq.get_mset(q, 0, 10).collect()]
+    got = [r["doc_id"] for r in page.collect()]
+    assert got == full[5:10]
+
+
+def test_wildcard_expansion_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, f"pre{i:03d} common") for i in range(1, 31)],
+        "doc_id long, text string")
+    idx = build_index(docs, analyzer="simple")
+    enq = Enquire(idx)
+    with pytest.raises(ops.WildcardError, match="more than 5"):
+        enq.get_mset(ops.Wildcard("pre", max_expansion=5), 0, 10).collect()
+    # limit="first" keeps the first 5 in term order instead of raising
+    got = enq.get_mset(
+        ops.Wildcard("pre", max_expansion=5, limit="first"), 0, 10)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 3, 4, 5}
+
+
 def test_segment_replay_idempotent(spark, tmp_path):
     import shutil
 

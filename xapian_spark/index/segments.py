@@ -272,10 +272,33 @@ class SegmentIndex:
         from xapian_spark.index.build import InvertedIndex
 
         postings = self.to_postings()
-        doclens = (postings.groupBy("doc_id")
-                   .agg(F.first("doclen").alias("doclen")))
-        return InvertedIndex(postings, doclens, self.term_stats(),
+        return InvertedIndex(postings, self.doclens(), self.term_stats(),
                              self.stats(), docs=docs)
+
+    def doclens(self) -> DataFrame:
+        """(doc_id, doclen) decoded straight from the doclen pseudo-term
+        chunks — no full-postings decode, no shuffle (each doc's length
+        lives in exactly one chunk of one segment)."""
+        from xapian_spark.index.codec import decode_chunk
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids_l, dl_l = [], []
+                for data in pdf["data"]:
+                    ids, _w, dls = decode_chunk(bytes(data))
+                    ids_l.append(ids)
+                    dl_l.append(dls)
+                if ids_l:
+                    import numpy as np
+
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(ids_l),
+                        "doclen": np.concatenate(dl_l)})
+
+        return (self.doclen_chunks.select("data")
+                .mapInPandas(gen, "doc_id long, doclen long"))
 
 
 def compact(

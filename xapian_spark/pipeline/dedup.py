@@ -139,11 +139,16 @@ def shingle_hash(shingle: Column) -> Column:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 32, seed: int = 42) -> DataFrame:
+                       num_hashes: int = 32, seed: int = 42,
+                       shingles: DataFrame = None) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
-    Documents with fewer than `n` tokens get an empty signature."""
+    Documents with fewer than `n` tokens get an empty signature.
+    `shingles` lets a caller reuse an already-built (ideally persisted)
+    shingle_df — the tokenize+explode scan is the dominant cost at
+    corpus scale and must not run twice."""
     params = _hash_params(num_hashes, seed)
-    s = shingle_df(docs, text_col, id_col, n)
+    s = shingles if shingles is not None \
+        else shingle_df(docs, text_col, id_col, n)
     h = s.select(
         "doc_id", shingle_hash(F.col("shingle")).alias("h"))
     aggs = [
@@ -162,12 +167,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      shingles: DataFrame = None) -> DataFrame:
     """LSH candidate pairs: signatures split into `bands` bands of
     num_hashes/bands rows; docs sharing any band bucket become a pair.
     (doc_id_a < doc_id_b, n_bands_shared)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed)
+    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed,
+                             shingles=shingles)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -208,10 +215,17 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
                         seed: int = 42) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     This is the shape that scales: the expensive verify only runs on
-    bucket-collision candidates."""
+    bucket-collision candidates, and the shingle scan (tokenize +
+    explode of the whole corpus — the single most expensive input) is
+    built ONCE and persisted, shared by the signature and verify
+    stages instead of being recomputed."""
+    from pyspark import StorageLevel
+
+    s = shingle_df(docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_pairs(docs, text_col, id_col, n, num_hashes, bands,
-                             seed).select("doc_id_a", "doc_id_b")
-    s = shingle_df(docs, text_col, id_col, n)
+                             seed, shingles=s
+                             ).select("doc_id_a", "doc_id_b")
     sa = s.select(F.col("doc_id").alias("doc_id_a"), "shingle",
                   F.col("set_size").alias("size_a"))
     sb = s.select(F.col("doc_id").alias("doc_id_b"), "shingle",

@@ -222,13 +222,26 @@ class Enquire:
 
         if isinstance(node, ops.Wildcard):
             # expand against the term dictionary, then score as one
-            # synonym group (1.3 FLAG_WILDCARD → OP_SYNONYM)
-            ts = (self.index.term_stats
-                  .filter(F.col("term").startswith(node.prefix))
-                  .orderBy("term"))
-            if node.max_expansion:
-                ts = ts.limit(node.max_expansion)
-            terms = [r["term"] for r in ts.select("term").collect()]
+            # synonym group (1.3 FLAG_WILDCARD → OP_SYNONYM). The
+            # collect is always capped: a short prefix on a web-scale
+            # dictionary must not pull unbounded terms to the driver.
+            cap = node.max_expansion or ops.DEFAULT_MAX_WILDCARD_EXPANSION
+            base = self.index.term_stats.filter(
+                F.col("term").startswith(node.prefix))
+            if node.limit == "most_frequent":
+                # WILDCARD_LIMIT_MOST_FREQUENT (FLAG_PARTIAL default)
+                ts = base.orderBy(F.desc("tf"), F.asc("term")).limit(cap)
+                terms = sorted(
+                    r["term"] for r in ts.select("term").collect())
+            else:
+                ts = base.orderBy("term").limit(cap + 1)
+                terms = [r["term"] for r in ts.select("term").collect()]
+                if len(terms) > cap:
+                    if node.limit == "error":
+                        raise ops.WildcardError(
+                            f"Wildcard {node.prefix!r}* expands to more "
+                            f"than {cap} terms")
+                    terms = terms[:cap]  # WILDCARD_LIMIT_FIRST
             if not terms:
                 return spark.createDataFrame(
                     [], "doc_id long, score double")
@@ -504,15 +517,10 @@ class Enquire:
                                   stats)
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if first:
-            from pyspark.sql.window import Window
-
-            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-            return (
-                ordered.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") > first)
-                .limit(maxitems)
-                .drop("_rn")
-            )
+            # offset()+limit() stays a TakeOrderedAndProject of
+            # first+maxitems rows; a global row_number() Window would
+            # drag the ENTIRE scored set into one task.
+            return ordered.offset(first).limit(maxitems)
         return ordered.limit(maxitems)
 
 

@@ -206,16 +206,34 @@ class ValueRange(Query):
     hi: object = None
 
 
+class WildcardError(Exception):
+    """Wildcard expanded to more terms than allowed — the analog of
+    Xapian::WildcardError (include/xapian/error.h), raised under the
+    reference's WILDCARD_LIMIT_ERROR behaviour."""
+
+
+#: Default expansion ceiling. The reference defaults to unlimited, but
+#: on a web-scale term dictionary an uncapped prefix collect() OOMs the
+#: driver, so we bound it (callers can raise or lower per query via
+#: Wildcard.max_expansion, QueryParser.set_max_wildcard_expansion).
+DEFAULT_MAX_WILDCARD_EXPANSION = 10_000
+
+
 @dataclass(frozen=True)
 class Wildcard(Query):
     """Right-truncated wildcard ("wild*"): expanded at compile time
     against the term dictionary into an OP_SYNONYM over the matching
     terms (the 1.3 QueryParser FLAG_WILDCARD behavior,
     queryparser/queryparser_internal.h / queryparser.lemony
-    WILD_TERM)."""
+    WILD_TERM).
+
+    limit = "error" raises WildcardError when more than max_expansion
+    terms match (WILDCARD_LIMIT_ERROR); "first" keeps the first
+    max_expansion in sorted term order (WILDCARD_LIMIT_FIRST)."""
 
     prefix: str
-    max_expansion: int = 0  # 0 = unlimited
+    max_expansion: int = 0  # 0 = DEFAULT_MAX_WILDCARD_EXPANSION
+    limit: str = "error"
 
 
 @dataclass(frozen=True)

@@ -637,8 +637,12 @@ class QueryParser:
             stemmed = self._make_term(word, last.field, last.has_upper,
                                       0, stemmed=True)
             last.kind = "partial"
+            # the reference caps partial expansion at the 100 most
+            # frequent terms (queryparser_internal.h
+            # max_partial_expansion_ = 100, WILDCARD_LIMIT_MOST_FREQUENT)
             last.partial_node = ops.Or(
-                [ops.Wildcard(p + word),
+                [ops.Wildcard(p + word, max_expansion=100,
+                              limit="most_frequent"),
                  ops.Term(stemmed.term)])
         state = _State(toks)
         q = self._parse_or(state)
