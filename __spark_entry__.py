@@ -218,6 +218,107 @@ def q_segment_manifest(spark, sf_dir):
             .select("seg_id", "n_docs", "n_postings", "n_terms"))
 
 
+def q_elite_set(spark, sf_dir):
+    """OP_ELITE_SET: keep the 2 highest-maxweight terms of 5, OR them
+    (api/queryinternal.cc:164-174)."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir, ops.EliteSet(
+        ["batch", "scan", "spark", "data", "window"], set_size=2))
+
+
+def q_phrase_window(spark, sf_dir):
+    """Windowed PHRASE: terms in order within a 5-token window
+    (matcher/phrasepostlist.cc:50-100)."""
+    from xapian_spark.query import ops
+
+    return _mset(spark, sf_dir,
+                 ops.Phrase(["batch", "window"], window=5))
+
+
+def q_weight_tfidf(spark, sf_dir):
+    """TfIdfWeight 'ntn' (weight/tfidfweight.cc): wdf · ln(N/tf)."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.bm25 import TfIdfWeight
+    from xapian_spark.query.executor import Enquire
+
+    enq = Enquire(_index(spark, sf_dir), TfIdfWeight("ntn"))
+    df = enq.get_mset(ops.Term("batch"), 0, 10)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_weight_inl2(spark, sf_dir):
+    """DFR InL2, c=1 (weight/inl2weight.cc)."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.bm25 import InL2Weight
+    from xapian_spark.query.executor import Enquire
+
+    enq = Enquire(_index(spark, sf_dir), InL2Weight(1.0))
+    df = enq.get_mset(ops.Term("batch"), 0, 10)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_weight_pl2(spark, sf_dir):
+    """DFR PL2, c=1 (weight/pl2weight.cc) incl. the reference's
+    per-term lower-bound subtraction."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.bm25 import PL2Weight
+    from xapian_spark.query.executor import Enquire
+
+    enq = Enquire(_index(spark, sf_dir), PL2Weight(1.0))
+    df = enq.get_mset(ops.Term("batch"), 0, 10)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_compact_wand(spark, sf_dir):
+    """Post-compact query identity (brass_compact.cc:83-951): the
+    8-segment index merged to 2 fuller segments must answer the WAND
+    OR query with identical ranks+scores (oracle == bm25_or)."""
+    import tempfile
+
+    from xapian_spark.index.segments import compact
+    from xapian_spark.query.wand import WandEnquire
+
+    key = ("compact", id(spark), sf_dir)
+    if key not in _CACHE:
+        out = tempfile.mkdtemp(prefix="xapian_spark_compact_")
+        _CACHE[key] = compact(_segment_index(spark, sf_dir), out,
+                              n_segments=2)
+    wq = WandEnquire(_CACHE[key])
+    df = wq.get_mset(["batch", "scan", "spark"], 10, op="or")
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_streaming_commit(spark, sf_dir):
+    """Incremental Structured-Streaming build: two arrival batches
+    drained through foreachBatch → disjoint seg_id ranges; the
+    combined index answers the WAND OR query identically to a batch
+    build (oracle == bm25_or)."""
+    import tempfile
+
+    from xapian_spark.query.wand import WandEnquire
+    from xapian_spark.streaming.incremental import drain
+
+    key = ("stream", id(spark), sf_dir)
+    if key not in _CACHE:
+        root = tempfile.mkdtemp(prefix="xapian_spark_stream_")
+        inp, idx_path, ckpt = (f"{root}/in", f"{root}/idx",
+                               f"{root}/ckpt")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).head()[0]
+        docs.filter(F.col("doc_id") <= half).write.mode("append") \
+            .parquet(inp)
+        drain(spark, inp, idx_path, ckpt, analyzer="simple",
+              segments_per_batch=4)
+        docs.filter(F.col("doc_id") > half).write.mode("append") \
+            .parquet(inp)
+        _CACHE[key] = drain(spark, inp, idx_path, ckpt,
+                            analyzer="simple", segments_per_batch=4)
+    wq = WandEnquire(_CACHE[key])
+    df = wq.get_mset(["batch", "scan", "spark"], 10, op="or")
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_eset_trad(spark, sf_dir):
     """Query expansion, Trad scheme (expand/tradeweight.cc), RSet =
     the 5 lowest doc_ids."""
@@ -575,6 +676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_and": q_bm25_wand_and,
         "segment_phrase": q_segment_phrase,
         "segment_manifest": q_segment_manifest,
+        "elite_set": q_elite_set,
+        "phrase_window": q_phrase_window,
+        "weight_tfidf": q_weight_tfidf,
+        "weight_inl2": q_weight_inl2,
+        "weight_pl2": q_weight_pl2,
+        "compact_wand": q_compact_wand,
+        "streaming_commit": q_streaming_commit,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "spelling": q_spelling,
@@ -879,6 +987,103 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     out["parser_search"] = _bm25_topk("'batch','scan','spark'")
     out["segment_phrase"] = out["bm25_phrase"]
+    # ELITE_SET: rank the 5 candidate terms by the executor's BM25
+    # maxpart (tw·(k1+1)·wdf_ub / (wdf_ub + k1·(normlen_lb·b + 1-b)),
+    # wdf_ub = min(cf, global max wdf), normlen_lb from global min
+    # doclen), keep the best 2 (ties by candidate order), OR them.
+    out["elite_set"] = f"""{_BM25_PRELUDE}
+, bounds AS (
+  SELECT (SELECT max(wdf) FROM postings) AS gwdf,
+         (SELECT min(doclen) FROM doclens) AS dlb
+),
+cand AS (
+  SELECT * FROM (VALUES (0, 'batch'), (1, 'scan'), (2, 'spark'),
+                        (3, 'data'), (4, 'window')) t(idx, cterm)
+),
+mp AS (
+  SELECT c.idx, c.cterm,
+         w.termweight * 2.0 * least(w.cf, b.gwdf)
+         / (least(w.cf, b.gwdf)
+            + 1.0 * (greatest(b.dlb * (1.0 / g.avlen), 0.5) * 0.5
+                     + 0.5)) AS maxpart
+  FROM cand c JOIN tw w ON w.term = c.cterm
+  CROSS JOIN bounds b CROSS JOIN gstats g
+),
+kept AS (SELECT cterm FROM mp ORDER BY maxpart DESC, idx ASC LIMIT 2),
+agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term IN (SELECT cterm FROM kept) GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["phrase_window"] = f"""{_BM25_PRELUDE}{tokpos},
+adj AS (
+  SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b USING (doc_id)
+  WHERE a.term = 'batch' AND b.term = 'window'
+    AND b.pos > a.pos AND b.pos - a.pos < 5
+),
+agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term IN ('batch', 'window')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT doc_id, round(score, 6) AS score FROM agg JOIN adj USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["weight_tfidf"] = f"""{_BM25_PRELUDE}
+SELECT p.doc_id,
+       round(p.wdf::DOUBLE * ln(g.n::DOUBLE / t.tf), 6) AS score
+FROM postings p JOIN tstats t USING (term) CROSS JOIN gstats g
+WHERE p.term = 'batch'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["weight_inl2"] = f"""{_BM25_PRELUDE}
+SELECT p.doc_id,
+       round(1.0 * (p.wdf * log2(1.0 + g.avlen / d.doclen))
+             * (1.0 / ((p.wdf * log2(1.0 + g.avlen / d.doclen)) + 1.0))
+             * log2((g.n + 1) / (t.tf + 0.5)), 6) AS score
+FROM postings p JOIN tstats t USING (term) JOIN doclens d USING (doc_id)
+CROSS JOIN gstats g
+WHERE p.term = 'batch'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["weight_pl2"] = f"""{_BM25_PRELUDE}
+, plc AS (
+  SELECT t.cf::DOUBLE / g.n AS mean, g.avlen AS cl, t.cf,
+         (SELECT max(wdf) FROM postings) AS gwdf,
+         greatest((SELECT min(doclen) FROM doclens), 1)::DOUBLE AS dll,
+         greatest((SELECT max(doclen) FROM doclens), 1)::DOUBLE AS dlu
+  FROM tstats t CROSS JOIN gstats g WHERE t.term = 'batch'
+),
+plk AS (
+  SELECT cl,
+         mean * (1.0 / ln(2.0)) + 0.5 * log2(2.0 * pi()) AS p1,
+         log2(mean) + 1.0 / ln(2.0) AS p2,
+         least(cf, gwdf)::DOUBLE AS wdfub, dll, dlu
+  FROM plc
+),
+plb AS (
+  SELECT p1, p2, cl,
+         (p1 + (log2(1.0 + cl / dlu) + 0.5)
+              * log2(log2(1.0 + cl / dlu))
+            - p2 * log2(1.0 + cl / dlu))
+         / (wdfub * log2(1.0 + cl / dll) + 1.0) AS lower_bound
+  FROM plk
+)
+SELECT p.doc_id,
+  round(1.0 * (b.p1
+               + (p.wdf * log2(1.0 + b.cl / d.doclen) + 0.5)
+                 * log2(p.wdf * log2(1.0 + b.cl / d.doclen))
+               - b.p2 * (p.wdf * log2(1.0 + b.cl / d.doclen)))
+        / (p.wdf * log2(1.0 + b.cl / d.doclen) + 1.0)
+        - b.lower_bound, 6) AS score
+FROM postings p JOIN doclens d USING (doc_id) CROSS JOIN plb b
+WHERE p.term = 'batch'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["compact_wand"] = _bm25_topk("'batch','scan','spark'")
+    out["streaming_commit"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_and"] = _bm25_topk("'batch','window'",
                                       having="AND nterms = 2")
