@@ -361,6 +361,16 @@ def q_wildcard(spark, sf_dir):
     return _mset(spark, sf_dir, ops.Wildcard("wind"))
 
 
+def q_parser_wildcard(spark, sf_dir):
+    """FLAG_WILDCARD through the QueryParser: 'wind*' parses to an
+    ops.Wildcard expanded at compile time (same semantics as the
+    direct wildcard query — shared oracle)."""
+    from xapian_spark.query.parser import QueryParser
+
+    q = QueryParser().parse_query("wind*", wildcard=True)
+    return _mset(spark, sf_dir, q)
+
+
 def q_collapse2(spark, sf_dir):
     """Collapse to best-2 per lang with collapse_count
     (matcher/collapser.cc)."""
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eset_bo1": q_eset_bo1,
         "spelling": q_spelling,
         "wildcard": q_wildcard,
+        "parser_wildcard": q_parser_wildcard,
         "collapse2": q_collapse2,
         "sort_value": q_sort_value,
         "percent": q_percent,
@@ -1187,6 +1198,7 @@ FROM syn s CROSS JOIN stw w
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+    out["parser_wildcard"] = out["wildcard"]
     out["collapse2"] = f"""{_BM25_PRELUDE}
 , agg AS (
   SELECT doc_id, sum(part) AS score FROM scored

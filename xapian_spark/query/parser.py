@@ -69,6 +69,7 @@ class Tok:
     group_break: bool = False     # trailing phrase-gen ends the group
     break_if_first: bool = False  # tail breaks only a 1-token group
     range_node: object = None     # for kind == "range"
+    wildcard: bool = False        # word followed by '*' (FLAG_WILDCARD)
 
 
 # straight + Unicode curly double quotes (queryparser.lemony
@@ -231,6 +232,24 @@ class QueryParser:
         self._bool_order: Dict[str, int] = {}
         self.cjk_ngram = cjk_ngram
         self._tg = TermGenerator(cjk_ngram=cjk_ngram)
+        # FLAG_WILDCARD state (queryparser.h:404-435): a term dictionary
+        # for parse-time expansion (set_database analog; None → emit an
+        # ops.Wildcard for compile-time expansion) and the expansion cap
+        # (set_max_wildcard_expansion; 0 = unlimited at parse time)
+        self._db_terms: Optional[List[str]] = None
+        self._max_wildcard_expansion = 0
+        self._wildcard_flag = False
+
+    def set_database(self, terms) -> None:
+        """QueryParser::set_database analog: a term dictionary enabling
+        parse-time wildcard expansion (the 1.2 behavior the reference's
+        queryparsertest exercises). Accepts any iterable of terms."""
+        self._db_terms = sorted(set(terms))
+
+    def set_max_wildcard_expansion(self, n: int) -> None:
+        """Raise WildcardError when a wildcard matches more than n terms
+        (queryparser.h:425-435); 0 = unlimited."""
+        self._max_wildcard_expansion = n
 
     def add_valuerangeprocessor(self, vrp) -> None:
         """Chain a range processor (first accepting one wins —
@@ -524,7 +543,8 @@ class QueryParser:
                         love=love and first, hate=hate and first,
                         field=fld,
                         has_upper=raw[:1].isupper()
-                        or after in _STEM_PREVENT)
+                        or after in _STEM_PREVENT,
+                        wildcard=self._wildcard_flag and after == "*")
             if last:
                 t.group_break = breaks
                 t.break_if_first = breaks_if_first
@@ -569,9 +589,44 @@ class QueryParser:
             out.append(ops.Term(p + (":" if needs else "") + value))
         return out
 
+    def _expand_wildcard(self, pattern: str, pos: int) -> ops.Query:
+        """'wild*' → expanded query. With a parse-time term dictionary
+        (set_database) this is the reference's 1.2 behavior: empty →
+        MatchNothing, one → Term, many → OP_SYNONYM sharing the
+        position (queryparsertest.cc test_qp_flag_wildcard1). Without
+        one, emit an ops.Wildcard expanded at compile time against the
+        index term_stats (the 1.3 behavior)."""
+        if self._db_terms is None:
+            return ops.Wildcard(
+                pattern, max_expansion=self._max_wildcard_expansion)
+        matches = [t for t in self._db_terms if t.startswith(pattern)]
+        cap = self._max_wildcard_expansion
+        if cap and len(matches) > cap:
+            raise ops.WildcardError(
+                f"Wildcard {pattern!r}* expands to more than {cap} "
+                "terms")
+        if not matches:
+            return ops.MatchNothing()
+        if len(matches) == 1:
+            return ops.Term(matches[0], pos=pos)
+        return ops.Synonym([ops.Term(t, pos=pos) for t in matches])
+
     def _word_node(self, tok: Tok, state: "_State") -> ops.Query:
         state.pos += 1
         prefixes = self._field_prefixes(tok.field)
+        if tok.wildcard:
+            variants = [v for v in
+                        (self._expand_wildcard((p or "") + tok.words[0],
+                                               state.pos)
+                         for p in prefixes)
+                        if not isinstance(v, ops.MatchNothing)]
+            if not variants:
+                return ops.MatchNothing()
+            if len(variants) == 1:
+                return variants[0]
+            node = ops.Or(variants)
+            object.__setattr__(node, "_prefixed", True)
+            return node
         terms = [self._make_term(tok.words[0], p, tok.has_upper,
                                  state.pos, stemmed=True)
                  for p in prefixes]
@@ -623,11 +678,14 @@ class QueryParser:
 
     # -- parsing -----------------------------------------------------------
 
-    def parse_query(self, s: str, partial: bool = False) -> ops.Query:
+    def parse_query(self, s: str, partial: bool = False,
+                    wildcard: bool = False) -> ops.Query:
         """`partial` = FLAG_PARTIAL (search-as-you-type,
         queryparser.lemony PARTIAL_TERM): when the query ends mid-word,
         that word matches as WILDCARD-or-stemmed so results update
-        usefully on every keystroke."""
+        usefully on every keystroke. `wildcard` = FLAG_WILDCARD:
+        explicit 'term*' right truncation (queryparser.h:404-415)."""
+        self._wildcard_flag = wildcard
         toks = self._lex(s)
         if partial and s and not s[-1].isspace() and toks \
                 and toks[-1].kind == "word":
@@ -716,6 +774,8 @@ class QueryParser:
         hate_filters: List[Tuple[str, str]] = []
         love_filters: Dict[str, List[str]] = {}
         ranges: List[ops.Query] = []
+        void = False  # a required term expanded to nothing
+        empty_positive = False  # a plain term expanded to nothing
 
         def close_run():
             if run:
@@ -848,7 +908,18 @@ class QueryParser:
                     # hate but still separates the term
                     add(self._word_node(tok, st), False, False, False)
                     continue
-                add(self._word_node(tok, st), tok.love, hate, True)
+                node = self._word_node(tok, st)
+                if isinstance(node, ops.MatchNothing):
+                    # empty wildcard expansion (queryparsertest
+                    # test_qp_flag_wildcard1): hated → no-op; loved or
+                    # AND-required → the whole query matches nothing;
+                    # plain in OR → dropped (positions still advance)
+                    if tok.love or (and_mode and not hate):
+                        void = True
+                    elif not hate:
+                        empty_positive = True
+                    continue
+                add(node, tok.love, hate, True)
                 if tok.group_break or (tok.break_if_first and was_empty
                                        and len(run) == 1):
                     close_run()
@@ -859,6 +930,9 @@ class QueryParser:
                 continue
 
         close_run()
+
+        if void:
+            return ops.MatchNothing(), False
 
         # assemble: chunks fold left-associatively with the default op
         combine = ops.And if and_mode else ops.Or
@@ -915,6 +989,12 @@ class QueryParser:
         if hates:
             hv = hates[0] if len(hates) == 1 else ops.Or(hates)
             if base is None:
+                if empty_positive:
+                    # an empty wildcard occupied the positive slot:
+                    # Query() AND_NOT x == Query() (qp_flag_wildcard1
+                    # "foo* -main"), unlike a pure-hate query where the
+                    # hated term is demoted to the query itself
+                    return ops.MatchNothing(), False
                 base, negate = hv, True
             else:
                 base = ops.AndNot(base, hv)
