@@ -319,6 +319,24 @@ def q_streaming_commit(spark, sf_dir):
     return df.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_stem_multilang(spark, sf_dir):
+    """Multilingual Snowball stemming (stem.cc:52-120 registry): each
+    row stemmed by its lang column inside one vectorized batch; the
+    expected Z-stems come from the reference's golden vocabularies
+    (xapian-data/stemming/<lang>/output.txt)."""
+    from xapian_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(1, "häuser laufen kindern freundlichkeit", "de"),
+         (2, "continuité nationale heureusement jouaient", "fr"),
+         (3, "caminando rápidamente señores", "es"),
+         (4, "running jumped", "en")],
+        "doc_id long, text string, lang string")
+    idx = build_index(docs, lang_col="lang")
+    return (idx.term_stats.filter(F.col("term").startswith("Z"))
+            .select("term", "tf", "cf"))
+
+
 def q_eset_trad(spark, sf_dir):
     """Query expansion, Trad scheme (expand/tradeweight.cc), RSet =
     the 5 lowest doc_ids."""
@@ -693,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weight_pl2": q_weight_pl2,
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
+        "stem_multilang": q_stem_multilang,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "spelling": q_spelling,
@@ -1095,6 +1114,17 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     out["compact_wand"] = _bm25_topk("'batch','scan','spark'")
     out["streaming_commit"] = _bm25_topk("'batch','scan','spark'")
+    # expected stems are the reference goldens
+    # (xapian-data/stemming/{german,french,spanish}/output.txt + porter2)
+    out["stem_multilang"] = """
+SELECT term, tf::BIGINT AS tf, cf::BIGINT AS cf FROM (VALUES
+  ('Zhaus', 1, 1), ('Zlauf', 1, 1), ('Zkind', 1, 1),
+  ('Zfreundlich', 1, 1),
+  ('Zcontinu', 1, 1), ('Znational', 1, 1), ('Zheureux', 1, 1),
+  ('Zjou', 1, 1),
+  ('Zcamin', 1, 1), ('Zrapid', 1, 1), ('Zseñor', 1, 1),
+  ('Zrun', 1, 1), ('Zjump', 1, 1)) t(term, tf, cf)
+"""
     out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_and"] = _bm25_topk("'batch','window'",
                                       having="AND nterms = 2")

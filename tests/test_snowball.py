@@ -1,0 +1,58 @@
+"""German/French/Spanish Snowball stemmers vs the reference's full
+golden vocabularies (xapian-data/stemming/<lang>/{voc,output}.txt —
+the same data stem.cc's Stem class is tested against)."""
+
+import pytest
+
+from xapian_spark.analysis.snowball import (
+    french_stem, german_stem, spanish_stem, stemmer_for,
+)
+
+GOLDEN_DIR = "/root/reference/xapian-data/stemming"
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("german", german_stem),
+    ("french", french_stem),
+    ("spanish", spanish_stem),
+])
+def test_full_golden_vocabulary(lang, fn):
+    voc = open(f"{GOLDEN_DIR}/{lang}/voc.txt",
+               encoding="utf-8").read().split()
+    out = open(f"{GOLDEN_DIR}/{lang}/output.txt",
+               encoding="utf-8").read().split()
+    assert len(voc) == len(out)
+    bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_registry():
+    assert stemmer_for("de")("häuser") == "haus"
+    assert stemmer_for("german")("kindern") == "kind"
+    assert stemmer_for("fr")("heureusement") == "heureux"
+    assert stemmer_for("es")("rápidamente") == "rapid"
+    assert stemmer_for("en")("running") == "run"
+    assert stemmer_for("xx") is None
+
+
+def test_multilingual_index(spark):
+    """build_index(lang_col=...) stems each row with its language's
+    Snowball algorithm inside one vectorized batch."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(1, "häuser laufen", "de"), (2, "continuité nationale", "fr"),
+         (3, "caminando señores", "es"), (4, "running jumped", "en"),
+         (5, "ignotum verbum", "la")],  # unknown lang: no stemming
+        "doc_id long, text string, lang string")
+    idx = build_index(docs, lang_col="lang")
+    z = {r["term"] for r in
+         idx.term_stats.filter(F.col("term").startswith("Z")).collect()}
+    assert {"Zhaus", "Zlauf", "Zcontinu", "Znational", "Zcamin",
+            "Zseñor", "Zrun", "Zjump"} <= z
+    assert not any(t in z for t in ("Zignotum", "Zverbum"))
+    # unstemmed positional terms still present for every doc
+    terms = {r["term"] for r in idx.term_stats.collect()}
+    assert {"häuser", "continuité", "caminando", "ignotum"} <= terms

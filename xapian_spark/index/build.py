@@ -69,6 +69,27 @@ def _get_termgen():
     return _TERMGEN
 
 
+_TERMGEN_LANG: dict = {}
+
+
+def multilingual_analyzer(text: str, lang: str):
+    """TermGenerator with the Snowball stemmer matching the row's lang
+    column (stem.cc:52-120 registry analog; en/de/fr/es — unknown
+    languages index unstemmed). Used with build_index(lang_col=...)."""
+    tg = _TERMGEN_LANG.get(lang)
+    if tg is None:
+        from xapian_spark.analysis.snowball import stemmer_for
+        from xapian_spark.analysis.tokenizer import TermGenerator
+
+        tg = TermGenerator(stemmer=stemmer_for(lang or ""))
+        _TERMGEN_LANG[lang] = tg
+    doc = tg.index_text(text or "")
+    return [
+        (term, wdf, positions)
+        for term, (wdf, positions) in doc.terms.items()
+    ]
+
+
 def apitest_analyzer(text: str):
     """The reference test harness's indexing scheme
     (tests/harness/index_utils.cc:105-160): whitespace split, keep alnum
@@ -202,16 +223,23 @@ class InvertedIndex:
 def _tokenize_python(
     docs: DataFrame, id_col: str, text_col: str,
     analyzer: Callable, keep_positions: bool,
+    lang_col: str = None,
 ) -> DataFrame:
-    """Arrow-batched tokenize → exploded postings rows."""
+    """Arrow-batched tokenize → exploded postings rows. With lang_col,
+    the analyzer is called as analyzer(text, lang) so per-row stemmer
+    selection happens inside the same vectorized batch."""
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, terms, wdfs, doclens, poss = [], [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            langs = pdf[lang_col] if lang_col else pdf[id_col]
+            for doc_id, text, lang in zip(pdf[id_col], pdf[text_col],
+                                          langs):
+                toks = analyzer(text, lang) if lang_col \
+                    else analyzer(text)
                 tl = [
-                    (t, w, p) for t, w, p in analyzer(text)
+                    (t, w, p) for t, w, p in toks
                     if len(t.encode("utf-8")) <= MAX_SAFE_TERM_LENGTH
                 ]
                 # doclen known at tokenize time — denormalized into every
@@ -228,9 +256,10 @@ def _tokenize_python(
                  "doclen": doclens, "positions": poss}
             )
 
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(gen, POSTINGS_SCHEMA)
+    cols = [F.col(id_col).cast("long").alias(id_col), F.col(text_col)]
+    if lang_col:
+        cols.append(F.col(lang_col))
+    return docs.select(*cols).mapInPandas(gen, POSTINGS_SCHEMA)
 
 
 # the DuckDB-parity tokenization: lowercase, split on runs of non-alnum
@@ -282,13 +311,25 @@ def build_index(
     analyzer="xapian",
     keep_positions: bool = True,
     docs_as_data: bool = True,
+    lang_col: str = None,
 ) -> InvertedIndex:
     """Build the four index tables from a (doc_id, text) DataFrame.
 
     `analyzer` is "simple", a name in ANALYZERS, or a callable
-    text -> [(term, wdf, positions)].
+    text -> [(term, wdf, positions)]. With `lang_col`, each row is
+    analyzed with the Snowball stemmer for its language column
+    (analyzer must accept (text, lang); default multilingual_analyzer).
     """
-    if analyzer == "simple":
+    if lang_col:
+        fn = multilingual_analyzer if analyzer in ("xapian", None) \
+            else analyzer
+        if not callable(fn):
+            raise ValueError(
+                f"lang_col needs a (text, lang) callable, got "
+                f"{analyzer!r}")
+        postings = _tokenize_python(docs, id_col, text_col, fn,
+                                    keep_positions, lang_col=lang_col)
+    elif analyzer == "simple":
         postings = _tokenize_simple(docs, id_col, text_col, keep_positions)
     else:
         fn = ANALYZERS.get(analyzer, analyzer) if not callable(analyzer) \
