@@ -319,6 +319,32 @@ def q_streaming_commit(spark, sf_dir):
     return df.select("doc_id", F.round("score", 6).alias("score"))
 
 
+_DELETED_DOCS = (5, 6, 7, 42)
+
+
+def q_delete_wand(spark, sf_dir):
+    """Tombstone document delete (brass_database.cc:1105-1163): after
+    delete_documents, the WAND query must be rank+score identical to an
+    index never containing those docs (the oracle excludes them from
+    the corpus entirely — exact stat deltas, not just a filter)."""
+    import tempfile
+
+    from xapian_spark.index.segments import (
+        build_segments, delete_documents,
+    )
+    from xapian_spark.query.wand import WandEnquire
+
+    key = ("deleted", id(spark), sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="xapian_spark_del_")
+        seg = build_segments(_docs(spark, sf_dir), path, n_segments=8,
+                             analyzer="simple")
+        _CACHE[key] = delete_documents(seg, list(_DELETED_DOCS))
+    wq = WandEnquire(_CACHE[key])
+    df = wq.get_mset(["batch", "scan", "spark"], 10, op="or")
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_stem_multilang(spark, sf_dir):
     """Multilingual Snowball stemming (stem.cc:52-120 registry): each
     row stemmed by its lang column inside one vectorized batch; the
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
         "stem_multilang": q_stem_multilang,
+        "delete_wand": q_delete_wand,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "spelling": q_spelling,
@@ -1114,6 +1141,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     out["compact_wand"] = _bm25_topk("'batch','scan','spark'")
     out["streaming_commit"] = _bm25_topk("'batch','scan','spark'")
+    # delete oracle: the same BM25 top-k computed over a corpus that
+    # never contained the deleted docs — every CTE of the shared
+    # prelude re-rooted on the filtered view
+    _dead_list = ", ".join(str(d) for d in _DELETED_DOCS)
+    live_prelude = (
+        f"WITH documents_live AS (SELECT * FROM documents "
+        f"WHERE doc_id NOT IN ({_dead_list})),\n"
+        + _BM25_PRELUDE.replace("WITH ", "", 1)
+        .replace("FROM documents", "FROM documents_live")
+    )
+    out["delete_wand"] = f"""{live_prelude}
+, agg AS (
+  SELECT doc_id, sum(part) AS score
+  FROM scored WHERE term IN ('batch','scan','spark')
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # expected stems are the reference goldens
     # (xapian-data/stemming/{german,french,spanish}/output.txt + porter2)
     out["stem_multilang"] = """

@@ -195,14 +195,65 @@ class SegmentIndex:
     def doclen_chunks(self) -> DataFrame:
         return self.chunks.filter(F.col("term") == DOCLEN_TERM)
 
+    def tombstones(self) -> Optional[DataFrame]:
+        """(doc_id, before_seg): doc_id is deleted from every segment
+        with seg_id <= before_seg (segments appended AFTER the delete —
+        a replace — are live). None when no deletes exist."""
+        try:
+            t = self.spark.read.parquet(f"{self.path}/tombstones")
+            return t.groupBy("doc_id").agg(
+                F.max("before_seg").alias("before_seg"))
+        except Exception:
+            return None
+
+    def _dead_arrays(self):
+        """Driver-side (sorted doc_ids, before_seg) numpy pair for the
+        WAND kernel, or None. Tombstones are a small delete/replace
+        queue purged at compact() — not corpus-scale."""
+        t = self.tombstones()
+        if t is None:
+            return None
+        rows = t.orderBy("doc_id").collect()
+        if not rows:
+            return None
+        return (np.array([r["doc_id"] for r in rows], dtype=np.int64),
+                np.array([r["before_seg"] for r in rows],
+                         dtype=np.int64))
+
+    def _deltas(self) -> Optional[DataFrame]:
+        """Per-term (tf_delta, cf_delta) of tombstoned postings —
+        written by delete_documents from a block-range-pruned decode,
+        so term_stats/stats stay exact without a full decode."""
+        try:
+            d = self.spark.read.parquet(f"{self.path}/tombstone_deltas")
+            return d.groupBy("term").agg(
+                F.sum("tf_delta").alias("tf_delta"),
+                F.sum("cf_delta").alias("cf_delta"))
+        except Exception:
+            return None
+
     def term_stats(self) -> DataFrame:
         """Global term dictionary: term → (tf, cf) from chunk metadata
-        (cached — queries hit it once per term set)."""
+        minus tombstone deltas (cached — queries hit it once per term
+        set)."""
         if self._term_stats is None:
-            self._term_stats = self.postings_chunks.groupBy("term").agg(
+            ts = self.postings_chunks.groupBy("term").agg(
                 F.sum("n").cast("long").alias("tf"),
                 F.sum("cf").cast("long").alias("cf"),
-            ).persist()
+            )
+            d = self._deltas()
+            if d is not None:
+                ts = (ts.join(d.filter(F.col("term") != DOCLEN_TERM),
+                              "term", "left")
+                      .fillna(0, subset=["tf_delta", "cf_delta"])
+                      .select(
+                          "term",
+                          (F.col("tf") - F.col("tf_delta"))
+                          .cast("long").alias("tf"),
+                          (F.col("cf") - F.col("cf_delta"))
+                          .cast("long").alias("cf"))
+                      .filter(F.col("tf") > 0))
+            self._term_stats = ts.persist()
         return self._term_stats
 
     def stats(self):
@@ -215,11 +266,20 @@ class SegmentIndex:
                 F.coalesce(F.min("min_doclen"), F.lit(0)).alias("dl_lb"),
                 F.coalesce(F.max("max_wdf"), F.lit(0)).alias("dl_ub"),
             ).head()
+            doccount, total_doclen = row.doccount, row.total_doclen
+            d = self._deltas()
+            if d is not None:
+                dr = d.filter(F.col("term") == DOCLEN_TERM).head()
+                if dr is not None:
+                    doccount -= dr["tf_delta"]
+                    total_doclen -= dr["cf_delta"]
             wdf_ub = (self.postings_chunks.agg(F.max("max_wdf")).head()[0]
                       or 0)
+            # doclen bounds stay the pre-delete ones: bounds may be
+            # loose after a delete but never invalid (they are only
+            # upper/lower bounds for WAND pruning)
             self._stats = IndexStats(
-                row.doccount, row.total_doclen, row.dl_lb, row.dl_ub,
-                wdf_ub)
+                doccount, total_doclen, row.dl_lb, row.dl_ub, wdf_ub)
         return self._stats
 
     def manifest(self) -> DataFrame:
@@ -233,7 +293,7 @@ class SegmentIndex:
         from xapian_spark.index.codec import decode_chunk
 
         schema = ("term string, doc_id long, wdf int, doclen long,"
-                  " positions array<int>")
+                  " seg_id int, positions array<int>")
 
         from xapian_spark.index.codec import decode_positions
 
@@ -242,14 +302,16 @@ class SegmentIndex:
 
             for pdf in batches:
                 out = {"term": [], "doc_id": [], "wdf": [],
-                       "doclen": [], "positions": []}
-                for term, data, pd_ in zip(pdf["term"], pdf["data"],
-                                           pdf["pos_data"]):
+                       "doclen": [], "seg_id": [], "positions": []}
+                for term, seg, data, pd_ in zip(
+                        pdf["term"], pdf["seg_id"], pdf["data"],
+                        pdf["pos_data"]):
                     ids, wdfs, dls = decode_chunk(bytes(data))
                     out["term"].extend([term] * len(ids))
                     out["doc_id"].extend(int(x) for x in ids)
                     out["wdf"].extend(int(x) for x in wdfs)
                     out["doclen"].extend(int(x) for x in dls)
+                    out["seg_id"].extend([int(seg)] * len(ids))
                     if pd_ is None:
                         out["positions"].extend([None] * len(ids))
                     else:
@@ -258,8 +320,24 @@ class SegmentIndex:
                                 bytes(pd_), len(ids))])
                 yield pd.DataFrame(out)
 
-        return (self.postings_chunks.select("term", "data", "pos_data")
+        rows = (self.postings_chunks
+                .select("term", "seg_id", "data", "pos_data")
                 .mapInPandas(gen, schema))
+        rows = self._filter_tombstoned(rows)
+        return rows.drop("seg_id")
+
+    def _filter_tombstoned(self, rows: DataFrame) -> DataFrame:
+        """Drop tombstoned (doc_id, seg_id <= before_seg) rows — a
+        broadcast anti-join against the (small) tombstone table."""
+        t = self.tombstones()
+        if t is None:
+            return rows
+        t = F.broadcast(t.select(
+            F.col("doc_id").alias("_t_doc"),
+            F.col("before_seg").alias("_t_seg")))
+        return (rows.join(
+            t, (rows["doc_id"] == t["_t_doc"])
+            & (rows["seg_id"] <= t["_t_seg"]), "left_anti"))
 
     def to_inverted_index(self, docs: Optional[DataFrame] = None):
         """Full-featured query view over the chunk storage: an
@@ -285,20 +363,23 @@ class SegmentIndex:
             import pandas as pd
 
             for pdf in batches:
-                ids_l, dl_l = [], []
-                for data in pdf["data"]:
+                ids_l, dl_l, seg_l = [], [], []
+                for seg, data in zip(pdf["seg_id"], pdf["data"]):
                     ids, _w, dls = decode_chunk(bytes(data))
                     ids_l.append(ids)
                     dl_l.append(dls)
+                    seg_l.append(np.full(len(ids), int(seg),
+                                         dtype=np.int64))
                 if ids_l:
-                    import numpy as np
-
                     yield pd.DataFrame({
                         "doc_id": np.concatenate(ids_l),
-                        "doclen": np.concatenate(dl_l)})
+                        "doclen": np.concatenate(dl_l),
+                        "seg_id": np.concatenate(seg_l)})
 
-        return (self.doclen_chunks.select("data")
-                .mapInPandas(gen, "doc_id long, doclen long"))
+        rows = (self.doclen_chunks.select("seg_id", "data")
+                .mapInPandas(gen,
+                             "doc_id long, doclen long, seg_id long"))
+        return self._filter_tombstoned(rows).drop("seg_id")
 
 
 def compact(
@@ -328,7 +409,7 @@ def compact(
                          .distinct().count() // 4)
 
     rows_schema = ("term string, doc_id long, wdf int, doclen long,"
-                   " seg_id int, positions array<int>")
+                   " seg_id int, src_seg int, positions array<int>")
 
     nseg = n_segments
 
@@ -339,9 +420,10 @@ def compact(
 
         for pdf in batches:
             out = {"term": [], "doc_id": [], "wdf": [], "doclen": [],
-                   "seg_id": [], "positions": []}
-            for term, data, pd_ in zip(pdf["term"], pdf["data"],
-                                       pdf["pos_data"]):
+                   "seg_id": [], "src_seg": [], "positions": []}
+            for term, src, data, pd_ in zip(pdf["term"], pdf["seg_id"],
+                                            pdf["data"],
+                                            pdf["pos_data"]):
                 ids, wdfs, dls = decode_chunk(bytes(data))
                 out["term"].extend([term] * len(ids))
                 out["doc_id"].extend(int(x) for x in ids)
@@ -350,6 +432,7 @@ def compact(
                 out["seg_id"].extend(
                     int((x - 1) % nseg) if x >= 1 else int(x % nseg)
                     for x in ids)
+                out["src_seg"].extend([int(src)] * len(ids))
                 if pd_ is None:
                     out["positions"].extend([None] * len(ids))
                 else:
@@ -398,8 +481,19 @@ def compact(
     import time as _time
 
     t0 = _time.time()
-    exploded = index.chunks.select("term", "data", "pos_data") \
+    exploded = index.chunks.select("term", "seg_id", "data", "pos_data") \
         .mapInPandas(explode, rows_schema)
+    # purge tombstoned postings: compact is where deletes are
+    # physically reclaimed (brass_compact's role for changesets)
+    tomb = index.tombstones()
+    if tomb is not None:
+        t = F.broadcast(tomb.select(
+            F.col("doc_id").alias("_t_doc"),
+            F.col("before_seg").alias("_t_seg")))
+        exploded = exploded.join(
+            t, (exploded["doc_id"] == t["_t_doc"])
+            & (exploded["src_seg"] <= t["_t_seg"]), "left_anti")
+    exploded = exploded.drop("src_seg")
     (exploded
      .repartitionByRange(n_segments, "seg_id")
      .mapInPandas(reencode, CHUNKS_SCHEMA)
@@ -553,3 +647,106 @@ def build_segments(
         man.write.mode("append").parquet(f"{path}/manifest")
 
     return SegmentIndex(spark, path)
+
+
+def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
+                     ) -> SegmentIndex:
+    """Tombstone delete (BrassWritableDatabase::delete_document,
+    backends/brass/brass_database.cc:1105-1163, re-expressed for
+    immutable segment storage):
+
+    - the doc_ids are appended to `{path}/tombstones` with
+      before_seg = the current max seg_id, so segments appended LATER
+      (a replace) stay live for the same docid;
+    - exact per-term stat deltas are computed by decoding ONLY the
+      chunks whose block range [first_doc_id, last_doc_id] covers a
+      deleted docid (the block-max metadata doubles as a delete
+      index) and appended to `{path}/tombstone_deltas` — term_stats /
+      stats subtract them, keeping BM25 exact without a rebuild;
+    - postings stay on disk until `compact()` purges them (the
+      reference's "deletes are cheap, space is reclaimed by
+      compaction" model).
+
+    Returns a fresh SegmentIndex view of the same path.
+    """
+    from xapian_spark.index.codec import decode_chunk
+
+    spark = index.spark
+    ids = sorted({int(d) for d in doc_ids})
+    existing = index.tombstones()
+    if existing is not None and ids:
+        have = {r["doc_id"] for r in existing.filter(
+            F.col("doc_id").isin(ids)).collect()}
+        # already-tombstoned docs must not double their stat deltas
+        ids = [d for d in ids if d not in have]
+    if not ids:
+        return SegmentIndex(spark, index.path)
+
+    before_seg = index.chunks.agg(F.max("seg_id")).head()[0]
+    dead = np.array(ids, dtype=np.int64)
+    b = spark.sparkContext.broadcast(dead)
+
+    def gen(batches):
+        import pandas as pd
+
+        dd = b.value
+        for pdf in batches:
+            terms, tfd, cfd = [], [], []
+            for term, first, last, data in zip(
+                    pdf["term"], pdf["first_doc_id"],
+                    pdf["last_doc_id"], pdf["data"]):
+                lo = np.searchsorted(dd, first)
+                if lo >= dd.size or dd[lo] > last:
+                    continue  # block range holds no deleted doc
+                cids, wdfs, _dls = decode_chunk(bytes(data))
+                idx = np.searchsorted(dd, cids)
+                m = idx < dd.size
+                m[m] = dd[idx[m]] == cids[m]
+                if not m.any():
+                    continue
+                terms.append(term)
+                tfd.append(int(m.sum()))
+                # doclen pseudo chunks store doclen in the wdf slot, so
+                # cf_delta is Σ wdf for real terms AND Σ doclen for the
+                # doclen term with the same expression
+                cfd.append(int(wdfs[m].sum()))
+            yield pd.DataFrame(
+                {"term": terms, "tf_delta": tfd, "cf_delta": cfd})
+
+    deltas = (index.chunks
+              .select("term", "first_doc_id", "last_doc_id", "data")
+              .mapInPandas(gen,
+                           "term string, tf_delta long, cf_delta long")
+              .groupBy("term").agg(
+                  F.sum("tf_delta").alias("tf_delta"),
+                  F.sum("cf_delta").alias("cf_delta")))
+    deltas.write.mode("append").parquet(f"{index.path}/tombstone_deltas")
+    spark.createDataFrame(
+        [(d, int(before_seg)) for d in ids],
+        "doc_id long, before_seg int",
+    ).write.mode("append").parquet(f"{index.path}/tombstones")
+    return SegmentIndex(spark, index.path)
+
+
+def replace_documents(
+    index: SegmentIndex,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer="xapian",
+    n_segments: int = 1,
+    keep_positions: bool = False,
+) -> SegmentIndex:
+    """BrassWritableDatabase::replace_document analog
+    (brass_database.cc:1167-1230): delete the old postings (tombstone)
+    and append the new versions as a fresh, disjoint segment range —
+    the same docids, live only in segments past the tombstone's
+    before_seg."""
+    ids = [r[id_col] for r in docs.select(id_col).collect()]
+    idx = delete_documents(index, ids)
+    offset = (idx.chunks.agg(F.max("seg_id")).head()[0] or 0) + 1
+    return build_segments(
+        docs, idx.path, n_segments=n_segments, text_col=text_col,
+        id_col=id_col, analyzer=analyzer,
+        input_desc=f"replace {len(ids)} docs",
+        seg_id_offset=offset, keep_positions=keep_positions)

@@ -71,7 +71,8 @@ class _TermCursor:
     """One query term's chunks within a segment, lazily decodable."""
 
     def __init__(self, weight: BM25Weight, tw: float, len_factor: float,
-                 firsts, lasts, max_wdfs, min_doclens, datas):
+                 firsts, lasts, max_wdfs, min_doclens, datas,
+                 dead: Optional[np.ndarray] = None):
         order = np.argsort(firsts, kind="stable")
         self.firsts = np.asarray(firsts)[order]
         self.lasts = np.asarray(lasts)[order]
@@ -81,6 +82,7 @@ class _TermCursor:
         self.tw = tw
         self.weight = weight
         self.len_factor = len_factor
+        self.dead = dead  # sorted tombstoned docids for this segment
 
     def maxpart(self) -> float:
         """Segment-level bound: max over chunks of the chunk bound.
@@ -109,6 +111,12 @@ class _TermCursor:
                 if lo >= keep_docs.size or keep_docs[lo] > self.lasts[i]:
                     continue  # no candidate falls in this chunk's range
             ids, wdf, dl = decode_chunk(self.datas[i])
+            if self.dead is not None:
+                m = ~_member_sorted(ids, self.dead)
+                if not m.all():
+                    ids, wdf, dl = ids[m], wdf[m], dl[m]
+                if ids.size == 0:
+                    continue
             if keep_docs is not None:
                 m = _member_sorted(ids, keep_docs)
                 if not m.any():
@@ -272,6 +280,7 @@ class WandEnquire:
         weight = self.weight
         k = maxitems
         n_query_terms = len(present)
+        dead = self.index._dead_arrays()  # (sorted ids, before_seg)|None
 
         chunk_rows = (
             self.index.postings_chunks
@@ -285,6 +294,13 @@ class WandEnquire:
         def kernel(pdf):
             import pandas as pd
 
+            seg_dead = None
+            if dead is not None and len(pdf):
+                seg = int(pdf["seg_id"].iloc[0])
+                ids_, before = dead
+                seg_dead = ids_[before >= seg]  # tombstoned in this seg
+                if seg_dead.size == 0:
+                    seg_dead = None
             cursors = []
             for t, g in pdf.groupby("term"):
                 cursors.append(_TermCursor(
@@ -294,6 +310,7 @@ class WandEnquire:
                     g["max_wdf"].to_numpy(),
                     g["min_doclen"].to_numpy(),
                     list(g["data"]),
+                    dead=seg_dead,
                 ))
             docs, scores = _segment_topk(cursors, k, op, exhaustive,
                                          n_query_terms)
