@@ -678,13 +678,17 @@ def q_geo_posting_source(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN with full probe (== exact cosine top-k; the correctness
-    anchor for the partial-probe scale path)."""
-    from xapian_spark.pipeline.similarity import ivf_topk
+    """IVF ANN with k-means-trained centroids and full probe (== exact
+    cosine top-k; the correctness anchor for the partial-probe scale
+    path — partial-probe recall is reported in bench.py)."""
+    from xapian_spark.pipeline.similarity import (
+        ivf_topk, train_ivf_centroids,
+    )
 
     emb = _embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(emb, n_cells=8, iters=10, sample=2048)
     qv = emb.orderBy("vec_id").head()["embedding"]
-    return ivf_topk(emb, qv, k=10, n_cells=8, nprobe=8)
+    return ivf_topk(emb, qv, k=10, n_cells=8, nprobe=8, centroids=cents)
 
 
 def q_cosine_topk(spark, sf_dir):

@@ -88,6 +88,23 @@ def main() -> None:
     run("bm25_and", ops.And([ops.Term("Zbatch"), ops.Term("Zwindow")]))
     run("bm25_phrase", ops.Phrase(["batch", "window"]))
 
+    # round-2 paths: paginated top-k (offset, no global window) and
+    # capped wildcard expansion
+    t0 = time.perf_counter()
+    enq.get_mset(ops.Or([ops.Term("Zbatch"), ops.Term("Zscan")]),
+                 first=40, maxitems=10).collect()
+    timings["bm25_paginated"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enq.get_mset(ops.Wildcard("wind"), 0, 10).collect()
+    timings["wildcard"] = time.perf_counter() - t0
+
+    # multilingual build: per-row Snowball stemmer selection (de/fr/es)
+    t0 = time.perf_counter()
+    ml = build_index(docs, text_col="text", id_col="doc_id",
+                     lang_col="lang")
+    ml.postings.count()
+    timings["multilang_build"] = time.perf_counter() - t0
+
     # --- chunk-encoded segment index + block-max WAND ----------------------
     import shutil
     import tempfile
@@ -126,6 +143,35 @@ def main() -> None:
     cosine_topk(emb, qv, k=10).collect()
     timings["cosine_topk"] = time.perf_counter() - t0
 
+    # --- IVF recall (trained centroids + replicas=4 vs exact) ------------
+    import numpy as np
+
+    from xapian_spark.pipeline.similarity import train_ivf_centroids
+
+    t0 = time.perf_counter()
+    cents = train_ivf_centroids(emb, n_cells=16, iters=10, sample=4096)
+    timings["ivf_train"] = time.perf_counter() - t0
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.array(cents)
+    S = Xn @ C.T
+    top4 = np.argsort(-S, axis=1)[:, :4]
+    rng_q = range(0, min(len(X), 2000), max(1, min(len(X), 2000) // 20))
+    recall = {}
+    for npb in (1, 2, 4):
+        hits = tot = 0
+        for qi in rng_q:
+            q = Xn[qi]
+            exact = set(np.argsort(-(Xn @ q))[:10])
+            cells = set(np.argsort(-(C @ q))[:npb])
+            cand = np.flatnonzero(
+                [any(c in cells for c in row) for row in top4])
+            got = set(cand[np.argsort(-(Xn[cand] @ q))[:10]])
+            hits += len(exact & got)
+            tot += 10
+        recall[f"nprobe{npb}"] = round(hits / tot, 3)
+
     total = time.perf_counter() - t_total
     out = {
         "metric": "bench total (index build + BM25 top-10 queries"
@@ -137,6 +183,7 @@ def main() -> None:
         "n_docs": n_docs,
         "n_postings": n_postings,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "ivf_recall_at10_replicas4": recall,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -113,3 +113,39 @@ def test_ivf_partial_probe_recall(spark):
                                 nprobe=4).collect()}
     # recall@10 with half the cells probed should stay reasonable
     assert len(exact & approx) >= 5
+
+
+def test_ivf_trained_centroids(spark):
+    """Sampled spherical k-means centroids (train_ivf_centroids) +
+    build-side replication: deterministic, exact under full probe, and
+    recall@10 >= 0.9 at nprobe=4 with replicas=4 — where the
+    md5-random centroids score ~0.5-0.6 on these near-uniform
+    synthetic embeddings."""
+    from xapian_spark.pipeline.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_cells=16, iters=10, sample=2048)
+    c2 = train_ivf_centroids(emb, n_cells=16, iters=10, sample=2048)
+    assert c1 == c2  # deterministic
+
+    qvs = [r["embedding"]
+           for r in emb.orderBy("vec_id").limit(5).collect()]
+    # full probe stays exact with trained centroids
+    qv = qvs[0]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, qv, 10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, qv, 10, n_cells=16, nprobe=16,
+                              centroids=c1).collect()]
+    assert full == exact
+
+    hits = total = 0
+    for qv in qvs:
+        ex = {r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()}
+        ap = {r["vec_id"]
+              for r in ivf_topk(emb, qv, 10, n_cells=16, nprobe=4,
+                                centroids=c1, replicas=4).collect()}
+        hits += len(ex & ap)
+        total += 10
+    assert hits / total >= 0.9, hits / total

@@ -159,12 +159,62 @@ def brute_force_pairs(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        iters: int = 10, sample: int = 4096,
+                        seed: int = 42, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> List[List[float]]:
+    """Spherical k-means over a DETERMINISTIC bounded sample: rows are
+    ranked by md5(seed, vec_id) and the top `sample` collected (a
+    TakeOrdered — safe at any corpus size), then Lloyd's iterations run
+    driver-side in numpy. Training the quantizer on a sample is the
+    standard IVF recipe (FAISS-style); assignment of the full corpus
+    stays distributed in ivf_assign. Deterministic: same seed + data →
+    same centroids. Returns n_cells L2-normalized centroids."""
+    import numpy as np
+
+    rows = (embeddings
+            .select(F.col(vec_col).alias("v"),
+                    F.md5(F.concat_ws("-", F.lit(seed),
+                                      F.col(id_col))).alias("r"))
+            .orderBy("r").limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    k = min(n_cells, len(xn))
+    cents = xn[:k].copy()  # md5-shuffled rows → deterministic init
+    for _ in range(iters):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = xn[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    out = [list(map(float, c)) for c in cents]
+    # pad degenerate corpora (fewer rows than cells) with md5 planes
+    if len(out) < n_cells:
+        out += _hyperplanes(len(out[0]) if out else 2,
+                            n_cells - len(out), seed + 1000)
+    return out
+
+
 def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
                seed: int = 42, vec_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id",
+               centroids: List[List[float]] = None,
+               replicas: int = 1) -> DataFrame:
     """IVF coarse quantization: nearest (by dot product of normalized
-    centroid) of n_cells deterministic centroids. (vec_id, cell)."""
-    cents = _hyperplanes(dim, n_cells, seed + 1000)
+    centroid) of n_cells centroids — trained (train_ivf_centroids) or
+    the md5-deterministic fallback. (vec_id, cell).
+
+    `replicas` > 1 assigns each vector to its top-m cells (build-side
+    replication): m× storage for much higher recall at the same
+    nprobe — the standard compensation when embeddings are weakly
+    clustered (near-uniform directions make single-cell IVF recall
+    cap low no matter how the centroids are trained)."""
+    cents = centroids or _hyperplanes(dim, n_cells, seed + 1000)
     scores = F.array(*[
         F.struct(
             _dot(F.col(vec_col),
@@ -173,15 +223,23 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
         )
         for ci, cent in enumerate(cents)
     ])
-    best = F.array_max(scores)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), best["cell"].alias("cell"))
+    if replicas <= 1:
+        best = F.array_max(scores)
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"), best["cell"].alias("cell"))
+    topm = F.slice(F.reverse(F.array_sort(scores)), 1, replicas)
+    return (embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(topm).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell")))
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float],
              k: int = 10, n_cells: int = 16, nprobe: int = 4,
              seed: int = 42, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id",
+             centroids: List[List[float]] = None,
+             replicas: int = 1) -> DataFrame:
     """IVF approximate top-k: probe only the `nprobe` cells whose
     centroids score highest against the query, brute-force cosine
     within them. nprobe == n_cells degenerates to the exact search
@@ -190,14 +248,16 @@ def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float],
     cells are partition-pruned when the table is written partitioned
     by cell."""
     dim = len(query_vec)
-    cents = _hyperplanes(dim, n_cells, seed + 1000)
+    cents = centroids or _hyperplanes(dim, n_cells, seed + 1000)
     qscores = sorted(
-        range(n_cells),
+        range(len(cents)),
         key=lambda ci: -sum(float(q) * c
                             for q, c in zip(query_vec, cents[ci])))
     probe = qscores[:nprobe]
-    cells = ivf_assign(embeddings, dim, n_cells, seed, vec_col, id_col)
-    probe_ids = cells.filter(F.col("cell").isin(probe))
+    cells = ivf_assign(embeddings, dim, n_cells, seed, vec_col, id_col,
+                       centroids=cents, replicas=replicas)
+    probe_ids = cells.filter(F.col("cell").isin(probe)) \
+        .select("vec_id").distinct()
     cand = embeddings.join(
         probe_ids, embeddings[id_col] == probe_ids["vec_id"],
         "left_semi")
