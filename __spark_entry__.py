@@ -439,6 +439,30 @@ def q_sort_value(spark, sf_dir):
                      "n_chars")
 
 
+def q_match_decider(spark, sf_dir):
+    """MatchDecider analog: per-doc predicate applied during the match
+    (docs with odd n_chars excluded before the top-k bound)."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset(ops.Term("batch"), 0, 10,
+                      decider=(F.col("n_chars") % 2 == 0))
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_sort_multikey(spark, sf_dir):
+    """MultiValueKeyMaker composite sort (keymaker.h:68-107): lang
+    ascending, ties by n_chars descending, then relevance."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset_sorted(
+        ops.Term("batch"), [("lang", False), ("n_chars", True)],
+        order="val_rel", maxitems=10)
+    return df.select("doc_id", F.round("score", 6).alias("score"),
+                     "lang", "n_chars")
+
+
 def q_percent(spark, sf_dir):
     """Percent scores (multimatch.cc:893-906 percent_scale +
     omenquire.cc convert_to_percent)."""
@@ -750,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_wildcard": q_parser_wildcard,
         "collapse2": q_collapse2,
         "sort_value": q_sort_value,
+        "sort_multikey": q_sort_multikey,
+        "match_decider": q_match_decider,
         "percent": q_percent,
         "synonym": q_synonym,
         "scale_weight": q_scale_weight,
@@ -1306,6 +1332,20 @@ LIMIT 20
 SELECT a.doc_id, round(a.score, 6) AS score, d.n_chars
 FROM agg a JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, a.score DESC, a.doc_id ASC
+LIMIT 10
+"""
+    out["match_decider"] = _bm25_topk(
+        "'batch'",
+        anti=("AND doc_id IN (SELECT doc_id FROM documents "
+              "WHERE n_chars % 2 = 0)"))
+    out["sort_multikey"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score FROM scored
+  WHERE term = 'batch' GROUP BY doc_id
+)
+SELECT a.doc_id, round(a.score, 6) AS score, d.lang, d.n_chars
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY d.lang ASC, d.n_chars DESC, a.score DESC, a.doc_id ASC
 LIMIT 10
 """
     out["percent"] = f"""{_BM25_PRELUDE}

@@ -121,3 +121,25 @@ def test_compact_purges_tombstones(spark, corpus, tmp_path):
     # query identity preserved through the purge
     assert _pairs(WandEnquire(packed).get_mset(["the", "data"], 10)) \
         == before
+
+
+def test_metadata_kv(spark, corpus, tmp_path):
+    """Generic user metadata K/V (brass_metadata.cc,
+    database.h:371-387): last-write-wins, '' deletes, prefix
+    iteration."""
+    seg = build_segments(corpus.limit(10), str(tmp_path / "idx"),
+                         n_segments=1, analyzer="simple")
+    assert seg.get_metadata("nokey") == ""
+    seg.set_metadata("sample", "abc")
+    seg.set_metadata("other:x", "1")
+    seg.set_metadata("sample", "def")  # overwrite
+    assert seg.get_metadata("sample") == "def"
+    assert seg.get_metadata("other:x") == "1"
+    keys = [r["key"] for r in seg.metadata_keys().collect()]
+    assert keys == ["other:x", "sample"]
+    seg.set_metadata("sample", "")  # delete
+    assert seg.get_metadata("sample") == ""
+    keys = [r["key"] for r in seg.metadata_keys().collect()]
+    assert keys == ["other:x"]
+    assert [r["key"] for r in seg.metadata_keys("other").collect()] \
+        == ["other:x"]

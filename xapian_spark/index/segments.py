@@ -285,6 +285,50 @@ class SegmentIndex:
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/manifest")
 
+    # -- user metadata K/V (brass_metadata.cc / database.h:371-387) -------
+
+    def _metadata_df(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(f"{self.path}/metadata")
+        except Exception:
+            return None
+
+    def set_metadata(self, key: str, value: str) -> None:
+        """WritableDatabase::set_metadata analog: last-write-wins via a
+        monotonically increasing revision (append-only storage — the
+        changesets model). An empty value deletes the key, exactly as
+        the reference specifies."""
+        m = self._metadata_df()
+        rev = 0
+        if m is not None:
+            rev = (m.agg(F.max("rev")).head()[0] or 0) + 1
+        self.spark.createDataFrame(
+            [(key, value, rev)], "key string, value string, rev long"
+        ).write.mode("append").parquet(f"{self.path}/metadata")
+
+    def get_metadata(self, key: str) -> str:
+        """Database::get_metadata: '' for absent (or deleted) keys."""
+        m = self._metadata_df()
+        if m is None:
+            return ""
+        row = (m.filter(F.col("key") == key)
+               .orderBy(F.desc("rev")).select("value").head())
+        return row["value"] if row is not None else ""
+
+    def metadata_keys(self, prefix: str = "") -> DataFrame:
+        """Database::metadata_keys_begin(prefix) analog: the live
+        (non-empty latest value) keys with the prefix, sorted."""
+        m = self._metadata_df()
+        if m is None:
+            return self.spark.createDataFrame([], "key string")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(F.desc("rev"))
+        return (m.filter(F.col("key").startswith(prefix))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("value") != ""))
+                .select("key").orderBy("key"))
+
     def to_postings(self) -> DataFrame:
         """Decode chunks → row-per-posting DataFrame
         (term, doc_id, wdf, doclen, positions=NULL) — the flat

@@ -509,12 +509,24 @@ class Enquire:
                         (F.col("score") + extra).alias("score")))
 
     def get_mset(self, query: ops.Query, first: int = 0,
-                 maxitems: int = 10) -> DataFrame:
+                 maxitems: int = 10, decider=None) -> DataFrame:
         """Top-k: DataFrame(doc_id, score) ordered by (score desc,
-        doc_id asc), offset by `first`."""
+        doc_id asc), offset by `first`.
+
+        `decider` is the MatchDecider analog (enquire.h MatchDecider):
+        a boolean Column over index.docs — docs failing it are excluded
+        BEFORE the top-k bound, exactly like the reference applies the
+        decider during the match. A left-semi join against the filtered
+        docs table (broadcast when small) keeps the plan one pass."""
         stats = self._gather_stats(list(query.terms()))
         scored = self._with_extra(self.compile(query, stats), query,
                                   stats)
+        if decider is not None:
+            if self.index.docs is None:
+                raise ValueError("a decider requires index.docs")
+            allowed = self.index.docs.filter(decider).select(
+                F.col("doc_id").cast("long").alias("doc_id"))
+            scored = scored.join(allowed, "doc_id", "left_semi")
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if first:
             # offset()+limit() stays a TakeOrderedAndProject of
@@ -561,26 +573,38 @@ class Enquire:
             out = out.offset(first)
         return out.limit(maxitems)
 
-    def get_mset_sorted(self, query: ops.Query, sort_col: str,
+    def get_mset_sorted(self, query: ops.Query, sort_col,
                         order: str = "val_rel", reverse: bool = False,
                         maxitems: int = 10) -> DataFrame:
-        """Sort by a value column (Enquire::set_sort_by_value*,
-        matcher/msetcmp.cc): order = "val" | "val_rel" | "rel_val"."""
+        """Sort by a value key (Enquire::set_sort_by_value* +
+        set_sort_by_key, matcher/msetcmp.cc):
+        order = "val" | "val_rel" | "rel_val".
+
+        `sort_col` is a single column (with the `reverse` flag — the
+        ValueKeyMaker case) or a list of (column, reverse) pairs — the
+        MultiValueKeyMaker composite key (include/xapian/
+        keymaker.h:68-107: compare by the first key, ties by the
+        second, ...). The composite stays a bounded
+        TakeOrderedAndProject like the single-key path."""
         docs = self.index.docs
         if docs is None:
             raise ValueError("sort by value requires index.docs")
+        if isinstance(sort_col, str):
+            keys = [(sort_col, reverse)]
+        else:
+            keys = [(c, r) for c, r in sort_col]
         stats = self._gather_stats(list(query.terms()))
         scored = self.compile(query, stats)
         keyed = scored.join(
             docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                        sort_col), "doc_id")
-        val = F.desc(sort_col) if reverse else F.asc(sort_col)
+                        *[c for c, _r in keys]), "doc_id")
+        vals = [F.desc(c) if r else F.asc(c) for c, r in keys]
         if order == "val":
-            cols = [val, F.asc("doc_id")]
+            cols = vals + [F.asc("doc_id")]
         elif order == "val_rel":
-            cols = [val, F.desc("score"), F.asc("doc_id")]
+            cols = vals + [F.desc("score"), F.asc("doc_id")]
         elif order == "rel_val":
-            cols = [F.desc("score"), val, F.asc("doc_id")]
+            cols = [F.desc("score")] + vals + [F.asc("doc_id")]
         else:
             raise ValueError(f"unknown sort order: {order!r}")
         return keyed.orderBy(*cols).limit(maxitems)
