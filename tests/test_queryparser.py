@@ -200,13 +200,11 @@ def test_flag_partial(qp, spark, simpledata_index):
 
 
 def test_full_reference_corpus(qp):
-    """601 (query → describe/error) cases from the reference's
-    test_or_queries table (tests/queryparsertest.cc:48+), extracted
-    verbatim into tests/data/queryparser_golden.json. Every case in
-    the fixture must keep passing; the 14 cases not in the fixture (of the 615 live entries;
-    #if-0/commented entries excluded)
-    are known divergences (exotic lexer grouping, CJK queries, wqf
-    accumulation) — see git history for the extraction probe."""
+    """ALL 617 (query → describe/error) cases from the reference's
+    test_or_queries table (tests/queryparsertest.cc:48+, every live
+    entry; #if-0/commented entries excluded), extracted verbatim into
+    tests/data/queryparser_golden.json. 100% verbatim since round 2's
+    two-stage (strict → degraded re-parse) model landed."""
     import json
     import os
 
@@ -224,7 +222,7 @@ def test_full_reference_corpus(qp):
     path = os.path.join(os.path.dirname(__file__), "data",
                         "queryparser_golden.json")
     cases = json.load(open(path))
-    assert len(cases) >= 580
+    assert len(cases) == 617
     bad = []
     for q, want in cases:
         try:

@@ -430,21 +430,30 @@ class Enquire:
         """PHRASE/NEAR: AND over the terms first, positional check as a
         post-filter (the reference defers positional filters the same way,
         api/queryinternal.cc:293-355)."""
-        terms = list(node.terms_)
-        n = len(terms)
+        # each element is a term, or a TUPLE of alternative terms (a
+        # multi-prefix field in a positional context — the reference's
+        # as_opwindow_query OR-per-prefix, queryparser.lemony:1605-1618)
+        elems = [t if isinstance(t, tuple) else (t,)
+                 for t in node.terms_]
+        terms = [t for e in elems for t in e]
+        n = len(elems)
+        has_alts = any(len(e) > 1 for e in elems)
         # default windows use the reference convention (stored window =
         # n_terms + w - 1, w defaulting to 10 — queryparser.lemony:1656)
         window = node.window or (
             n if isinstance(node, ops.Phrase) else n + 9)
         ordered = isinstance(node, ops.Phrase)
         spark = self.index.postings.sparkSession
-        if any(stats.termfreqs.get(t, (0, 0))[0] == 0 for t in terms):
+        if any(all(stats.termfreqs.get(t, (0, 0))[0] == 0 for t in e)
+               for e in elems):
             return spark.createDataFrame([], "doc_id long, score double")
-        if n == 1:
+        if n == 1 and not has_alts:
             return self.compile(ops.Term(terms[0]), stats, factor)
 
+        present = [t for t in set(terms)
+                   if stats.termfreqs.get(t, (0, 0))[0] > 0]
         sp = self._scored_postings(
-            [(t, 1, factor) for t in set(terms)], stats,
+            [(t, 1, factor) for t in present], stats,
             keep=("positions",))
         cand = (
             sp.groupBy("doc_id")
@@ -455,8 +464,9 @@ class Enquire:
                     F.collect_list(F.struct("term", "positions"))
                 ).alias("_pos"),
             )
-            .filter(F.col("_n") == len(set(terms)))
         )
+        if not has_alts:
+            cand = cand.filter(F.col("_n") == len(set(terms)))
 
         from pyspark.sql.functions import pandas_udf
 
@@ -466,8 +476,21 @@ class Enquire:
 
             out = []
             for pos_map in pos_maps:
-                plists = [sorted(pos_map[t]) for t in terms]
-                out.append(_positions_match(plists, window, ordered))
+                plists = []
+                ok = True
+                for e in elems:
+                    union = []
+                    for t in e:
+                        pl = pos_map.get(t)
+                        if pl is not None:
+                            union.extend(pl)
+                    ps = sorted(union)
+                    if not ps:
+                        ok = False
+                        break
+                    plists.append(ps)
+                out.append(ok and _positions_match(plists, window,
+                                                   ordered))
             return pd.Series(out)
 
         return (

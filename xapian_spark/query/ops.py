@@ -167,7 +167,9 @@ class EliteSet(Query):
 @dataclass(frozen=True)
 class Phrase(Query):
     """Terms at consecutive positions in order within `window`
-    (default = len(terms) → exact phrase, exactphrasepostlist.cc)."""
+    (default = len(terms) → exact phrase, exactphrasepostlist.cc).
+    An element may be a tuple of ALTERNATIVE terms (multi-prefix
+    field in a positional context)."""
 
     terms_: Tuple[str, ...]
     window: Optional[int] = None
@@ -177,13 +179,15 @@ class Phrase(Query):
         object.__setattr__(self, "window", window)
 
     def terms(self):
-        return self.terms_
+        return [t for e in self.terms_
+                for t in (e if isinstance(e, tuple) else (e,))]
 
 
 @dataclass(frozen=True)
 class Near(Query):
     """Terms in any order within `window` (default 10,
-    queryparser.lemony:1661-1668; NearPostList)."""
+    queryparser.lemony:1661-1668; NearPostList). An element may be a
+    tuple of ALTERNATIVE terms (multi-prefix field)."""
 
     terms_: Tuple[str, ...]
     window: Optional[int] = None
@@ -193,7 +197,8 @@ class Near(Query):
         object.__setattr__(self, "window", window)
 
     def terms(self):
-        return self.terms_
+        return [t for e in self.terms_
+                for t in (e if isinstance(e, tuple) else (e,))]
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,15 @@ class QueryParserError(ValueError):
     <expression>")."""
 
 
+class _Degrade(Exception):
+    """Internal: the strict pass hit a GENERIC grammar error (the
+    lemon parser's bare "parse error" — e.g. a stray KET, or NEAR
+    followed by a non-term). parse_query catches it and re-parses
+    with all syntax flags off, exactly like the reference
+    (queryparser.cc:154-157: errmsg == "parse error" → re-parse with
+    flags=0). The specific "Syntax: ..." errors propagate instead."""
+
+
 class StringValueRangeProcessor:
     """StringValueRangeProcessor(slot) (queryparser.h:117-160): accepts
     any begin..end pair verbatim. `column` names the docs column the
@@ -239,6 +248,9 @@ class QueryParser:
         self._db_terms: Optional[List[str]] = None
         self._max_wildcard_expansion = 0
         self._wildcard_flag = False
+        # False during the degraded re-parse (reference flags=0 pass):
+        # quotes/brackets/lovehate/operators all lex as punctuation
+        self._syntax_on = True
 
     def set_database(self, terms) -> None:
         """QueryParser::set_database analog: a term dictionary enabling
@@ -298,11 +310,28 @@ class QueryParser:
         love = hate = False
         pend_field: Optional[str] = None
         pend_bool: Optional[str] = None
+        quote_close = -1  # index just past the last CLOSING quote
+        hold_lovehate = False  # pending +/- surviving punctuation
         while i < n:
             ch = s[i]
             if ch.isspace():
-                love = hate = False
+                # a LOVE/HATE token already "emitted" (consumed its
+                # marker) binds the next term even across skipped
+                # punctuation and whitespace ('-> chr' hates chr)
+                if not hold_lovehate:
+                    love = hate = False
                 pend_field = pend_bool = None
+                i += 1
+                continue
+            if ch == "(" and not self._syntax_on:
+                # degraded pass (FLAG_BOOLEAN off): pure punctuation
+                toks.append(Tok("brk"))
+                love = hate = False
+                i += 1
+                continue
+            if ch == ")" and not self._syntax_on:
+                toks.append(Tok("brk"))
+                love = hate = False
                 i += 1
                 continue
             if ch == "(":
@@ -356,6 +385,14 @@ class QueryParser:
                     pend_field = pend_bool = None
                     i = k
                     continue
+                if not self._syntax_on:
+                    # degraded pass (FLAG_PHRASE off): the quote is
+                    # punctuation — breaks the group, phrases nothing
+                    toks.append(Tok("brk"))
+                    love = hate = False
+                    pend_field = pend_bool = None
+                    i += 1
+                    continue
                 j = i + 1
                 while j < n and s[j] not in _QUOTES:
                     j += 1
@@ -366,15 +403,26 @@ class QueryParser:
                              love=love, hate=hate, field=pend_field)
                     qt.pos_groups = groups
                     toks.append(qt)
+                elif content.strip():
+                    # a quoted section with content but no terms
+                    # ('"~"') parses as QUOTE <nothing> QUOTE — a
+                    # generic grammar error → degraded re-parse
+                    raise _Degrade()
                 else:
-                    # a term-less quote ('"+"') is punctuation: breaks
+                    # whitespace-only '" "': ignored (lexer skips to
+                    # the closing quote), still breaks the group
                     toks.append(Tok("brk"))
                 love = hate = False
                 pend_field = pend_bool = None
                 i = j + 1 if j < n else n
+                quote_close = i
                 continue
-            at_start = i == 0 or s[i - 1].isspace() \
-                or s[i - 1] in "(\"“”"
+            # a quote char in s[i-1] marks term-start only when it
+            # OPENED a phrase; right after a closing quote, +/- is
+            # glue punctuation ('"McSquare"+i' — golden
+            # setProperty case), not a lovehate marker
+            at_start = (i == 0 or s[i - 1].isspace()
+                        or (s[i - 1] in "(\"“”" and i != quote_close))
             if ch in "+-" and not love and not hate and at_start:
                 if self.vrps:
                     j2 = i
@@ -390,7 +438,7 @@ class QueryParser:
                     pass_range = False
                 if not pass_range and i + 1 < n \
                         and not s[i + 1].isspace() \
-                        and s[i + 1] not in "+-)":
+                        and s[i + 1] not in "+-)" and self._syntax_on:
                     love = ch == "+"
                     hate = ch == "-"
                     i += 1
@@ -410,8 +458,14 @@ class QueryParser:
             seg_toks = self._lex_segment(seg, love, hate, next_ch)
             if not seg_toks:
                 # a tokenless segment ("!!", "/", ":)") still breaks
-                # the adjacent-term grouping
+                # the adjacent-term grouping; a pending +/- survives
+                # it (the reference already emitted the LOVE/HATE
+                # token — '-> chr' hates chr)
                 toks.append(Tok("brk"))
+                if love or hate:
+                    hold_lovehate = True
+                continue
+            hold_lovehate = False
             pending_only = bool(seg_toks) and all(
                 t.kind in ("field_only", "bool_field_only")
                 for t in seg_toks)
@@ -431,8 +485,8 @@ class QueryParser:
 
     def _lex_segment(self, seg: str, love: bool, hate: bool,
                      next_ch: str = "") -> List[Tok]:
-        # ALL-CAPS operators (FLAG_BOOLEAN)
-        if seg in _OPS:
+        # ALL-CAPS operators (FLAG_BOOLEAN; off in the degraded pass)
+        if seg in _OPS and self._syntax_on:
             return [Tok("op", raw=seg)]
         # value range "begin..end" (ValueRangeProcessor chain; first
         # processor that accepts wins — queryparser.h:117-306)
@@ -442,15 +496,17 @@ class QueryParser:
                 node = vrp(begin, end)
                 if node is not None:
                     return [Tok("range", range_node=node)]
-        # operator glued to a phrase by generators: "one AND/two/three"
-        m = re.match(r"(AND|OR|NOT|XOR)([.\-/:\\@]+)(.+)$", seg)
-        if m and self._scan(m.group(3)):
-            return [Tok("op", raw=m.group(1))] + self._lex_segment(
-                m.group(3), False, False, next_ch)
-        m = re.fullmatch(r"(NEAR|ADJ)(?:/(\d+))?", seg)
-        if m:
-            return [Tok("posop", raw=m.group(1),
-                        window=int(m.group(2) or DEFAULT_WINDOW))]
+        if self._syntax_on:
+            # operator glued to a phrase by generators:
+            # "one AND/two/three"
+            m = re.match(r"(AND|OR|NOT|XOR)([.\-/:\\@]+)(.+)$", seg)
+            if m and self._scan(m.group(3)):
+                return [Tok("op", raw=m.group(1))] + self._lex_segment(
+                    m.group(3), False, False, next_ch)
+            m = re.fullmatch(r"(NEAR|ADJ)(?:/(\d+))?", seg)
+            if m:
+                return [Tok("posop", raw=m.group(1),
+                            window=int(m.group(2) or DEFAULT_WINDOW))]
         # field prefix?
         fld = None
         body = seg
@@ -535,6 +591,15 @@ class QueryParser:
             else:
                 term, s_, e_ = chunk[0]
                 raw = body[s_: e_]
+                if raw.rstrip("+") in _OPS and len(chunks) > 1 \
+                        and term == raw.rstrip("+").lower() \
+                        and self._syntax_on:
+                    # an ALL-CAPS operator separated by glue
+                    # punctuation ("scheduled+AND+nieuwsgroepen")
+                    # still operates (the span may carry the trailing
+                    # '+' the c++-suffix scan keeps)
+                    out.append(Tok("op", raw=raw.rstrip("+")))
+                    continue
                 # stem preventer: a char glued right after the term
                 # ("(/\@<>=*[{\"") blocks stemming (golden 'unmatched"')
                 after = body[e_] if e_ < len(body) else \
@@ -638,6 +703,9 @@ class QueryParser:
             # OR of the variants at the same position
             node = ops.Or(terms)
             object.__setattr__(node, "_prefixed", True)
+            object.__setattr__(node, "_src",
+                               (tok.words[0], list(prefixes)))
+            object.__setattr__(node, "pos", state.pos)
             return node
         syns = self.synonyms.get(t.term)
         if syns:
@@ -684,8 +752,26 @@ class QueryParser:
         queryparser.lemony PARTIAL_TERM): when the query ends mid-word,
         that word matches as WILDCARD-or-stemmed so results update
         usefully on every keystroke. `wildcard` = FLAG_WILDCARD:
-        explicit 'term*' right truncation (queryparser.h:404-415)."""
+        explicit 'term*' right truncation (queryparser.h:404-415).
+
+        Two-stage parse exactly like the reference
+        (queryparser.cc:154-157): a strict pass with full syntax; on a
+        GENERIC grammar error (stray ')', positional op that can't
+        bind, ...) a silent re-parse with all syntax flags off — only
+        the specific "Syntax: ..." errors propagate."""
         self._wildcard_flag = wildcard
+        self._syntax_on = True
+        try:
+            return self._parse_attempt(s, partial)
+        except _Degrade:
+            self._wildcard_flag = False
+            self._syntax_on = False
+            try:
+                return self._parse_attempt(s, False)
+            finally:
+                self._syntax_on = True
+
+    def _parse_attempt(self, s: str, partial: bool) -> ops.Query:
         toks = self._lex(s)
         if partial and s and not s[-1].isspace() and toks \
                 and toks[-1].kind == "word":
@@ -813,26 +899,27 @@ class QueryParser:
                     (tok.kind == "op"):
                 if tok is not None and tok.kind == "rparen":
                     if st.depth == 0:
-                        st.take()   # stray ')': punctuation — breaks
-                        close_run()
-                        continue
+                        # stray KET: generic grammar error → the whole
+                        # query re-parses with syntax off
+                        raise _Degrade()
                 break
             if tok.kind == "posop":
-                # positional chain: last plain term NEAR next term(s)
+                # positional chain: last plain term (or multi-prefix
+                # variant group) NEAR next term(s)
                 nxt = st.peek(1)
-                if run and isinstance(run[-1], ops.Term) \
-                        and nxt is not None and nxt.kind == "word":
+                left_ok = run and (
+                    isinstance(run[-1], ops.Term)
+                    or (isinstance(run[-1], ops.Or)
+                        and getattr(run[-1], "_src", None) is not None))
+                if left_ok and nxt is not None and nxt.kind == "word":
                     node = self._parse_positional(st, run)
                     if run:
                         pass  # chain replaced the last run entry
                     add(node, False, False, False)
                     continue
-                st.take()
-                # demoted operator word: plain unstemmed term
-                demoted = Tok("word", raw=tok.raw.lower(),
-                              words=[tok.raw.lower()], has_upper=True)
-                add(self._word_node(demoted, st), False, False, True)
-                continue
+                # NEAR/ADJ that can't bind two terms: generic grammar
+                # error → degraded re-parse (the op lexes as a term)
+                raise _Degrade()
             st.take()
             if tok.kind == "lparen":
                 st.depth += 1
@@ -901,13 +988,11 @@ class QueryParser:
             if tok.kind == "word":
                 was_empty = not run
                 hate = tok.hate
-                if hate and st.peek() is not None \
-                        and st.peek().kind == "rparen" \
-                        and st.depth == 0:
-                    # "-p)" with no open bracket: the ')' voids the
-                    # hate but still separates the term
-                    add(self._word_node(tok, st), False, False, False)
-                    continue
+                if (hate or (tok.love and not and_mode)) and run:
+                    # a loved/hated term interrupts the adjacent-term
+                    # group (lemony:942 "prevent the term after a LOVE
+                    # or HATE starting a term group")
+                    close_run()
                 node = self._word_node(tok, st)
                 if isinstance(node, ops.MatchNothing):
                     # empty wildcard expansion (queryparsertest
@@ -1007,12 +1092,23 @@ class QueryParser:
         cls = _POSITIONAL[first.raw]
         window = first.window
         left = run.pop()
-        # positional constituents are unstemmed (near_expr/adj_expr)
+
+        def alt_terms(word, prefixes, pos):
+            """Unstemmed per-prefix variants (near_expr/adj_expr make
+            the constituents unstemmed; a multi-prefix field yields a
+            tuple of alternatives — as_opwindow_query's OR)."""
+            ts = tuple(self._make_term(word, p, True, pos,
+                                       stemmed=False).term
+                       for p in prefixes)
+            return ts[0] if len(ts) == 1 else ts
+
         src = getattr(left, "_src", None)
         if src is not None:
-            left = self._make_term(src[0], src[1], True, left.pos,
-                                   stemmed=False)
-        terms = [left]
+            prefs = src[1] if isinstance(src[1], list) else [src[1]]
+            elems = [alt_terms(src[0], prefs, left.pos)]
+        else:
+            elems = [left.term]
+        positions = [left.pos]
         while True:
             tok = st.peek()
             if tok is None or tok.kind != "posop" or tok.raw != first.raw:
@@ -1022,13 +1118,13 @@ class QueryParser:
                 break
             st.take()
             st.take()
-            terms.append(self._make_term(
-                nxt.words[0], self._field_prefixes(nxt.field)[0], True,
-                _bump(st), stemmed=False))
-        node = cls([t.term for t in terms],
-                   window=len(terms) + window - 1)
-        object.__setattr__(node, "positions",
-                           tuple(t.pos for t in terms))
+            pos = _bump(st)
+            elems.append(alt_terms(nxt.words[0],
+                                   self._field_prefixes(nxt.field),
+                                   pos))
+            positions.append(pos)
+        node = cls(elems, window=len(elems) + window - 1)
+        object.__setattr__(node, "positions", tuple(positions))
         return node
 
 
@@ -1085,6 +1181,11 @@ class _State:
         self.i = 0
         self.pos = 0
         self.depth = 0
+        # once one operator word is demoted to a plain term, LATER
+        # operator words in the query demote too (the reference's
+        # degraded-syntax behavior: "kraan NEAR (Elektrisch OR
+        # Electrisch)" gives or@4 as a term)
+        self.demoted = False
 
     def peek(self, ahead: int = 0) -> Optional[Tok]:
         j = self.i + ahead
@@ -1155,8 +1256,13 @@ def describe(q: ops.Query) -> str:
     if isinstance(q, (ops.Phrase, ops.Near)):
         op = "PHRASE" if isinstance(q, ops.Phrase) else "NEAR"
         pos = getattr(q, "positions", ()) or (0,) * len(q.terms_)
-        parts = [f"{t}@{p}" if p else t
-                 for t, p in zip(q.terms_, pos)]
+        parts = []
+        for t, p in zip(q.terms_, pos):
+            if isinstance(t, tuple):
+                parts.append("(" + " OR ".join(
+                    f"{x}@{p}" if p else x for x in t) + ")")
+            else:
+                parts.append(f"{t}@{p}" if p else t)
         w = q.window if q.window is not None else len(q.terms_)
         return "(" + f" {op} {w} ".join(parts) + ")"
     if isinstance(q, (ops.And, ops.Or, ops.Xor, ops.Max, ops.Synonym)):
