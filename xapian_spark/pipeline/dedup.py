@@ -54,35 +54,59 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token-array column.
+
+    Formulated as n top-level slices zipped together: every
+    subexpression is evaluated O(1) times PER DOCUMENT. The naive
+    transform(i -> slice/element_at(toks, i..)) forms re-evaluate the
+    token expression per SHINGLE (CollapseProject inlines the alias),
+    which made the whole stage quadratic — measured 10x slower."""
+    ln = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, F.greatest(ln, F.lit(0)))
+             for j in range(n)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(sh))
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
     toks = F.filter(
         F.split(_norm_text(text_col), "[^a-z0-9]+"), lambda t: t != ""
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array()).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, n)),
-            )
-        )
-    )
+    return _shingles_of(toks, n)
 
 
 def shingle_df(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded, plus per-doc shingle-set size."""
+    from xapian_spark.index.build import spread_input
+
+    docs = spread_input(docs)
+    # materialize the token array once per row so the shingle
+    # transform's element_at calls hit a computed array, not a
+    # re-evaluated split+filter expression
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, n).alias("shingles"),
+        F.filter(F.split(_norm_text(text_col), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("_toks"),
+    ).select(
+        "doc_id",
+        _shingles_of(F.col("_toks"), n).alias("shingles"),
     )
-    return base.select(
+    # explode_outer + null-filter instead of explode: Catalyst's
+    # InferFiltersFromGenerate would add a size(shingles)>0 filter to
+    # a plain explode and push it BELOW the repartition exchange,
+    # re-evaluating the whole shingle expression serially on the
+    # unspread input (measured: the entire stage collapsed to 1 task)
+    return (base.select(
         "doc_id",
         F.size("shingles").alias("set_size"),
-        F.explode("shingles").alias("shingle"),
-    )
+        F.explode_outer("shingles").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull()))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -258,6 +282,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
     Token hash = first 64 bits of md5(token); each bit votes +wdf / -wdf;
     simhash bit = 1 iff the vote is positive. Pure SQL (explode + two
     groupBys) — no Python."""
+    from xapian_spark.index.build import spread_input
+
+    docs = spread_input(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
