@@ -5,7 +5,9 @@ the same data stem.cc's Stem class is tested against)."""
 import pytest
 
 from xapian_spark.analysis.snowball import (
-    french_stem, german_stem, spanish_stem, stemmer_for,
+    danish_stem, dutch_stem, finnish_stem, french_stem, german_stem,
+    italian_stem, norwegian_stem, portuguese_stem, romanian_stem,
+    russian_stem, spanish_stem, stemmer_for, swedish_stem,
 )
 
 GOLDEN_DIR = "/root/reference/xapian-data/stemming"
@@ -15,6 +17,15 @@ GOLDEN_DIR = "/root/reference/xapian-data/stemming"
     ("german", german_stem),
     ("french", french_stem),
     ("spanish", spanish_stem),
+    ("danish", danish_stem),
+    ("norwegian", norwegian_stem),
+    ("swedish", swedish_stem),
+    ("italian", italian_stem),
+    ("portuguese", portuguese_stem),
+    ("dutch", dutch_stem),
+    ("russian", russian_stem),
+    ("romanian", romanian_stem),
+    ("finnish", finnish_stem),
 ])
 def test_full_golden_vocabulary(lang, fn):
     voc = open(f"{GOLDEN_DIR}/{lang}/voc.txt",
@@ -32,6 +43,11 @@ def test_registry():
     assert stemmer_for("fr")("heureusement") == "heureux"
     assert stemmer_for("es")("rápidamente") == "rapid"
     assert stemmer_for("en")("running") == "run"
+    assert stemmer_for("da")("huset") == danish_stem("huset")
+    assert stemmer_for("it")("nazionale") == "nazional"
+    assert stemmer_for("pt")("nacionais") == "nacion"
+    assert stemmer_for("nl")("gebouwen") == "gebouw"
+    assert stemmer_for("ru")("книгами") == "книг"
     assert stemmer_for("xx") is None
 
 

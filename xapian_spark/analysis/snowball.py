@@ -671,4 +671,1051 @@ def stemmer_for(lang: str):
         "de": german_stem, "german": german_stem,
         "fr": french_stem, "french": french_stem,
         "es": spanish_stem, "spanish": spanish_stem,
+        "da": danish_stem, "danish": danish_stem,
+        "nb": norwegian_stem, "nn": norwegian_stem,
+        "no": norwegian_stem, "norwegian": norwegian_stem,
+        "sv": swedish_stem, "swedish": swedish_stem,
+        "it": italian_stem, "italian": italian_stem,
+        "pt": portuguese_stem, "portuguese": portuguese_stem,
+        "nl": dutch_stem, "dutch": dutch_stem,
+        "ru": russian_stem, "russian": russian_stem,
+        "ro": romanian_stem, "romanian": romanian_stem,
+        "fi": finnish_stem, "finnish": finnish_stem,
     }.get(lang.lower())
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian trio (danish.sbl / norwegian.sbl / swedish.sbl)
+# ---------------------------------------------------------------------------
+
+_DA_V = frozenset("aeiouyæåø")
+_SV_V = frozenset("aeiouyäåö")
+
+
+def _scand_p1(w: str, vowels) -> int:
+    """goto v, gopast non-v, clamped to >= 3 (the shared mark_regions
+    of the three Scandinavian stemmers)."""
+    p1 = _gopast(w, 0, True, vowels)
+    p1 = _gopast(w, p1, False, vowels) if p1 is not None else None
+    if p1 is None:
+        return len(w)
+    return max(p1, 3) if len(w) >= 3 else p1
+
+
+def _lim_longest(w: str, p1: int, sufs):
+    """Longest suffix among sufs lying entirely within [p1, end]
+    (`setlimit tomark p1 for [substring]`)."""
+    s = _longest(w[p1:] if p1 <= len(w) else "", sufs)
+    return s
+
+
+_DA_MAIN = ("hed", "ethed", "ered", "e", "erede", "ende", "erende",
+            "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+            "erer", "heds", "es", "endes", "erendes", "enes", "ernes",
+            "eres", "ens", "hedens", "erens", "ers", "ets", "erets",
+            "et", "eret")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    # ends with gd/dt/gt/kt within the region → drop the last char
+    if _lim_longest(w, p1, ("gd", "dt", "gt", "kt")):
+        return w[:-1]
+    return w
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    p1 = _scand_p1(w, _DA_V)
+
+    # main_suffix
+    suf = _lim_longest(w, p1, _DA_MAIN + ("s",))
+    if suf:
+        if suf == "s":
+            if len(w) >= 2 and w[-2] in _DA_S_END:
+                w = w[:-1]
+        else:
+            w = w[: len(w) - len(suf)]
+
+    w = _da_consonant_pair(w, p1)
+
+    # other_suffix
+    if w.endswith("igst"):
+        w = w[:-2]  # ['st'] 'ig' delete (no region condition)
+    suf = _lim_longest(w, p1, ("ig", "lig", "elig", "els", "løst"))
+    if suf == "løst":
+        w = w[:-1]
+    elif suf:
+        w = w[: len(w) - len(suf)]
+        w = _da_consonant_pair(w, p1)
+
+    # undouble: double non-vowel at the end (last char within region)
+    if len(w) >= 2 and len(w) - 1 >= p1 and w[-1] not in _DA_V \
+            and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+_NO_MAIN = ("a", "e", "ede", "ande", "ende", "ane", "ene", "hetene",
+            "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+            "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets",
+            "et", "het", "ast")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_OTHER = ("leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov",
+             "elov", "slov", "hetslov")
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    p1 = _scand_p1(w, _DA_V)
+
+    suf = _lim_longest(w, p1, _NO_MAIN + ("s", "erte", "ert"))
+    if suf:
+        if suf == "s":
+            ok = (len(w) >= 2 and w[-2] in _NO_S_END) or (
+                len(w) >= 3 and w[-2] == "k" and w[-3] not in _DA_V)
+            if ok:
+                w = w[:-1]
+        elif suf in ("erte", "ert"):
+            w = w[: len(w) - len(suf)] + "er"
+        else:
+            w = w[: len(w) - len(suf)]
+
+    if _lim_longest(w, p1, ("dt", "vt")):
+        w = w[:-1]
+
+    suf = _lim_longest(w, p1, _NO_OTHER)
+    if suf:
+        w = w[: len(w) - len(suf)]
+    return w
+
+
+_SV_MAIN = ("a", "arna", "erna", "heterna", "orna", "ad", "e", "ade",
+            "ande", "arne", "are", "aste", "en", "anden", "aren",
+            "heten", "ern", "ar", "er", "heter", "or", "as", "arnas",
+            "ernas", "ornas", "es", "ades", "andes", "ens", "arens",
+            "hetens", "erns", "at", "andet", "het", "ast")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    p1 = _scand_p1(w, _SV_V)
+
+    suf = _lim_longest(w, p1, _SV_MAIN + ("s",))
+    if suf:
+        if suf == "s":
+            if len(w) >= 2 and w[-2] in _SV_S_END:
+                w = w[:-1]
+        else:
+            w = w[: len(w) - len(suf)]
+
+    if _lim_longest(w, p1, ("dd", "gd", "nn", "dt", "gt", "kt", "tt")):
+        w = w[:-1]
+
+    suf = _lim_longest(w, p1, ("lig", "ig", "els", "löst", "fullt"))
+    if suf == "löst":
+        w = w[:-1]
+    elif suf == "fullt":
+        w = w[:-1]
+    elif suf:
+        w = w[: len(w) - len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Italian (italian.sbl)
+# ---------------------------------------------------------------------------
+
+_IT_V = frozenset("aeiouàèìòù")
+
+_IT_PRON = ("ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si",
+            "ti", "vi", "sene", "gliela", "gliele", "glieli", "glielo",
+            "gliene", "mela", "mele", "meli", "melo", "mene", "tela",
+            "tele", "teli", "telo", "tene", "cela", "cele", "celi",
+            "celo", "cene", "vela", "vele", "veli", "velo", "vene")
+
+_IT_STD1 = ("anza", "anze", "ico", "ici", "ica", "ice", "iche",
+            "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+            "ibili", "ista", "iste", "isti", "istà", "istè", "istì",
+            "oso", "osi", "osa", "ose", "mente", "atrice", "atrici",
+            "ante", "anti")
+_IT_STD2 = ("azione", "azioni", "atore", "atori")
+_IT_VERB = ("ammo", "ando", "ano", "are", "arono", "asse", "assero",
+            "assi", "assimo", "ata", "ate", "ati", "ato", "ava",
+            "avamo", "avano", "avate", "avi", "avo", "emmo", "enda",
+            "ende", "endi", "endo", "erà", "erai", "eranno", "ere",
+            "erebbe", "erebbero", "erei", "eremmo", "eremo", "ereste",
+            "eresti", "erete", "erò", "erono", "essero", "ete", "eva",
+            "evamo", "evano", "evate", "evi", "evo", "Yamo", "iamo",
+            "immo", "irà", "irai", "iranno", "ire", "irebbe",
+            "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+            "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+            "isco", "iscono", "issero", "ita", "ite", "iti", "ito",
+            "iva", "ivamo", "ivano", "ivate", "ivi", "ivo", "ono",
+            "uta", "ute", "uti", "uto", "ar", "ir")
+
+
+def _it_prelude(word: str) -> str:
+    w = (word.replace("á", "à").replace("é", "è").replace("í", "ì")
+         .replace("ó", "ò").replace("ú", "ù").replace("qu", "qU"))
+    ch = list(w)
+    n = len(ch)
+    i = 0
+    while i < n:
+        if ch[i] in _IT_V and i + 2 < n and ch[i + 1] in "ui" \
+                and ch[i + 2] in _IT_V:
+            ch[i + 1] = ch[i + 1].upper()
+            i += 2  # cursor at end of replaced region
+            continue
+        i += 1
+    return "".join(ch)
+
+
+def italian_stem(word: str) -> str:
+    w = _it_prelude(word)
+    n = len(w)
+
+    # RV (same scheme as spanish)
+    pV = n
+    if n >= 2:
+        if w[0] in _IT_V:
+            if w[1] not in _IT_V:
+                g = _gopast(w, 2, True, _IT_V)
+                if g is not None:
+                    pV = g
+            else:
+                g = _gopast(w, 2, False, _IT_V)
+                if g is not None:
+                    pV = g
+        else:
+            if w[1] not in _IT_V:
+                g = _gopast(w, 2, True, _IT_V)
+                if g is not None:
+                    pV = g
+            elif n >= 3:
+                pV = 3
+    p1, p2 = _std_r1r2(w, _IT_V)
+
+    def rv(pos):
+        return pos >= pV
+
+    def r1(pos):
+        return pos >= p1
+
+    def r2(pos):
+        return pos >= p2
+
+    # attached_pronoun
+    pron = _longest(w, _IT_PRON)
+    if pron:
+        base = w[: len(w) - len(pron)]
+        pre = _longest(base, ("ando", "endo", "ar", "er", "ir"))
+        if pre and rv(len(base) - len(pre)):
+            if pre in ("ando", "endo"):
+                w = base
+            else:
+                w = base + "e"
+
+    # standard_suffix / verb_suffix
+    did = False
+    suf = _longest(w, _IT_STD1 + _IT_STD2
+                   + ("logia", "logie", "uzione", "uzioni", "usione",
+                      "usioni", "enza", "enze", "amento", "amenti",
+                      "imento", "imenti", "amente", "ità", "ivo",
+                      "ivi", "iva", "ive"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in _IT_STD1:
+            if r2(pos):
+                w = w[:pos]
+                did = True
+        elif suf in _IT_STD2:
+            if r2(pos):
+                w = w[:pos]
+                if w.endswith("ic"):
+                    p = len(w) - 2
+                    if r2(p):
+                        w = w[:p]
+                did = True
+        elif suf in ("logia", "logie"):
+            if r2(pos):
+                w = w[:pos] + "log"
+                did = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if r2(pos):
+                w = w[:pos] + "u"
+                did = True
+        elif suf in ("enza", "enze"):
+            if r2(pos):
+                w = w[:pos] + "ente"
+                did = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if rv(pos):
+                w = w[:pos]
+                did = True
+        elif suf == "amente":
+            if r1(pos):
+                w = w[:pos]
+                s2 = _longest(w, ("iv", "os", "ic", "abil"))
+                if s2:
+                    p = len(w) - len(s2)
+                    if r2(p):
+                        w = w[:p]
+                        if s2 == "iv" and w.endswith("at"):
+                            p = len(w) - 2
+                            if r2(p):
+                                w = w[:p]
+                did = True
+        elif suf == "ità":
+            if r2(pos):
+                w = w[:pos]
+                s2 = _longest(w, ("abil", "ic", "iv"))
+                if s2:
+                    p = len(w) - len(s2)
+                    if r2(p):
+                        w = w[:p]
+                did = True
+        else:  # ivo ivi iva ive
+            if r2(pos):
+                w = w[:pos]
+                if w.endswith("at"):
+                    p = len(w) - 2
+                    if r2(p):
+                        w = w[:p]
+                        if w.endswith("ic"):
+                            p = len(w) - 2
+                            if r2(p):
+                                w = w[:p]
+                did = True
+
+    if not did:
+        lim = w[pV:] if pV <= len(w) else ""
+        suf = _longest(lim, _IT_VERB)
+        if suf:
+            w = w[: len(w) - len(suf)]
+
+    # vowel_suffix
+    if w and w[-1] in "aeioàèìò" and rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and rv(len(w) - 1):
+            w = w[:-1]
+    if w.endswith("h") and len(w) >= 2 and w[-2] in "cg" \
+            and rv(len(w) - 2):
+        # RV tests the cursor AFTER consuming the CG char — the c/g
+        # position, not the h ('buche' keeps its h when c is pre-RV)
+        w = w[:-1]
+
+    return (w.replace("I", "i").replace("U", "u"))
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (portuguese.sbl)
+# ---------------------------------------------------------------------------
+
+# the prelude rewrites ã→"a~", õ→"o~" (and postlude restores), so the
+# regions and all suffix matching run on the two-char forms
+_PT_V = frozenset("aeiouáéíóúâêô")
+
+_PT_STD1 = ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+            "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+            "osos", "osas", "amento", "amentos", "imento", "imentos",
+            "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+            "ante", "antes", "ância")
+_PT_VERB = ("ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara",
+            "erá", "era", "irá", "ava", "asse", "esse", "isse",
+            "aste", "este", "iste", "ei", "arei", "erei", "irei",
+            "am", "iam", "ariam", "eriam", "iriam", "aram", "eram",
+            "iram", "avam", "em", "arem", "erem", "irem", "assem",
+            "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+            "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as",
+            "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+            "aras", "erás", "eras", "irás", "avas", "es", "ardes",
+            "erdes", "irdes", "ares", "eres", "ires", "asses",
+            "esses", "isses", "astes", "estes", "istes", "is", "ais",
+            "eis", "íeis", "aríeis", "eríeis", "iríeis", "áreis",
+            "areis", "éreis", "ereis", "íreis", "ireis", "ásseis",
+            "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+            "amos", "íamos", "aríamos", "eríamos", "iríamos",
+            "áramos", "éramos", "íramos", "ávamos", "emos", "aremos",
+            "eremos", "iremos", "ássemos", "êssemos", "íssemos",
+            "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
+            "ira", "iras")
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    n = len(w)
+
+    # RV (spanish scheme) on the transformed string
+    pV = n
+    if n >= 2:
+        if w[0] in _PT_V:
+            if w[1] not in _PT_V:
+                g = _gopast(w, 2, True, _PT_V)
+                if g is not None:
+                    pV = g
+            else:
+                g = _gopast(w, 2, False, _PT_V)
+                if g is not None:
+                    pV = g
+        else:
+            if w[1] not in _PT_V:
+                g = _gopast(w, 2, True, _PT_V)
+                if g is not None:
+                    pV = g
+            elif n >= 3:
+                pV = 3
+    p1, p2 = _std_r1r2(w, _PT_V)
+
+    def rv(pos):
+        return pos >= pV
+
+    def r1(pos):
+        return pos >= p1
+
+    def r2(pos):
+        return pos >= p2
+
+    did = False
+    suf = _longest(w, _PT_STD1
+                   + ("logía", "logías", "ución", "uciones", "ência",
+                      "ências", "amente", "mente", "idade", "idades",
+                      "iva", "ivo", "ivas", "ivos", "ira", "iras"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in _PT_STD1:
+            if r2(pos):
+                w = w[:pos]
+                did = True
+        elif suf in ("logía", "logías"):
+            if r2(pos):
+                w = w[:pos] + "log"
+                did = True
+        elif suf in ("ución", "uciones"):
+            if r2(pos):
+                w = w[:pos] + "u"
+                did = True
+        elif suf in ("ência", "ências"):
+            if r2(pos):
+                w = w[:pos] + "ente"
+                did = True
+        elif suf == "amente":
+            if r1(pos):
+                w = w[:pos]
+                s2 = _longest(w, ("iv", "os", "ic", "ad"))
+                if s2:
+                    p = len(w) - 2
+                    if r2(p):
+                        w = w[:p]
+                        if s2 == "iv" and w.endswith("at"):
+                            p = len(w) - 2
+                            if r2(p):
+                                w = w[:p]
+                did = True
+        elif suf == "mente":
+            if r2(pos):
+                w = w[:pos]
+                s2 = _longest(w, ("ante", "avel", "ível"))
+                if s2:
+                    p = len(w) - len(s2)
+                    if r2(p):
+                        w = w[:p]
+                did = True
+        elif suf in ("idade", "idades"):
+            if r2(pos):
+                w = w[:pos]
+                s2 = _longest(w, ("abil", "ic", "iv"))
+                if s2:
+                    p = len(w) - len(s2)
+                    if r2(p):
+                        w = w[:p]
+                did = True
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if r2(pos):
+                w = w[:pos]
+                if w.endswith("at"):
+                    p = len(w) - 2
+                    if r2(p):
+                        w = w[:p]
+                did = True
+        else:  # ira iras: non-verbal -eira(s)
+            if rv(pos) and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+                did = True
+
+    if not did:
+        lim = w[pV:] if pV <= len(w) else ""
+        suf = _longest(lim, _PT_VERB)
+        if suf:
+            w = w[: len(w) - len(suf)]
+            did = True
+
+    if did:
+        # do ( ['i'] test 'c' RV delete )
+        if w.endswith("i") and len(w) >= 2 and w[-2] == "c" \
+                and rv(len(w) - 1):
+            w = w[:-1]
+    else:
+        suf = _longest(w, ("os", "a", "i", "o", "á", "í", "ó"))
+        if suf:
+            pos = len(w) - len(suf)
+            if rv(pos):
+                w = w[:pos]
+
+    # residual_form
+    suf = _longest(w, ("e", "é", "ê"))
+    if suf and rv(len(w) - 1):
+        w = w[:-1]
+        if ((w.endswith("u") and len(w) >= 2 and w[-2] == "g")
+                or (w.endswith("i") and len(w) >= 2
+                    and w[-2] == "c")) and rv(len(w) - 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Dutch (dutch.sbl)
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_ACCENTS = str.maketrans("äáëéïíöóüú", "aaeeiioouu")
+
+
+def _nl_prelude(word: str) -> str:
+    w = word.translate(_NL_ACCENTS)
+    ch = list(w)
+    n = len(ch)
+    if ch and ch[0] == "y":
+        ch[0] = "Y"
+    i = 0
+    while i < n:
+        if ch[i] in _NL_V and i + 1 < n:
+            if ch[i + 1] == "i" and i + 2 < n and ch[i + 2] in _NL_V:
+                ch[i + 1] = "I"
+                i += 2
+                continue
+            if ch[i + 1] == "y":
+                ch[i + 1] = "Y"
+                i += 2
+                continue
+        i += 1
+    return "".join(ch)
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_prelude(word)
+
+    p1, p2 = _std_r1r2(w, _NL_V)
+    p1 = max(p1, 3)
+
+    def r1(pos):
+        return pos >= p1
+
+    def r2(pos):
+        return pos >= p2
+
+    state = {"e_found": False}
+
+    def undouble(s: str) -> str:
+        return s[:-1] if s.endswith(("kk", "dd", "tt")) else s
+
+    def en_ending(s: str, nsuf: int):
+        pos = len(s) - nsuf
+        if r1(pos) and pos > 0 and s[pos - 1] not in _NL_V \
+                and not s[:pos].endswith("gem"):
+            return undouble(s[:pos])
+        return None
+
+    def e_ending(s: str) -> str:
+        if s.endswith("e") and r1(len(s) - 1) and len(s) >= 2 \
+                and s[-2] not in _NL_V:
+            state["e_found"] = True
+            return undouble(s[:-1])
+        return s
+
+    # step 1
+    suf = _longest(w, ("heden", "en", "ene", "s", "se"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf == "heden":
+            if r1(pos):
+                w = w[:pos] + "heid"
+        elif suf in ("en", "ene"):
+            res = en_ending(w, len(suf))
+            if res is not None:
+                w = res
+        else:  # s se
+            if r1(pos) and pos > 0 and w[pos - 1] not in _NL_V \
+                    and w[pos - 1] != "j":
+                w = w[:pos]
+
+    # step 2
+    w = e_ending(w)
+
+    # step 3a: heid (then en_ending on the rest) — sequential
+    if w.endswith("heid") and r2(len(w) - 4) \
+            and not w[: len(w) - 4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            res = en_ending(w, 2)
+            if res is not None:
+                w = res
+
+    # step 3b (d-suffixes)
+    suf = _longest(w, ("end", "ing", "ig", "lijk", "baar", "bar"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if r2(pos):
+                w = w[:pos]
+                if w.endswith("ig") and r2(len(w) - 2) \
+                        and not w[: len(w) - 2].endswith("e"):
+                    w = w[:-2]
+                else:
+                    w = undouble(w)
+        elif suf == "ig":
+            if r2(pos) and not w[:pos].endswith("e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if r2(pos):
+                w = e_ending(w[:pos])
+        elif suf == "baar":
+            if r2(pos):
+                w = w[:pos]
+        else:  # bar
+            if r2(pos) and state["e_found"]:
+                w = w[:pos]
+
+    # step 4: undouble vowel (CVVC at end → CVC)
+    if len(w) >= 4 and w[-1] not in _NL_V and w[-1] != "I" \
+            and w[-3:-1] in ("aa", "ee", "oo", "uu") \
+            and w[-4] not in _NL_V:
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# Russian (russian.sbl)
+# ---------------------------------------------------------------------------
+
+_RU_V = frozenset("аеиоуыэюя")
+
+_RU_PG_AY = ("в", "вши", "вшись")
+_RU_PG = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJ = ("ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+           "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому",
+           "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PART_AY = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART = ("ивш", "ывш", "ующ")
+_RU_VERB_AY = ("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н",
+               "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно")
+_RU_VERB = ("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+            "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+            "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить",
+            "ыть", "ишь", "ую", "ю")
+_RU_NOUN = ("а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами",
+            "еи", "ии", "и", "ией", "ей", "ой", "ий", "й", "иям",
+            "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях",
+            "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я")
+
+
+def russian_stem(word: str) -> str:
+    w = word
+    pV = _gopast(w, 0, True, _RU_V)
+    if pV is None:
+        return w
+    _p1, p2 = _std_r1r2(w, _RU_V)
+
+    def lim(pos):
+        return pos >= pV
+
+    def try_del_ay(s, sufs_ay, sufs_plain):
+        """Longest among both groups; the _ay group also needs а/я
+        immediately before (within the pV limit). Returns the stemmed
+        string or None when the among fails."""
+        suf = _longest(s[pV:], sufs_ay + sufs_plain)
+        if not suf:
+            return None
+        pos = len(s) - len(suf)
+        # the longest match might be in either group
+        in_ay = suf in sufs_ay and not (suf in sufs_plain)
+        if suf in sufs_ay and suf in sufs_plain:
+            in_ay = False
+        if in_ay:
+            if pos - 1 >= pV and s[pos - 1] in "ая":
+                return s[:pos]
+            return None
+        return s[:pos]
+
+    # perfective_gerund OR (try reflexive; adjectival|verb|noun)
+    res = try_del_ay(w, _RU_PG_AY, _RU_PG)
+    if res is not None:
+        w = res
+    else:
+        # try reflexive
+        suf = _longest(w[pV:], ("ся", "сь"))
+        if suf:
+            w = w[: len(w) - len(suf)]
+        # adjectival
+        suf = _longest(w[pV:], _RU_ADJ)
+        if suf:
+            w = w[: len(w) - len(suf)]
+            res = try_del_ay(w, _RU_PART_AY, _RU_PART)
+            if res is not None:
+                w = res
+        else:
+            res = try_del_ay(w, _RU_VERB_AY, _RU_VERB)
+            if res is not None:
+                w = res
+            else:
+                suf = _longest(w[pV:], _RU_NOUN)
+                if suf:
+                    w = w[: len(w) - len(suf)]
+
+    # try final 'и'
+    if w.endswith("и") and lim(len(w) - 1):
+        w = w[:-1]
+
+    # derivational: ост/ость in R2
+    suf = _longest(w[pV:], ("ост", "ость"))
+    if suf and (len(w) - len(suf)) >= p2:
+        w = w[: len(w) - len(suf)]
+
+    # tidy_up
+    suf = _longest(w[pV:], ("ейш", "ейше", "н", "ь"))
+    if suf in ("ейш", "ейше"):
+        w = w[: len(w) - len(suf)]
+        if w.endswith("нн") and lim(len(w) - 1):
+            w = w[:-1]
+    elif suf == "н":
+        if w.endswith("нн") and lim(len(w) - 1):
+            w = w[:-1]
+    elif suf == "ь":
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Romanian (romanian.sbl)
+# ---------------------------------------------------------------------------
+
+_RO_V = frozenset("aeiouâîă")
+
+_RO_STEP0 = {**{s: "" for s in ("ul", "ului")},
+             "aua": "a",
+             **{s: "e" for s in ("ea", "ele", "elor")},
+             **{s: "i" for s in ("ii", "iua", "iei", "iile", "iilor",
+                                 "ilor")},
+             "ile": "i",  # (not 'ab')
+             "atei": "at", "aţie": "aţi", "aţia": "aţi"}
+
+_RO_COMBO = {}
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBO[_s] = "abil"
+_RO_COMBO["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBO[_s] = "iv"
+for _s in ("icitate", "icitati", "icităi", "icităţi", "icator",
+           "icatori", "iciv", "iciva", "icive", "icivi", "icivă",
+           "ical", "icala", "icale", "icali", "icală"):
+    _RO_COMBO[_s] = "ic"
+for _s in ("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+           "atoare", "ator", "atori", "ătoare", "ător", "ători"):
+    _RO_COMBO[_s] = "at"
+for _s in ("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+           "itoare", "itor", "itori"):
+    _RO_COMBO[_s] = "it"
+
+_RO_STD_DEL = ("at", "ata", "ată", "ati", "ate", "ut", "uta", "ută",
+               "uti", "ute", "it", "ita", "ită", "iti", "ite", "ic",
+               "ica", "ice", "ici", "ică", "abil", "abila", "abile",
+               "abili", "abilă", "ibil", "ibila", "ibile", "ibili",
+               "ibilă", "oasa", "oasă", "oase", "os", "osi", "oşi",
+               "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+               "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive",
+               "ivi", "ivă")
+_RO_STD_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+               "işti")
+
+_RO_VERB_COND = ("are", "ere", "ire", "âre", "ind", "ând", "indu",
+                 "ându", "eze", "ească", "ez", "ezi", "ează", "esc",
+                 "eşti", "eşte", "ăsc", "ăşti", "ăşte", "am", "ai",
+                 "au", "eam", "eai", "ea", "eaţi", "eau", "iam",
+                 "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm",
+                 "arăţi", "ară", "uşi", "urăm", "urăţi", "ură",
+                 "işi", "irăm", "irăţi", "iră", "âi", "âşi", "ârăm",
+                 "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm",
+                 "aserăţi", "aseră", "isem", "iseşi", "ise",
+                 "iserăm", "iserăţi", "iseră", "âsem", "âseşi",
+                 "âse", "âserăm", "âserăţi", "âseră", "usem",
+                 "useşi", "use", "userăm", "userăţi", "useră")
+_RO_VERB_PLAIN = ("ăm", "aţi", "em", "eţi", "im", "iţi", "âm",
+                  "âţi", "seşi", "serăm", "serăţi", "seră", "sei",
+                  "se", "sesem", "seseşi", "sese", "seserăm",
+                  "seserăţi", "seseră")
+
+
+def romanian_stem(word: str) -> str:
+    # prelude: u/i between vowels → U/I
+    ch = list(word)
+    n = len(ch)
+    i = 0
+    while i < n:
+        if ch[i] in _RO_V and i + 2 < n and ch[i + 1] in "ui" \
+                and ch[i + 2] in _RO_V:
+            ch[i + 1] = ch[i + 1].upper()
+            i += 2
+            continue
+        i += 1
+    w = "".join(ch)
+    n = len(w)
+
+    pV = n
+    if n >= 2:
+        if w[0] in _RO_V:
+            if w[1] not in _RO_V:
+                g = _gopast(w, 2, True, _RO_V)
+                if g is not None:
+                    pV = g
+            else:
+                g = _gopast(w, 2, False, _RO_V)
+                if g is not None:
+                    pV = g
+        else:
+            if w[1] not in _RO_V:
+                g = _gopast(w, 2, True, _RO_V)
+                if g is not None:
+                    pV = g
+            elif n >= 3:
+                pV = 3
+    p1, p2 = _std_r1r2(w, _RO_V)
+
+    def rv(pos):
+        return pos >= pV
+
+    def r1(pos):
+        return pos >= p1
+
+    def r2(pos):
+        return pos >= p2
+
+    # step_0
+    suf = _longest(w, _RO_STEP0)
+    if suf:
+        pos = len(w) - len(suf)
+        if r1(pos) and not (suf == "ile" and w[:pos].endswith("ab")):
+            w = w[:pos] + _RO_STEP0[suf]
+
+    # standard_suffix: repeat combo, then the R2 among
+    removed = False
+    while True:
+        suf = _longest(w, _RO_COMBO)
+        if not suf:
+            break
+        pos = len(w) - len(suf)
+        if not r1(pos):
+            break
+        w = w[:pos] + _RO_COMBO[suf]
+        removed = True
+    suf = _longest(w, _RO_STD_DEL + _RO_STD_IST + ("iune", "iuni"))
+    if suf:
+        pos = len(w) - len(suf)
+        if r2(pos):
+            if suf in ("iune", "iuni"):
+                if pos > 0 and w[pos - 1] == "ţ":
+                    w = w[: pos - 1] + "t"
+                    removed = True
+            elif suf in _RO_STD_IST:
+                w = w[:pos] + "ist"
+                removed = True
+            else:
+                w = w[:pos]
+                removed = True
+
+    # verb_suffix only when no standard suffix was removed
+    if not removed:
+        lim = w[pV:] if pV <= len(w) else ""
+        suf = _longest(lim, _RO_VERB_COND + _RO_VERB_PLAIN)
+        if suf:
+            pos = len(w) - len(suf)
+            if suf in _RO_VERB_PLAIN and not (suf in _RO_VERB_COND):
+                w = w[:pos]
+            else:
+                # the (non-v or 'u') pre-check runs INSIDE the pV
+                # setlimit: the tested char must also be >= pV
+                if pos - 1 >= pV and (w[pos - 1] not in _RO_V
+                                      or w[pos - 1] == "u"):
+                    w = w[:pos]
+
+    # vowel_suffix
+    suf = _longest(w, ("a", "e", "i", "ie", "ă"))
+    if suf and rv(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Finnish (finnish.sbl)
+# ---------------------------------------------------------------------------
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_PARTICLE_END = frozenset("aeiouyäönt")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    p1 = _gopast(w, 0, True, _FI_V1)
+    p1 = _gopast(w, p1, False, _FI_V1) if p1 is not None else None
+    if p1 is None:
+        p1 = len(w)
+        p2 = len(w)
+    else:
+        p2 = _gopast(w, p1, True, _FI_V1)
+        p2 = _gopast(w, p2, False, _FI_V1) if p2 is not None else None
+        if p2 is None:
+            p2 = len(w)
+
+    def in1(pos):
+        return pos >= p1
+
+    def in2(pos):
+        return pos >= p2
+
+    ending_removed = False
+
+    # particle_etc
+    suf = _longest(w[p1:], ("kin", "kaan", "kään", "ko", "kö", "han",
+                            "hän", "pa", "pä", "sti"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf == "sti":
+            if in2(pos):
+                w = w[:pos]
+        else:
+            if pos > 0 and w[pos - 1] in _FI_PARTICLE_END:
+                w = w[:pos]
+
+    # possessive
+    suf = _longest(w[p1:], ("si", "ni", "nsa", "nsä", "mme", "nne",
+                            "an", "än", "en"))
+    if suf:
+        pos = len(w) - len(suf)
+        base = w[:pos]
+        if suf == "si":
+            if not base.endswith("k"):
+                w = base
+        elif suf == "ni":
+            w = base
+            if w.endswith("kse"):
+                w = w[:-3] + "ksi"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            w = base
+        elif suf == "an":
+            if base.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                w = base
+        elif suf == "än":
+            if base.endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                w = base
+        else:  # en
+            if base.endswith(("lle", "ine")):
+                w = base
+
+    def vi(base):
+        return (base.endswith("i") and len(base) >= 2
+                and base[-2] in _FI_V2)
+
+    # case_ending. siin/seen/den/tten carry BARE routine conditions
+    # (VI / LONG) in the sbl: a bare routine is tested at MATCH time
+    # and its failure makes the among fall back to a shorter entry —
+    # unlike parenthesized commands, whose failure fails the among.
+    _CASES = ["han", "hen", "hin", "hon", "hän", "hön", "siin",
+              "seen", "den", "tten", "n", "a", "ä", "tta", "ttä",
+              "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+              "lta", "ltä", "lle", "na", "nä", "ksi", "ine"]
+    suf = _longest(w[p1:], _CASES)
+    while suf in ("siin", "seen", "den", "tten"):
+        pos = len(w) - len(suf)
+        base = w[:pos]
+        cond = (base.endswith(_FI_LONG) if suf == "seen"
+                else vi(base))
+        if cond:
+            break
+        _CASES.remove(suf)
+        suf = _longest(w[p1:], _CASES)
+    if suf:
+        pos = len(w) - len(suf)
+        base = w[:pos]
+        ok = True
+        extra = 0
+        if suf in ("han", "hen", "hin", "hon", "hän", "hön"):
+            ok = base.endswith(
+                {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+                 "hän": "ä", "hön": "ö"}[suf])
+        elif suf in ("siin", "den", "tten"):
+            ok = vi(base)
+        elif suf == "seen":
+            ok = base.endswith(_FI_LONG)
+        elif suf == "n":
+            if base.endswith(_FI_LONG) or base.endswith("ie"):
+                extra = 1  # the 'n' takes the preceding char with it
+        elif suf in ("a", "ä"):
+            ok = (len(base) >= 2 and base[-1] in _FI_V1
+                  and base[-2] not in _FI_V1)
+        elif suf in ("tta", "ttä"):
+            ok = base.endswith("e")
+        if ok:
+            w = w[: pos - extra]
+            ending_removed = True
+
+    # other_endings (R2)
+    suf = _longest(w[p2:], ("mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+                            "impi", "impa", "impä", "immi", "imma",
+                            "immä", "eja", "ejä"))
+    if suf:
+        pos = len(w) - len(suf)
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä") \
+                and w[:pos].endswith("po"):
+            pass
+        else:
+            w = w[:pos]
+
+    # (ending_removed → i_plural) or t_plural
+    if ending_removed:
+        if w and w[-1] in "ij" and in1(len(w) - 1):
+            w = w[:-1]
+    else:
+        if w.endswith("t") and in1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] in _FI_V1:
+            w = w[:-1]
+            suf = _longest(w[p2:], ("mma", "imma"))
+            if suf == "imma":
+                w = w[: len(w) - 4]
+            elif suf == "mma" and not w[: len(w) - 3].endswith("po"):
+                w = w[: len(w) - 3]
+
+    # tidy
+    if len(w) >= 2 and in1(len(w) - 2) and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    if w and w[-1] in "aäei" and in1(len(w) - 1) and len(w) >= 2 \
+            and w[-2] not in _FI_V1 and in1(len(w) - 2):
+        w = w[:-1]
+    if w.endswith("oj") or w.endswith("uj"):
+        if in1(len(w) - 1) and in1(len(w) - 2):
+            w = w[:-1]
+    if w.endswith("jo") and in1(len(w) - 1) and in1(len(w) - 2):
+        w = w[:-1]
+    # undouble the last consonant (anywhere in the word)
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and w[i - 1] == w[i]:
+        w = w[: i] + w[i + 1:]
+    return w
