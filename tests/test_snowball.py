@@ -5,9 +5,10 @@ the same data stem.cc's Stem class is tested against)."""
 import pytest
 
 from xapian_spark.analysis.snowball import (
-    danish_stem, dutch_stem, finnish_stem, french_stem, german_stem,
-    italian_stem, norwegian_stem, portuguese_stem, romanian_stem,
-    russian_stem, spanish_stem, stemmer_for, swedish_stem,
+    danish_stem, dutch_stem, finnish_stem, french_stem, german2_stem,
+    german_stem, hungarian_stem, italian_stem, norwegian_stem,
+    porter_stem, portuguese_stem, romanian_stem, russian_stem,
+    spanish_stem, stemmer_for, swedish_stem,
 )
 
 GOLDEN_DIR = "/root/reference/xapian-data/stemming"
@@ -26,14 +27,19 @@ GOLDEN_DIR = "/root/reference/xapian-data/stemming"
     ("russian", russian_stem),
     ("romanian", romanian_stem),
     ("finnish", finnish_stem),
+    ("hungarian", hungarian_stem),
+    ("german2", german2_stem),
+    ("porter", porter_stem),
 ])
 def test_full_golden_vocabulary(lang, fn):
+    # line-based: a stem may legitimately be EMPTY (porter 's' → '')
     voc = open(f"{GOLDEN_DIR}/{lang}/voc.txt",
-               encoding="utf-8").read().split()
+               encoding="utf-8").read().splitlines()
     out = open(f"{GOLDEN_DIR}/{lang}/output.txt",
-               encoding="utf-8").read().split()
+               encoding="utf-8").read().splitlines()
     assert len(voc) == len(out)
-    bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
+    bad = [(v, fn(v.strip()), o) for v, o in zip(voc, out)
+           if fn(v.strip()) != o.strip()]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
 
 

@@ -79,7 +79,44 @@ def german_stem(word: str) -> str:
         if ch[i] in "uy" and ch[i - 1] in _DE_V and ch[i + 1] in _DE_V:
             ch[i] = ch[i].upper()
     w = "".join(ch)
+    return _german_body(w)
 
+
+def german2_stem(word: str) -> str:
+    """german2.sbl: the german variant that also folds ae/oe/ue →
+    ä/ö/ü (except after q) before the shared suffix steps."""
+    ch = list(word)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "uy" and ch[i - 1] in _DE_V and ch[i + 1] in _DE_V:
+            ch[i] = ch[i].upper()
+    w = "".join(ch)
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        two = w[i:i + 2]
+        if w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        elif two == "qu":
+            out.append(w[i:i + 4])  # 'qu' hop 2: next two chars raw
+            i += 4
+        else:
+            out.append(w[i])
+            i += 1
+    return _german_body("".join(out))
+
+
+def _german_body(w: str) -> str:
     p1, p2 = _std_r1r2(w, _DE_V)
     if len(w) >= 3:
         p1 = max(p1, 3)  # $p1 < x → $p1 = x
@@ -681,6 +718,9 @@ def stemmer_for(lang: str):
         "ru": russian_stem, "russian": russian_stem,
         "ro": romanian_stem, "romanian": romanian_stem,
         "fi": finnish_stem, "finnish": finnish_stem,
+        "hu": hungarian_stem, "hungarian": hungarian_stem,
+        "german2": german2_stem,
+        "porter": porter_stem,
     }.get(lang.lower())
 
 
@@ -1718,4 +1758,245 @@ def finnish_stem(word: str) -> str:
         i -= 1
     if i >= 1 and w[i - 1] == w[i]:
         w = w[: i] + w[i + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (hungarian.sbl)
+# ---------------------------------------------------------------------------
+
+_HU_V = frozenset("aeiouáéíóöõúüû")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs", "bb",
+               "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+               "pp", "rr", "ss", "tt", "vv", "zz")
+
+_HU_CASE = ("ban", "ben", "ba", "be", "ra", "re", "nak", "nek",
+            "val", "vel", "tól", "tõl", "ról", "rõl", "ból", "bõl",
+            "hoz", "hez", "höz", "nál", "nél", "ig", "at", "et",
+            "ot", "öt", "ért", "képp", "képpen", "kor", "ul", "ül",
+            "vá", "vé", "onként", "enként", "anként", "ként", "en",
+            "on", "an", "ön", "n", "t")
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+
+    # mark_regions
+    p1 = n
+    if n and w[0] in _HU_V:
+        i = 0
+        while i < n and w[i] in _HU_V:
+            i += 1
+        if i < n:
+            for d in _HU_DIGRAPHS:
+                if w.startswith(d, i):
+                    p1 = i + len(d)
+                    break
+            else:
+                p1 = i + 1
+    elif n:
+        g = _gopast(w, 0, True, _HU_V)
+        if g is not None:
+            p1 = g
+
+    def r1(pos):
+        return pos >= p1
+
+    def v_ending(s):
+        if s.endswith("á") and r1(len(s) - 1):
+            return s[:-1] + "a"
+        if s.endswith("é") and r1(len(s) - 1):
+            return s[:-1] + "e"
+        return s
+
+    def undouble(s):
+        return s[:-2] + s[-1] if len(s) >= 2 else s
+
+    # instrum: al/el preceded by a double consonant
+    suf = _longest(w, ("al", "el"))
+    if suf and r1(len(w) - 2) and w[: -2].endswith(_HU_DOUBLES):
+        w = undouble(w[:-2])
+
+    # case
+    suf = _longest(w, _HU_CASE)
+    if suf and r1(len(w) - len(suf)):
+        w = v_ending(w[: len(w) - len(suf)])
+
+    # case_special
+    suf = _longest(w, ("én", "án", "ánként"))
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + ("a" if suf in ("án", "ánként")
+                                      else "e")
+
+    # case_other
+    suf = _longest(w, ("astul", "estül", "stul", "stül", "ástul",
+                       "éstül"))
+    if suf and r1(len(w) - len(suf)):
+        base = w[: len(w) - len(suf)]
+        if suf == "ástul":
+            w = base + "a"
+        elif suf == "éstül":
+            w = base + "e"
+        else:
+            w = base
+
+    # factive: á/é preceded by a double consonant
+    suf = _longest(w, ("á", "é"))
+    if suf and r1(len(w) - 1) and w[:-1].endswith(_HU_DOUBLES):
+        w = undouble(w[:-1])
+
+    # owned
+    _OWNED = {"oké": "", "öké": "", "aké": "", "eké": "", "éké": "e",
+              "áké": "a", "ké": "", "ééi": "e", "áéi": "a", "éi": "",
+              "éé": "e", "é": ""}
+    suf = _longest(w, _OWNED)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _OWNED[suf]
+
+    # sing_owner
+    _SING = {"ünk": "", "unk": "", "ánk": "a", "énk": "e", "nk": "",
+             "ájuk": "a", "éjük": "e", "juk": "", "jük": "",
+             "uk": "", "ük": "", "em": "", "om": "", "am": "",
+             "ám": "a", "ém": "e", "m": "", "od": "", "ed": "",
+             "ad": "", "öd": "", "ád": "a", "éd": "e", "d": "",
+             "ja": "", "je": "", "a": "", "e": "", "o": "",
+             "á": "a", "é": "e"}
+    suf = _longest(w, _SING)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _SING[suf]
+
+    # plur_owner
+    _PLUR = {"jaim": "", "jeim": "", "áim": "a", "éim": "e",
+             "aim": "", "eim": "", "im": "", "jaid": "", "jeid": "",
+             "áid": "a", "éid": "e", "aid": "", "eid": "", "id": "",
+             "jai": "", "jei": "", "ái": "a", "éi": "e", "ai": "",
+             "ei": "", "i": "", "jaink": "", "jeink": "", "eink": "",
+             "aink": "", "áink": "a", "éink": "e", "ink": "",
+             "jaitok": "", "jeitek": "", "aitok": "", "eitek": "",
+             "áitok": "a", "éitek": "e", "itek": "", "jeik": "",
+             "jaik": "", "aik": "", "eik": "", "áik": "a",
+             "éik": "e", "ik": ""}
+    suf = _longest(w, _PLUR)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _PLUR[suf]
+
+    # plural
+    _PL = {"ák": "a", "ék": "e", "ök": "", "ak": "", "ok": "",
+           "ek": "", "k": ""}
+    suf = _longest(w, _PL)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _PL[suf]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Classic Porter (porter.sbl — the original 1980 algorithm as pinned
+# by the Snowball distribution, distinct from porter2/"english")
+# ---------------------------------------------------------------------------
+
+_PO_V = frozenset("aeiouy")
+_PO_VWXY = frozenset("aeiouywxY")
+
+
+def porter_stem(word: str) -> str:
+    ch = list(word)
+    y_found = False
+    if ch and ch[0] == "y":
+        ch[0] = "Y"
+        y_found = True
+    for i in range(1, len(ch)):
+        if ch[i] == "y" and ch[i - 1] in _PO_V:
+            ch[i] = "Y"
+            y_found = True
+    w = "".join(ch)
+    p1, p2 = _std_r1r2(w, _PO_V)
+
+    def r1(pos):
+        return pos >= p1
+
+    def r2(pos):
+        return pos >= p2
+
+    def shortv_at(pos):
+        """backward (non-v_WXY v non-v) ending at pos (exclusive)."""
+        return (pos >= 3 and w[pos - 1] not in _PO_VWXY
+                and w[pos - 2] in _PO_V and w[pos - 3] not in _PO_V)
+
+    # Step 1a
+    suf = _longest(w, ("sses", "ies", "ss", "s"))
+    if suf == "sses":
+        w = w[:-4] + "ss"
+    elif suf == "ies":
+        w = w[:-3] + "i"
+    elif suf == "s":
+        w = w[:-1]
+
+    # Step 1b
+    suf = _longest(w, ("eed", "ed", "ing"))
+    if suf == "eed":
+        if r1(len(w) - 3):
+            w = w[:-3] + "ee"
+    elif suf in ("ed", "ing"):
+        stem_ = w[: len(w) - len(suf)]
+        if any(c in _PO_V for c in stem_):
+            w = stem_
+            s2 = _longest(w, ("at", "bl", "iz", "bb", "dd", "ff",
+                              "gg", "mm", "nn", "pp", "rr", "tt"))
+            if s2 in ("at", "bl", "iz"):
+                w = w + "e"
+            elif s2:
+                w = w[:-1]
+            elif len(w) == p1 and shortv_at(len(w)):
+                w = w + "e"
+
+    # Step 1c
+    if w and w[-1] in "yY" and any(c in _PO_V for c in w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    _S2 = {"tional": "tion", "enci": "ence", "anci": "ance",
+           "abli": "able", "entli": "ent", "eli": "e", "izer": "ize",
+           "ization": "ize", "ational": "ate", "ation": "ate",
+           "ator": "ate", "alli": "al", "alism": "al", "aliti": "al",
+           "fulness": "ful", "ousli": "ous", "ousness": "ous",
+           "iveness": "ive", "iviti": "ive", "biliti": "ble"}
+    suf = _longest(w, _S2)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _S2[suf]
+
+    # Step 3
+    _S3 = {"alize": "al", "icate": "ic", "iciti": "ic", "ical": "ic",
+           "ative": "", "ful": "", "ness": ""}
+    suf = _longest(w, _S3)
+    if suf and r1(len(w) - len(suf)):
+        w = w[: len(w) - len(suf)] + _S3[suf]
+
+    # Step 4
+    _S4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+           "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+           "ive", "ize", "ion")
+    suf = _longest(w, _S4)
+    if suf:
+        pos = len(w) - len(suf)
+        if r2(pos):
+            if suf == "ion":
+                if pos > 0 and w[pos - 1] in "st":
+                    w = w[:pos]
+            else:
+                w = w[:pos]
+
+    # Step 5a
+    if w.endswith("e"):
+        pos = len(w) - 1
+        if r2(pos) or (r1(pos) and not shortv_at(pos)):
+            w = w[:pos]
+
+    # Step 5b
+    if w.endswith("ll") and r2(len(w) - 1):
+        w = w[:-1]
+
+    if y_found:
+        w = w.replace("Y", "y")
     return w
