@@ -8,7 +8,7 @@ from xapian_spark.analysis.snowball import (
     danish_stem, dutch_stem, finnish_stem, french_stem, german2_stem,
     german_stem, hungarian_stem, italian_stem, norwegian_stem,
     porter_stem, portuguese_stem, romanian_stem, russian_stem,
-    spanish_stem, stemmer_for, swedish_stem,
+    spanish_stem, stemmer_for, swedish_stem, turkish_stem,
 )
 
 GOLDEN_DIR = "/root/reference/xapian-data/stemming"
@@ -28,6 +28,7 @@ GOLDEN_DIR = "/root/reference/xapian-data/stemming"
     ("romanian", romanian_stem),
     ("finnish", finnish_stem),
     ("hungarian", hungarian_stem),
+    ("turkish", turkish_stem),
     ("german2", german2_stem),
     ("porter", porter_stem),
 ])

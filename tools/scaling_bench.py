@@ -133,19 +133,22 @@ def query_latency(cpus: int = 32, n_queries: int = 30) -> dict:
     return out
 
 
+def _burn(_):
+    # module-level so multiprocessing can pickle it under spawn
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
 def hardware_ceiling() -> float:
     """Pure-CPU 8→32-process scaling of this (shared) host, measured in
     the same time window as the benchmark — the efficiency any job can
     at best achieve here."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 2.0:
-            x += 1
-        return x
-
+    burn = _burn
     rates = {}
     for n in (8, 32):
         with mp.Pool(n) as pool:

@@ -719,6 +719,7 @@ def stemmer_for(lang: str):
         "ro": romanian_stem, "romanian": romanian_stem,
         "fi": finnish_stem, "finnish": finnish_stem,
         "hu": hungarian_stem, "hungarian": hungarian_stem,
+        "tr": turkish_stem, "turkish": turkish_stem,
         "german2": german2_stem,
         "porter": porter_stem,
     }.get(lang.lower())
@@ -1999,4 +2000,675 @@ def porter_stem(word: str) -> str:
 
     if y_found:
         w = w.replace("Y", "y")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish (turkish.sbl) — right-to-left FSM suffix chains, transcribed
+# with an explicit backward cursor + bra/ket slice marks because the
+# sbl moves the deletion region mid-chain ("[mark ] delete try([ ...")
+# ---------------------------------------------------------------------------
+
+_TR_VOWEL = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+_TR_HARMONY = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+
+class _Tr:
+    def __init__(self, w):
+        self.w = w
+        self.c = len(w)
+        self.ket = len(w)
+        self.bra = len(w)
+
+    # -- primitives (all operate backward on w[:c]) ---------------------
+    def open(self):   # '['
+        self.ket = self.c
+
+    def close(self):  # ']'
+        self.bra = self.c
+
+    def delete(self):
+        self.w = self.w[: self.bra] + self.w[self.ket:]
+        delta = self.ket - self.bra
+        self.c = self.bra
+        self.ket -= delta
+
+    def eats(self, s):
+        if self.w[: self.c].endswith(s):
+            self.c -= len(s)
+            return True
+        return False
+
+    def among(self, sufs):
+        best = _longest(self.w[: self.c], sufs)
+        if best:
+            self.c -= len(best)
+            return True
+        return False
+
+    def attempt(self, fn):
+        # Snowball or/try restore the cursor as a DISTANCE FROM THE
+        # RIGHT END (generated C saves z->l - z->c): a delete inside a
+        # failed alternative is permanent, and the cursor must land at
+        # the same offset from the end of the *shrunk* string.
+        save = len(self.w) - self.c
+        if fn():
+            return True
+        self.c = len(self.w) - save
+        return False
+
+    # -- conditions ----------------------------------------------------
+    def harmony(self):
+        s = self.w[: self.c]
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] in _TR_VOWEL:
+                allowed = _TR_HARMONY[s[i]]
+                return any(ch in allowed for ch in s[:i])
+        return False
+
+    def _opt(self, cons):
+        """mark_suffix_with_optional_X_consonant."""
+        s = self.w[: self.c]
+        if s.endswith(cons):
+            if len(s) >= 2 and s[-2] in _TR_VOWEL:
+                self.c -= 1
+                return True
+            return False
+        return len(s) >= 2 and s[-2] in _TR_VOWEL
+
+    def opt_y(self):
+        return self._opt("y")
+
+    def opt_s(self):
+        return self._opt("s")
+
+    def opt_n(self):
+        return self._opt("n")
+
+    def opt_U(self):
+        s = self.w[: self.c]
+        if s and s[-1] in _TR_U:
+            if len(s) >= 2 and s[-2] not in _TR_VOWEL:
+                self.c -= 1
+                return True
+            return False
+        return len(s) >= 2 and s[-2] not in _TR_VOWEL
+
+    # -- suffix marks --------------------------------------------------
+    def possessives(self):
+        return self.among(("mız", "miz", "muz", "müz", "nız", "niz",
+                           "nuz", "nüz", "m", "n")) and self.opt_U()
+
+    def sU(self):
+        return (self.harmony()
+                and self.w[: self.c].endswith(tuple(_TR_U))
+                and (self.c - 1 >= 0 and True)
+                and self._mark_sU())
+
+    def _mark_sU(self):
+        self.c -= 1
+        if self.opt_s():
+            return True
+        self.c += 1
+        return False
+
+    def lArI(self):
+        return self.among(("leri", "ları"))
+
+    def yU(self):
+        if not self.harmony():
+            return False
+        s = self.w[: self.c]
+        if not (s and s[-1] in _TR_U):
+            return False
+        self.c -= 1
+        if self.opt_y():
+            return True
+        self.c += 1
+        return False
+
+    def nU(self):
+        return self.harmony() and self.among(("nı", "ni", "nu", "nü"))
+
+    def nUn(self):
+        return (self.harmony()
+                and self.among(("ın", "in", "un", "ün"))
+                and self.opt_n())
+
+    def yA(self):
+        return (self.harmony() and self.among(("a", "e"))
+                and self.opt_y())
+
+    def nA(self):
+        return self.harmony() and self.among(("na", "ne"))
+
+    def DA(self):
+        return self.harmony() and self.among(("da", "de", "ta", "te"))
+
+    def ndA(self):
+        return self.harmony() and self.among(("nda", "nde"))
+
+    def DAn(self):
+        return self.harmony() and self.among(("dan", "den", "tan",
+                                              "ten"))
+
+    def ndAn(self):
+        return self.harmony() and self.among(("ndan", "nden"))
+
+    def ylA(self):
+        return (self.harmony() and self.among(("la", "le"))
+                and self.opt_y())
+
+    def ki(self):
+        return self.eats("ki")
+
+    def ncA(self):
+        return (self.harmony() and self.among(("ca", "ce"))
+                and self.opt_n())
+
+    def yUm(self):
+        return (self.harmony()
+                and self.among(("ım", "im", "um", "üm"))
+                and self.opt_y())
+
+    def sUn(self):
+        return self.harmony() and self.among(("sın", "sin", "sun",
+                                              "sün"))
+
+    def yUz(self):
+        return (self.harmony()
+                and self.among(("ız", "iz", "uz", "üz"))
+                and self.opt_y())
+
+    def sUnUz(self):
+        return self.among(("sınız", "siniz", "sunuz", "sünüz"))
+
+    def lAr(self):
+        return self.harmony() and self.among(("ler", "lar"))
+
+    def nUz(self):
+        return self.harmony() and self.among(("nız", "niz", "nuz",
+                                              "nüz"))
+
+    def DUr(self):
+        return self.harmony() and self.among(
+            ("tır", "tir", "tur", "tür", "dır", "dir", "dur", "dür"))
+
+    def cAsInA(self):
+        return self.among(("casına", "cesine"))
+
+    def yDU(self):
+        return (self.harmony()
+                and self.among(("tım", "tim", "tum", "tüm", "dım",
+                                "dim", "dum", "düm", "tın", "tin",
+                                "tun", "tün", "dın", "din", "dun",
+                                "dün", "tık", "tik", "tuk", "tük",
+                                "dık", "dik", "duk", "dük", "tı",
+                                "ti", "tu", "tü", "dı", "di", "du",
+                                "dü"))
+                and self.opt_y())
+
+    def ysA(self):
+        return (self.among(("sam", "san", "sak", "sem", "sen", "sek",
+                            "sa", "se"))
+                and self.opt_y())
+
+    def ymUs(self):
+        return (self.harmony()
+                and self.among(("mış", "miş", "muş", "müş"))
+                and self.opt_y())
+
+    def yken(self):
+        return self.eats("ken") and self.opt_y()
+
+
+def _tr_nominal_verb(t: _Tr) -> None:
+    def b1():
+        return (t.attempt(t.ymUs) or t.attempt(t.yDU)
+                or t.attempt(t.ysA) or t.attempt(t.yken))
+
+    def b2():
+        if not t.cAsInA():
+            return False
+        (t.attempt(t.sUnUz) or t.attempt(t.lAr) or t.attempt(t.yUm)
+         or t.attempt(t.sUn) or t.attempt(t.yUz) or True)
+        return t.ymUs()
+
+    def b3():
+        if not t.lAr():
+            return False
+        t.close()
+        t.delete()
+
+        def inner():
+            t.open()
+            return (t.attempt(t.DUr) or t.attempt(t.yDU)
+                    or t.attempt(t.ysA) or t.attempt(t.ymUs))
+        t.attempt(inner)
+        t.flag = False
+        return True
+
+    def b4():
+        return t.nUz() and (t.attempt(t.yDU) or t.attempt(t.ysA))
+
+    def b5():
+        if not (t.attempt(t.sUnUz) or t.attempt(t.yUz)
+                or t.attempt(t.sUn) or t.attempt(t.yUm)):
+            return False
+        t.close()
+        t.delete()
+
+        def inner():
+            t.open()
+            return t.ymUs()
+        t.attempt(inner)
+        return True
+
+    def b6():
+        if not t.DUr():
+            return False
+        t.close()
+        t.delete()
+
+        def inner():
+            t.open()
+            (t.attempt(t.sUnUz) or t.attempt(t.lAr)
+             or t.attempt(t.yUm) or t.attempt(t.sUn)
+             or t.attempt(t.yUz) or True)
+            return t.ymUs()
+        t.attempt(inner)
+        return True
+
+    t.open()
+    t.flag = True
+    if (t.attempt(b1) or t.attempt(b2) or t.attempt(b3)
+            or t.attempt(b4) or t.attempt(b5) or t.attempt(b6)):
+        t.close()
+        t.delete()
+    else:
+        t.c = t.ket
+
+
+def _tr_chain_ki(t: _Tr) -> bool:
+    t.open()
+    if not t.ki():
+        t.c = t.ket
+        return False
+
+    def after_DA():
+        if not t.DA():
+            return False
+        t.close()
+        t.delete()
+
+        def i1():
+            t.open()
+            if t.lAr():
+                t.close()
+                t.delete()
+                t.attempt(lambda: _tr_chain_ki(t))
+                return True
+            return False
+
+        def i2():
+            t.open()
+            if t.possessives():
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+        t.attempt(lambda: t.attempt(i1) or t.attempt(i2))
+        return True
+
+    def after_nUn():
+        if not t.nUn():
+            return False
+        t.close()
+        t.delete()
+
+        def i1():
+            t.open()
+            if t.lArI():
+                t.close()
+                t.delete()
+                return True
+            return False
+
+        def i2():
+            t.open()
+            if t.attempt(t.possessives) or t.attempt(t.sU):
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+        t.attempt(lambda: (t.attempt(i1) or t.attempt(i2)
+                           or t.attempt(lambda: _tr_chain_ki(t))))
+        return True
+
+    def after_ndA():
+        if not t.ndA():
+            return False
+
+        def i1():
+            if t.lArI():
+                t.close()
+                t.delete()
+                return True
+            return False
+
+        def i2():
+            if t.sU():
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+        return (t.attempt(i1) or t.attempt(i2)
+                or t.attempt(lambda: _tr_chain_ki(t)))
+
+    if (t.attempt(after_DA) or t.attempt(after_nUn)
+            or t.attempt(after_ndA)):
+        return True
+    t.c = t.ket
+    return False
+
+
+def _tr_noun_suffixes(t: _Tr) -> None:
+    def n1():
+        t.open()
+        if not t.lAr():
+            return False
+        t.close()
+        t.delete()
+        t.attempt(lambda: _tr_chain_ki(t))
+        return True
+
+    def n2():
+        t.open()
+        if not t.ncA():
+            return False
+        t.close()
+        t.delete()
+
+        def i1():
+            t.open()
+            if t.lArI():
+                t.close()
+                t.delete()
+                return True
+            return False
+
+        def i2():
+            t.open()
+            if t.attempt(t.possessives) or t.attempt(t.sU):
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+
+        def i3():
+            t.open()
+            if t.lAr():
+                t.close()
+                t.delete()
+                return _tr_chain_ki(t)
+            return False
+        t.attempt(lambda: (t.attempt(i1) or t.attempt(i2)
+                           or t.attempt(i3)))
+        return True
+
+    def n3():
+        t.open()
+        if not (t.attempt(t.ndA) or t.attempt(t.nA)):
+            return False
+
+        def i1():
+            if t.lArI():
+                t.close()
+                t.delete()
+                return True
+            return False
+
+        def i2():
+            if t.sU():
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+        return (t.attempt(i1) or t.attempt(i2)
+                or t.attempt(lambda: _tr_chain_ki(t)))
+
+    def n4():
+        t.open()
+        if not (t.attempt(t.ndAn) or t.attempt(t.nU)):
+            return False
+
+        def i1():
+            if t.sU():
+                t.close()
+                t.delete()
+
+                def i1b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i1b)
+                return True
+            return False
+        return t.attempt(i1) or t.attempt(t.lArI)
+
+    def n5():
+        t.open()
+        if not t.DAn():
+            return False
+        t.close()
+        t.delete()
+
+        def inner():
+            t.open()
+
+            def i1():
+                if t.possessives():
+                    t.close()
+                    t.delete()
+
+                    def i1b():
+                        t.open()
+                        if t.lAr():
+                            t.close()
+                            t.delete()
+                            return _tr_chain_ki(t)
+                        return False
+                    t.attempt(i1b)
+                    return True
+                return False
+
+            def i2():
+                if t.lAr():
+                    t.close()
+                    t.delete()
+                    t.attempt(lambda: _tr_chain_ki(t))
+                    return True
+                return False
+            return (t.attempt(i1) or t.attempt(i2)
+                    or t.attempt(lambda: _tr_chain_ki(t)))
+        t.attempt(inner)
+        return True
+
+    def n6():
+        t.open()
+        if not (t.attempt(t.nUn) or t.attempt(t.ylA)):
+            return False
+        t.close()
+        t.delete()
+
+        def i1():
+            t.open()
+            if t.lAr():
+                t.close()
+                t.delete()
+                return _tr_chain_ki(t)
+            return False
+
+        def i2():
+            t.open()
+            if t.attempt(t.possessives) or t.attempt(t.sU):
+                t.close()
+                t.delete()
+
+                def i2b():
+                    t.open()
+                    if t.lAr():
+                        t.close()
+                        t.delete()
+                        return _tr_chain_ki(t)
+                    return False
+                t.attempt(i2b)
+                return True
+            return False
+        t.attempt(lambda: (t.attempt(i1) or t.attempt(i2)
+                           or t.attempt(lambda: _tr_chain_ki(t))))
+        return True
+
+    def n7():
+        t.open()
+        if t.lArI():
+            t.close()
+            t.delete()
+            return True
+        return False
+
+    def n8():
+        return _tr_chain_ki(t)
+
+    def n9():
+        t.open()
+        if not (t.attempt(t.DA) or t.attempt(t.yU)
+                or t.attempt(t.yA)):
+            return False
+        t.close()
+        t.delete()
+
+        def inner():
+            t.open()
+
+            def p1():
+                if t.possessives():
+                    t.close()
+                    t.delete()
+                    t.attempt(lambda: (t.open() or True) and t.lAr())
+                    return True
+                return False
+            if not (t.attempt(p1) or t.attempt(t.lAr)):
+                return False
+            t.close()
+            t.delete()
+            t.open()
+            return _tr_chain_ki(t)
+        t.attempt(inner)
+        return True
+
+    def n10():
+        t.open()
+        if t.attempt(t.possessives) or t.attempt(t.sU):
+            t.close()
+            t.delete()
+
+            def i1():
+                t.open()
+                if t.lAr():
+                    t.close()
+                    t.delete()
+                    return _tr_chain_ki(t)
+                return False
+            t.attempt(i1)
+            return True
+        return False
+
+    (t.attempt(n1) or t.attempt(n2) or t.attempt(n3)
+     or t.attempt(n4) or t.attempt(n5) or t.attempt(n6)
+     or t.attempt(n7) or t.attempt(n8) or t.attempt(n9)
+     or t.attempt(n10))
+
+
+def turkish_stem(word: str) -> str:
+    w = word
+    # more_than_one_syllable_word
+    if sum(1 for ch in w if ch in _TR_VOWEL) < 2:
+        return w
+
+    t = _Tr(w)
+    _tr_nominal_verb(t)
+    # continue_stemming_noun_suffixes is a boolean TEST between the two
+    # `do`s: when the verb stage's lAr branch unsets it, the whole
+    # backwards(...) block FAILS — so the noun stage AND the postlude
+    # are both skipped (deletions so far are kept).
+    if not getattr(t, "flag", True):
+        return t.w
+    t.c = len(t.w)
+    _tr_noun_suffixes(t)
+    w = t.w
+
+    # postlude (skipped for the reserved words)
+    if w not in ("ad", "soyad"):
+        if w.endswith(("d", "g")):
+            # append the harmony-matching U to stems ending d/g
+            for i in range(len(w) - 1, -1, -1):
+                if w[i] in _TR_VOWEL:
+                    v = w[i]
+                    w += {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+                          "o": "u", "u": "u", "ö": "ü", "ü": "ü"}[v]
+                    break
+        last = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1:])
+        if last:
+            w = w[:-1] + last
     return w
