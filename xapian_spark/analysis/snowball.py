@@ -720,6 +720,7 @@ def stemmer_for(lang: str):
         "fi": finnish_stem, "finnish": finnish_stem,
         "hu": hungarian_stem, "hungarian": hungarian_stem,
         "tr": turkish_stem, "turkish": turkish_stem,
+        "eu": basque_stem, "basque": basque_stem,
         "german2": german2_stem,
         "porter": porter_stem,
     }.get(lang.lower())
@@ -2672,3 +2673,194 @@ def turkish_stem(word: str) -> str:
         if last:
             w = w[:-1] + last
     return w
+
+
+# ---------------------------------------------------------------------------
+# Basque (basque.sbl) — three among-tables applied with a persistent
+# backward cursor: `backwards(repeat aditzak  repeat izenak  do
+# adjetiboak)` strips suffix after suffix moving LEFT; the cursor
+# carries over from one routine to the next, and every action is
+# parenthesized (longest match wins with NO backtracking to shorter
+# entries when its RV/R1/R2 condition fails).
+# ---------------------------------------------------------------------------
+
+_EU_V = frozenset("aeiou")
+
+# action codes: "rv" / "r1" / "r2" = delete when the match START lies in
+# that region; ("repl", s) = slice_from s (always succeeds)
+_EU_ADITZAK = {}
+for _s in ("le la tzaile aldatu atu tzailea taile tailea pera gale "
+           "galea gura kura kor korra or orra tun tuna gaitz gaitza "
+           "kaitz kaitza ezin ezina tezin tezina errez erreza karri "
+           "karria tzaga tzaka tzake tzeke ez eza tzez keta eta etan "
+           "pen pena tze atze kuntza kunde kundea kune kunea kuna kera "
+           "era kizun kizuna dura tura men mena go ago tio taldi "
+           "taldia aldi aldia gune gunea bide bidea pide pidea gai "
+           "gaia ki kin rekin kina kari karia ari tari etari gailu "
+           "gailua kide kidea ide idea du ka kan an ean tu lari tatu "
+           "rean tarazi arazi tzat bera dako").split():
+    _EU_ADITZAK[_s] = "rv"
+for _s in ("garri", "garria", "tza"):
+    _EU_ADITZAK[_s] = "r2"
+for _s in ("atseden", "arabera", "baditu"):
+    _EU_ADITZAK[_s] = ("repl", _s)
+
+_EU_IZENAK = {}
+for _s in ("ari aria bizia kari karia lari laria tari taria zain "
+           "zaina tzain tzaina zale zalea tzale tzalea aizun orde "
+           "ordea burua ohi ohia kintza gintzo gintzu tzu tzua tzo "
+           "tzoa kuntza talde taldea eria keria teria di za ada tara "
+           "etara tra ta tegi tegia keta z zko zkoa ti tia tsu tsua "
+           "zu zua bera pera zto ztoa asi asia gile gilea estu estua "
+           "larri larria nahi nahia koi koia oi oia goi min mina dun "
+           "duna duru durua duri duria os osa oso osoa ar ara tar dar "
+           "dara tiar tiara liar liara gabe gabea kabe kabea ga ge "
+           "kada tasun tasuna asun asuna go mendu mendua mentu mentua "
+           "mendi mendia zio zioa zino zinoa zione zionea ezia degi "
+           "degia egi egia toki tokia leku lekua gintza alde aldea "
+           "kalde kaldea gune gunea une unea una pe pea gibel gibela "
+           "ondo ondoa arte artea aurre aurrea etxe etxea ola ontzi "
+           "ontzia gela denda taldi taldia aldi aldia te tea zaro "
+           "zaroa taro taroa oro oroa aro aroa ero eroa eroz eroza ka "
+           "kan kana tako etako takoa kote kotea tzar tzarra handi "
+           "handia kondo kondoa skila no noa ño ñoa ska xka zka tila "
+           "to toa tto ttoa txo txoa txu txua anda anga urren urrena "
+           "gai gaia gei geia eme emea kume kumea sa ko eko koa ena "
+           "enea ne nea kor korra ez eza eta etan ki kia kin kina tu "
+           "tua du dua ek tarik tariko tan ordu ordua oste ostea "
+           "tzara ra antza behar ro giro ak zp ket kail kaila ail "
+           "kirri kirria ngo ngoa ñi sko sta koitz koitza na garren "
+           "garrena kera gerren gerrena garna kide tz tuko").split():
+    _EU_IZENAK[_s] = "rv"
+for _s in ("ora", "garri", "garria", "or", "buru", "ren", "tza"):
+    _EU_IZENAK[_s] = "r2"
+_EU_IZENAK["joka"] = ("repl", "jok")
+for _s in ("tzen", "ten", "en", "tatu"):
+    _EU_IZENAK[_s] = "r1"
+_EU_IZENAK["trako"] = ("repl", "tra")
+_EU_IZENAK["minutuko"] = ("repl", "minutu")
+for _s in ("zehar", "geldi", "igaro", "aurka"):
+    _EU_IZENAK[_s] = ("repl", _s)
+
+_EU_ADJETIBOAK = {}
+for _s in ("era ero go tate tade date dade keria ki to ro la gi "
+           "larik lanik ik ztik rik").split():
+    _EU_ADJETIBOAK[_s] = "rv"
+_EU_ADJETIBOAK["zlea"] = ("repl", "z")
+
+
+# byte-keyed copies: the stemmer runs in UTF-8 BYTE space like the
+# reference (regions are byte offsets; steminternal.cc's lenient
+# get_utf8 reads even invalid lead bytes as 2-3 byte chars)
+_EU_ADITZAK_B = {k.encode(): v if isinstance(v, str)
+                 else (v[0], v[1].encode()) for k, v in _EU_ADITZAK.items()}
+_EU_IZENAK_B = {k.encode(): v if isinstance(v, str)
+                else (v[0], v[1].encode()) for k, v in _EU_IZENAK.items()}
+_EU_ADJETIBOAK_B = {k.encode(): v if isinstance(v, str)
+                    else (v[0], v[1].encode())
+                    for k, v in _EU_ADJETIBOAK.items()}
+
+_EU_VB = frozenset(b"aeiou")
+
+
+def _u8_char(wb: bytes, c: int):
+    """(codepoint, width) at byte c — steminternal.cc:155 get_utf8's
+    LENIENT decode (no validity checks; 3-byte max, truncated at
+    end-of-string), so invalid sequences advance exactly as in C."""
+    n = len(wb)
+    b0 = wb[c]
+    if b0 < 0xC0 or c + 1 == n:
+        return b0, 1
+    b1 = wb[c + 1]
+    if b0 < 0xE0 or c + 2 == n:
+        return ((b0 & 0x1F) << 6) | (b1 & 0x3F), 2
+    return (((b0 & 0xF) << 12) | ((b1 & 0x3F) << 6)
+            | (wb[c + 2] & 0x3F), 3)
+
+
+def _eu_regions(wb: bytes):
+    """basque.sbl mark_regions in byte space → (pV, p1, p2)."""
+    n = len(wb)
+    V = frozenset((0x61, 0x65, 0x69, 0x6F, 0x75))  # aeiou
+
+    def gopast(c, want_vowel):
+        while c is not None and c < n:
+            ch, w = _u8_char(wb, c)
+            c += w
+            if (ch in V) == want_vowel:
+                return c
+        return None
+
+    pV = p1 = p2 = n
+    if n:
+        ch0, w0 = _u8_char(wb, 0)
+        c1 = w0
+        r = None
+        if c1 < n:
+            ch1, w1 = _u8_char(wb, c1)
+            if ch0 in V:
+                # v then non-v → gopast v ; v then v → gopast non-v
+                r = gopast(c1 + w1, ch1 not in V)
+            elif ch1 not in V:
+                r = gopast(c1 + w1, True)
+            else:
+                # non-v v next — skip_utf8: lead byte swallows all
+                # following continuation bytes (steminternal.cc:91)
+                c2 = c1 + w1
+                if c2 < n:
+                    c3 = c2 + 1
+                    if wb[c2] >= 0xC0:
+                        while c3 < n and 0x80 <= wb[c3] < 0xC0:
+                            c3 += 1
+                    r = c3
+        if r is not None:
+            pV = r
+    c = gopast(gopast(0, True), False)
+    if c is not None:
+        p1 = c
+        c = gopast(gopast(c, True), False)
+        if c is not None:
+            p2 = c
+    return pV, p1, p2
+
+
+def basque_stem(word: str) -> str:
+    wb = word.encode("utf-8", "surrogateescape")
+    pV, p1, p2 = _eu_regions(wb)
+
+    w = wb
+
+    def step(c, table):
+        """One [substring]among(...) call at byte cursor c.
+        Returns the new cursor or None on failure."""
+        nonlocal w
+        suf = _longest(w[:c], table)
+        if suf is None:
+            return None
+        start = c - len(suf)
+        act = table[suf]
+        if act == "rv":
+            if start < pV:
+                return None
+            w = w[:start] + w[c:]
+        elif act == "r1":
+            if start < p1:
+                return None
+            w = w[:start] + w[c:]
+        elif act == "r2":
+            if start < p2:
+                return None
+            w = w[:start] + w[c:]
+        else:  # slice_from
+            w = w[:start] + act[1] + w[c:]
+        return start
+
+    c = len(w)
+    for table in (_EU_ADITZAK_B, _EU_IZENAK_B):
+        while True:
+            nc = step(c, table)
+            if nc is None:
+                break
+            c = nc
+    step(c, _EU_ADJETIBOAK_B)
+    return w.decode("utf-8", "surrogateescape")
