@@ -6,7 +6,7 @@ import pytest
 
 from xapian_spark.analysis.snowball import (
     basque_stem, danish_stem, dutch_stem, finnish_stem, french_stem,
-    german2_stem,
+    german2_stem, kraaij_pohlmann_stem, lovins_stem,
     german_stem, hungarian_stem, italian_stem, norwegian_stem,
     porter_stem, portuguese_stem, romanian_stem, russian_stem,
     spanish_stem, stemmer_for, swedish_stem, turkish_stem,
@@ -33,6 +33,8 @@ GOLDEN_DIR = "/root/reference/xapian-data/stemming"
     ("basque", basque_stem),
     ("german2", german2_stem),
     ("porter", porter_stem),
+    ("lovins", lovins_stem),
+    ("kraaij_pohlmann", kraaij_pohlmann_stem),
 ])
 def test_full_golden_vocabulary(lang, fn):
     # line-based: a stem may legitimately be EMPTY (porter 's' → '').

@@ -723,6 +723,8 @@ def stemmer_for(lang: str):
         "eu": basque_stem, "basque": basque_stem,
         "german2": german2_stem,
         "porter": porter_stem,
+        "lovins": lovins_stem,
+        "kraaij_pohlmann": kraaij_pohlmann_stem,
     }.get(lang.lower())
 
 
@@ -2864,3 +2866,595 @@ def basque_stem(word: str) -> str:
             c = nc
     step(c, _EU_ADJETIBOAK_B)
     return w.decode("utf-8", "surrogateescape")
+
+
+# ---------------------------------------------------------------------------
+# Lovins (lovins.sbl) — the 1968 Lovins stemmer: longest ending whose
+# condition holds (bare routine names in the among = match-time
+# conditions WITH backtracking to shorter endings), then undouble,
+# then a single respell (parenthesized actions — a failed guard fails
+# the whole respell, no fallback to shorter entries).
+# ---------------------------------------------------------------------------
+
+def _lov_A(s): return len(s) >= 2
+def _lov_B(s): return len(s) >= 3
+def _lov_C(s): return len(s) >= 4
+def _lov_D(s): return len(s) >= 5
+def _lov_E(s): return len(s) >= 2 and s[-1] != "e"
+def _lov_F(s): return len(s) >= 3 and s[-1] != "e"
+def _lov_G(s): return len(s) >= 3 and s[-1] == "f"
+def _lov_H(s): return len(s) >= 2 and (s[-1] == "t" or s.endswith("ll"))
+def _lov_I(s): return len(s) >= 2 and s[-1] not in "oe"
+def _lov_J(s): return len(s) >= 2 and s[-1] not in "ae"
+def _lov_K(s): return len(s) >= 3 and (s[-1] in "li"
+                                       or (s[-1] == "e" and s[-3] == "u"))
+def _lov_L(s): return (len(s) >= 2 and s[-1] not in "ux"
+                       and not (s[-1] == "s" and s[-2] != "o"))
+def _lov_M(s): return len(s) >= 2 and s[-1] not in "acem"
+def _lov_N(s): return len(s) >= 3 and (s[-3] != "s" or len(s) >= 4)
+def _lov_O(s): return len(s) >= 2 and s[-1] in "li"
+def _lov_P(s): return len(s) >= 2 and s[-1] != "c"
+def _lov_Q(s): return len(s) >= 3 and s[-1] not in "ln"
+def _lov_R(s): return len(s) >= 2 and s[-1] in "nr"
+def _lov_S(s): return (len(s) >= 2 and
+                       (s.endswith("dr")
+                        or (s[-1] == "t" and s[-2] != "t")))
+def _lov_T(s): return (len(s) >= 2 and
+                       (s[-1] == "s" or (s[-1] == "t" and s[-2] != "o")))
+def _lov_U(s): return len(s) >= 2 and s[-1] in "lmnr"
+def _lov_V(s): return len(s) >= 2 and s[-1] == "c"
+def _lov_W(s): return len(s) >= 2 and s[-1] not in "su"
+def _lov_X(s): return (len(s) >= 2 and
+                       (s[-1] in "li"
+                        or (len(s) >= 3 and s[-1] == "e"
+                            and s[-3] == "u")))
+def _lov_Y(s): return len(s) >= 2 and s.endswith("in")
+def _lov_Z(s): return len(s) >= 2 and s[-1] != "f"
+def _lov_AA(s): return len(s) >= 2 and s.endswith(
+    ("d", "f", "ph", "th", "l", "er", "or", "es", "t"))
+def _lov_BB(s): return (len(s) >= 3 and not s.endswith("met")
+                        and not s.endswith("ryst"))
+def _lov_CC(s): return len(s) >= 2 and s[-1] == "l"
+
+
+_LOV_ENDINGS_SPEC = """
+alistically B arizability A izationally B
+antialness A arisations A arizations A entialness A
+allically C antaneous A antiality A arisation A arization A
+ationally B ativeness A eableness E entations A entiality A
+entialize A entiation A ionalness A istically A itousness A
+izability A izational A
+ableness A arizable A entation A entially A eousness A ibleness A
+icalness A ionalism A ionality A ionalize A iousness A izations A
+lessness A
+ability A aically A alistic B alities A ariness E aristic A
+arizing A ateness A atingly A ational B atively A ativism A
+elihood E encible A entally A entials A entiate A entness A
+fulness A ibility A icalism A icalist A icality A icalize A
+ication G icianry A ination A ingness A ionally A isation A
+ishness A istical A iteness A iveness A ivistic A ivities A
+ization F izement A oidally A ousness A
+aceous A acious B action G alness A ancial A ancies A ancing B
+ariser A arized A arizer A atable A ations B atives A eature Z
+efully A encies A encing A ential A enting C entist A eously A
+ialist A iality A ialize A ically A icance A icians A icists A
+ifully A ionals A ionate D ioning A ionist A iously A istics A
+izable E lessly A nesses A oidism A
+acies A acity A aging B aical A alist A alism B ality A alize A
+allic BB anced B ances B antic C arial A aries A arily A arity B
+arize A aroid A ately A ating I ation B ative A ators A atory A
+ature E early Y ehood A eless A elity A ement A enced A ences A
+eness E ening E ental A ented C ently A fully A ially A icant A
+ician A icide A icism A icist A icity A idine I iedly A ihood A
+inate A iness A ingly B inism J inity CC ional A ioned A ished A
+istic A ities A itous A ively A ivity A izers F izing F oidal A
+oides A otide A ously A
+able A ably A ages B ally B ance B ancy B ants B aric A arly K
+ated I ates A atic B ator A ealy Y edly E eful A eity A ence A
+ency A ened E enly E eous A hood A ials A ians A ible A ibly A
+ical A ides L iers A iful A ines M ings N ions B ious A isms B
+ists A itic H ized F izer F less A lily A ness A ogen A ward A
+wise A ying B yish A
+acy A age B aic A als BB ant B ars O ary F ata A ate A eal Y
+ear Y ely E ene E ent C ery E ese A ful A ial A ian A ics A
+ide L ied A ier A ies P ily A ine M ing N ion Q ish C ism B
+ist A ite AA ity A ium A ive A ize F oid A one R ous A
+ae A al BB ar X as B ed E en F es E ia A ic A is A ly B on S
+or T um U us V yl R 's A s' A
+a A e A i A o A s W y B
+"""
+
+_LOV_ENDINGS = {}
+_toks = _LOV_ENDINGS_SPEC.split()
+for _i in range(0, len(_toks), 2):
+    _LOV_ENDINGS[_toks[_i]] = globals()[f"_lov_{_toks[_i + 1]}"]
+del _toks
+
+# respell rules (appendix C 2-35): (match, replacement, guard) where the
+# guard tests the char immediately before the match (None = no char ok)
+_LOV_RESPELL = [
+    ("iev", "ief", None), ("uct", "uc", None), ("umpt", "um", None),
+    ("rpt", "rb", None), ("urs", "ur", None), ("istr", "ister", None),
+    ("metr", "meter", None), ("olv", "olut", None),
+    ("ul", "l", "aio"), ("bex", "bic", None), ("dex", "dic", None),
+    ("pex", "pic", None), ("tex", "tic", None), ("ax", "ac", None),
+    ("ex", "ec", None), ("ix", "ic", None), ("lux", "luc", None),
+    ("uad", "uas", None), ("vad", "vas", None), ("cid", "cis", None),
+    ("lid", "lis", None), ("erid", "eris", None), ("pand", "pans", None),
+    ("end", "ens", "s"), ("ond", "ons", None), ("lud", "lus", None),
+    ("rud", "rus", None), ("her", "hes", "pt"), ("mit", "mis", None),
+    ("ent", "ens", "m"), ("ert", "ers", None), ("et", "es", "n"),
+    ("yt", "ys", None), ("yz", "ys", None),
+]
+
+_LOV_DOUBLES = frozenset(
+    ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt"))
+
+
+def lovins_stem(word: str) -> str:
+    w = word
+
+    # endings: among with routine conditions — longest match first,
+    # backtracking to shorter matching endings on condition failure
+    for e in sorted((e for e in _LOV_ENDINGS if w.endswith(e)),
+                    key=len, reverse=True):
+        stem = w[: len(w) - len(e)]
+        if _LOV_ENDINGS[e](stem):
+            w = stem
+            break
+
+    # undouble (appendix C rule 1)
+    if w[-2:] in _LOV_DOUBLES:
+        w = w[:-1]
+
+    # respell: longest match wins; a failed guard fails the whole
+    # routine (parenthesized action — no backtrack)
+    best = None
+    for m, rep, guard in _LOV_RESPELL:
+        if w.endswith(m) and (best is None or len(m) > len(best[0])):
+            best = (m, rep, guard)
+    if best is not None:
+        m, rep, guard = best
+        pre = w[: len(w) - len(m)]
+        if not (guard and pre and pre[-1] in guard):
+            w = pre + rep
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann (kraaij_pohlmann.sbl) — the alternative Dutch stemmer:
+# y-protection prelude, vowel-measure regions (no length clamp), four
+# suffix steps with per-entry conditions, ge- prefix/infix removal with
+# re-measure, then undoubling. Each among's common "(]" preamble sets
+# bra at the match start; entry actions may re-set it after matching
+# more context (extending the deleted region leftward).
+# ---------------------------------------------------------------------------
+
+_KP_V = frozenset("aeiouy")
+_KP_VWX = frozenset("aeiouywx")
+_KP_AOU = frozenset("aou")
+_KP_AIOU = frozenset("aiou")
+
+
+def _kp_measure(w: str):
+    """p1/p2: after [C* ('ij'|v)+ C] once / twice (no minimum clamp)."""
+    n = len(w)
+    i = 0
+    marks = []
+    for _ in range(2):
+        while i < n and w[i] not in _KP_V:
+            i += 1
+        cnt = 0
+        while i < n:
+            if w.startswith("ij", i):
+                i += 2
+            elif w[i] in _KP_V:
+                i += 1
+            else:
+                break
+            cnt += 1
+        if cnt < 1 or i >= n:
+            break
+        i += 1  # the closing non-v
+        marks.append(i)
+    p1 = marks[0] if marks else n
+    p2 = marks[1] if len(marks) > 1 else n
+    return p1, p2
+
+
+def _kp_V_at(w, c):   # test (v or 'ij') just before c
+    return ((c >= 1 and w[c - 1] in _KP_V)
+            or (c >= 2 and w[c - 2:c] == "ij"))
+
+
+def _kp_VX_at(w, c):  # test (next v or 'ij')
+    return c >= 1 and _kp_V_at(w, c - 1)
+
+
+def _kp_C_at(w, c):   # test (not 'ij' non-v)
+    return (c >= 1 and w[c - 1] not in _KP_V
+            and not (c >= 2 and w[c - 2:c] == "ij"))
+
+
+def _kp_lengthen(w: str) -> str:
+    """lengthen_V at end-of-string: double a short vowel in a newly
+    opened syllable (do — returns w unchanged on failure). NB inside
+    the 'e' test the leading non-v CONSUMES its char, shifting the
+    later not-checks one position left."""
+    c = len(w)
+    if c < 1 or w[c - 1] in _KP_VWX:
+        return w
+    c -= 1
+    if c >= 1 and w[c - 1] in _KP_AOU:
+        pos = c - 1
+        if pos == 0 or w[pos - 1] not in _KP_V:
+            return w[:pos] + w[pos] + w[pos:]
+        return w
+    if c >= 1 and w[c - 1] == "e":
+        pos = c - 1
+        q = pos
+        if q >= 1 and w[q - 1] not in _KP_V:
+            q -= 1          # non-v consumed
+        elif q != 0:
+            return w        # neither non-v nor atlimit
+        if q >= 1 and w[q - 1] in _KP_AIOU:
+            return w        # not AIOU
+        if q >= 3 and w[q - 2] in _KP_AIOU and w[q - 3] not in _KP_V:
+            return w        # not (next AIOU non-v)
+        return w[:pos] + "e" + w[pos:]
+    return w
+
+
+class _KPState:
+    __slots__ = ("w", "p1", "p2")
+
+    def __init__(self, w, p1, p2):
+        self.w, self.p1, self.p2 = w, p1, p2
+
+    def r1(self, pos):
+        return pos >= self.p1
+
+    def r2(self, pos):
+        return pos >= self.p2
+
+
+def _kp_step1(st) -> bool:
+    w = st.w
+    n = len(w)
+    suf = _longest(w, ("'s", "s", "ies", "es", "aus", "en", "nde"))
+    if suf is None:
+        return False
+    c = n - len(suf)
+    if suf == "'s":
+        st.w = w[:c]
+        return True
+    if suf == "s":
+        if not (st.r1(c) and not (w[:c].endswith("t") and st.r1(c - 1))
+                and _kp_C_at(w, c)):
+            return False
+        st.w = w[:c]
+        return True
+    if suf == "ies":
+        if not st.r1(c):
+            return False
+        st.w = w[:c] + "ie"
+        return True
+    if suf == "es":
+        if w[:c].endswith("ar") and st.r1(c - 2) and _kp_C_at(w, c - 2):
+            st.w = _kp_lengthen(w[:c - 2])
+            return True
+        if w[:c].endswith("er") and st.r1(c - 2) and _kp_C_at(w, c - 2):
+            st.w = w[:c - 2]
+            return True
+        if st.r1(c) and _kp_C_at(w, c):
+            st.w = w[:c] + "e"
+            return True
+        return False
+    if suf == "aus":
+        if not (st.r1(c) and _kp_V_at(w, c)):
+            return False
+        st.w = w[:c] + "au"
+        return True
+    if suf == "en":
+        if w[:c].endswith("hed") and st.r1(c - 3):
+            st.w = w[:c - 3] + "heid"
+            return True
+        if w[:c].endswith("nd"):
+            st.w = w[:c]
+            return True
+        if w[:c].endswith("d") and st.r1(c - 1) and _kp_C_at(w, c - 1):
+            st.w = w[:c - 1]
+            return True
+        if w[c - 1:c] in ("i", "j") and _kp_V_at(w, c - 1):
+            st.w = w[:c]
+            return True
+        if st.r1(c) and _kp_C_at(w, c):
+            st.w = _kp_lengthen(w[:c])
+            return True
+        return False
+    # "nde"
+    st.w = w[:c] + "nd"
+    return True
+
+
+def _kp_step2(st) -> bool:
+    w = st.w
+    n = len(w)
+    suf = _longest(w, ("je", "ge", "lijke", "ische", "de", "te", "se",
+                       "re", "le", "ene", "ieve"))
+    if suf is None:
+        return False
+    c = n - len(suf)
+    if suf == "je":
+        s = w[:c]
+        if s.endswith("'t"):
+            st.w = w[:c - 2]
+            return True
+        if s.endswith("et") and st.r1(c - 2) and _kp_C_at(w, c - 2):
+            st.w = w[:c - 2]
+            return True
+        if s.endswith("rnt"):
+            st.w = w[:c - 3] + "rn"
+            return True
+        if s.endswith("t") and st.r1(c - 1) and _kp_VX_at(w, c - 1):
+            st.w = w[:c - 1]
+            return True
+        if s.endswith("ink"):
+            st.w = w[:c - 3] + "ing"
+            return True
+        if s.endswith("mp"):
+            st.w = w[:c - 2] + "m"
+            return True
+        if s.endswith("'") and st.r1(c - 1):
+            st.w = w[:c - 1]
+            return True
+        if st.r1(c) and _kp_C_at(w, c):
+            st.w = w[:c]
+            return True
+        return False
+    if suf in ("ge", "lijke", "ische", "te", "se", "re"):
+        if not st.r1(c):
+            return False
+        st.w = w[:c] + {"ge": "g", "lijke": "lijk", "ische": "isch",
+                        "te": "t", "se": "s", "re": "r"}[suf]
+        return True
+    if suf == "de":
+        if not (st.r1(c) and _kp_C_at(w, c)):
+            return False
+        st.w = w[:c]
+        return True
+    if suf == "le":
+        if not st.r1(c):
+            return False
+        st.w = _kp_lengthen(w[:c] + "l")
+        return True
+    if suf == "ene":
+        if not (st.r1(c) and _kp_C_at(w, c)):
+            return False
+        st.w = _kp_lengthen(w[:c] + "en")
+        return True
+    # "ieve"
+    if not (st.r1(c) and _kp_C_at(w, c)):
+        return False
+    st.w = w[:c] + "ief"
+    return True
+
+
+def _kp_step3(st) -> bool:
+    w = st.w
+    n = len(w)
+    suf = _longest(w, ("atie", "iteit", "heid", "sel", "ster", "rder",
+                       "ing", "isme", "erij", "arij", "fie", "gie",
+                       "tst", "dst"))
+    if suf is None:
+        return False
+    c = n - len(suf)
+    if suf == "atie":
+        if not st.r1(c):
+            return False
+        st.w = w[:c] + "eer"
+        return True
+    if suf in ("iteit", "ing", "isme", "erij"):
+        if not st.r1(c):
+            return False
+        st.w = _kp_lengthen(w[:c])
+        return True
+    if suf in ("heid", "sel", "ster"):
+        if not st.r1(c):
+            return False
+        st.w = w[:c]
+        return True
+    if suf == "rder":
+        st.w = w[:c] + "r"
+        return True
+    if suf == "arij":
+        if not (st.r1(c) and _kp_C_at(w, c)):
+            return False
+        st.w = w[:c] + "aar"
+        return True
+    if suf in ("fie", "gie"):
+        if not st.r2(c):
+            return False
+        st.w = _kp_lengthen(w[:c] + suf[0])
+        return True
+    # "tst" / "dst"
+    if not (st.r1(c) and _kp_C_at(w, c)):
+        return False
+    st.w = w[:c] + suf[0]
+    return True
+
+
+def _kp_step4(st) -> bool:
+    w = st.w
+    n = len(w)
+    suf = _longest(w, ("ioneel", "atief", "baar", "naar", "laar",
+                       "raar", "tant", "lijker", "lijkst", "achtig",
+                       "achtiger", "achtigst", "eriger", "erigst",
+                       "erig", "end"))
+    if suf is not None:
+        c = n - len(suf)
+        if suf == "ioneel":
+            if st.r1(c):
+                st.w = w[:c] + "ie"
+                return True
+        elif suf == "atief":
+            if st.r1(c):
+                st.w = w[:c] + "eer"
+                return True
+        elif suf == "baar":
+            if st.r1(c):
+                st.w = w[:c]
+                return True
+        elif suf in ("naar", "laar", "raar"):
+            if st.r1(c) and _kp_V_at(w, c):
+                st.w = w[:c] + suf[0]
+                return True
+        elif suf == "tant":
+            if st.r1(c):
+                st.w = w[:c] + "teer"
+                return True
+        elif suf in ("lijker", "lijkst"):
+            if st.r1(c):
+                st.w = w[:c] + "lijk"
+                return True
+        elif suf in ("achtig", "achtiger", "achtigst"):
+            if st.r1(c):
+                st.w = w[:c]
+                return True
+        else:  # eriger erigst erig end
+            if st.r1(c) and _kp_C_at(w, c):
+                st.w = _kp_lengthen(w[:c])
+                return True
+    # second among — only when the first fails
+    suf = _longest(w, ("iger", "igst", "ig"))
+    if suf is None:
+        return False
+    c = n - len(suf)
+    if st.r1(c) and _kp_C_at(w, c):
+        st.w = _kp_lengthen(w[:c])
+        return True
+    return False
+
+
+def _kp_step7(st) -> bool:
+    w = st.w
+    suf = _longest(w, ("kt", "ft", "pt"))
+    if suf is None:
+        return False
+    st.w = w[:-2] + suf[0]
+    return True
+
+
+def _kp_step6(st) -> bool:
+    w = st.w
+    doubles = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+               "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+               "xx", "zz")
+    suf = _longest(w, doubles + ("v", "z"))
+    if suf is None:
+        return False
+    if len(suf) == 2:
+        st.w = w[:-1]
+    elif suf == "v":
+        st.w = w[:-1] + "f"
+    else:
+        st.w = w[:-1] + "s"
+    return True
+
+
+def _kp_step1c(st) -> bool:
+    w = st.w
+    n = len(w)
+    suf = _longest(w, ("d", "t"))
+    if suf is None:
+        return False
+    c = n - 1
+    if not (st.r1(c) and _kp_C_at(w, c)):
+        return False
+    guard = "n" if suf == "d" else "h"
+    if w[:c].endswith(guard) and st.r1(c - 1):
+        return False
+    st.w = w[:c]
+    return True
+
+
+def _kp_lose_prefix(w: str):
+    """ge- prefix removal: needs >= 3 more chars and a vowel later
+    followed by a non-vowel. Returns (new_w, removed?)."""
+    if not w.startswith("ge") or len(w) < 5:
+        return w, False
+    n = len(w)
+    i = 2
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return w, False
+    j = i
+    while j < n and w[j] in _KP_V:
+        j += 1
+    if j >= n:
+        return w, False
+    return w[2:], True
+
+
+def _kp_lose_infix(w: str):
+    """first 'ge' at position >= 1 (gopast commits to it)."""
+    k = w.find("ge", 1)
+    if k < 0:
+        return w, False
+    end = k + 2
+    n = len(w)
+    if n - end < 3:
+        return w, False
+    i = end
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return w, False
+    j = i
+    while j < n and w[j] in _KP_V:
+        j += 1
+    if j >= n:
+        return w, False
+    return w[:k] + w[end:], True
+
+
+def kraaij_pohlmann_stem(word: str) -> str:
+    # prelude: word-initial y and vowel-preceded y → Y (sequential on
+    # the mutating string: a y after a just-protected Y stays y)
+    chars = list(word)
+    y_found = False
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _KP_V:
+            chars[i] = "Y"
+            y_found = True
+    w = "".join(chars)
+
+    p1, p2 = _kp_measure(w)
+    st = _KPState(w, p1, p2)
+    stemmed = False
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        if step(st):
+            stemmed = True
+
+    nw, ok = _kp_lose_prefix(st.w)
+    if ok:
+        st.w = nw
+        st.p1, st.p2 = _kp_measure(nw)
+        _kp_step1c(st)
+
+    nw, ge_infix = _kp_lose_infix(st.w)
+    if ge_infix:
+        st.w = nw
+        st.p1, st.p2 = _kp_measure(nw)
+        _kp_step1c(st)
+
+    if _kp_step7(st):
+        stemmed = True
+    if stemmed or ge_infix:
+        _kp_step6(st)
+
+    return st.w.replace("Y", "y") if y_found else st.w
