@@ -53,6 +53,25 @@ def test_full_golden_vocabulary(lang, fn):
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
 
 
+def test_catalan_armenian_structural():
+    """catalan/armenian ship no golden vocabulary in xapian-data —
+    verify the algorithm structure on hand-derived cases instead."""
+    from xapian_spark.analysis.snowball import armenian_stem, catalan_stem
+
+    # catalan: R1/R2-gated suffix groups + accent cleaning
+    assert catalan_stem("catalanes") == "catalan"
+    assert catalan_stem("nacionalitat") == "nacional"
+    assert catalan_stem("cantaven") == "cant"
+    assert catalan_stem("panoràmiques") == "panoramic"  # R2 <- 'ic'
+    assert catalan_stem("àèò") == "aeo"  # cleaning folds accents
+    # armenian: ending (R2-gated) before noun; setlimit at pV
+    assert armenian_stem("ուսանողները") == "ուսանող"   # -ները ending
+    assert armenian_stem("հայկական") == "հայկ"          # -ական adjective
+    assert armenian_stem("գրքերի") == "գրքերի"          # R2 blocks -ի
+    # short words never stem past the first-vowel limit
+    assert armenian_stem("ան") == "ան"
+
+
 def test_registry():
     assert stemmer_for("de")("häuser") == "haus"
     assert stemmer_for("german")("kindern") == "kind"

@@ -725,6 +725,8 @@ def stemmer_for(lang: str):
         "porter": porter_stem,
         "lovins": lovins_stem,
         "kraaij_pohlmann": kraaij_pohlmann_stem,
+        "ca": catalan_stem, "catalan": catalan_stem,
+        "hy": armenian_stem, "armenian": armenian_stem,
     }.get(lang.lower())
 
 
@@ -3458,3 +3460,183 @@ def kraaij_pohlmann_stem(word: str) -> str:
         _kp_step6(st)
 
     return st.w.replace("Y", "y") if y_found else st.w
+
+
+# ---------------------------------------------------------------------------
+# Catalan (catalan.sbl) — pronoun strip, standard-or-verb suffix, a
+# residual pass, then a cleaning map that folds accents (no golden
+# vocabulary ships in xapian-data; validated structurally + spot cases)
+# ---------------------------------------------------------------------------
+
+_CA_V = frozenset("aeiouáàéèíïóòúü")
+
+_CA_PRON = ("'s 'hi 'ho 'l 'ls -ls -la -les -li vos se nos -nos -us "
+            "us 'n 'ns -n -ns 'm -me -m -te 't li lo los me sela selo "
+            "selas selos le la las les ens ho hi").split()
+
+_CA_STD_R1 = ("ar atge formes icte ictes ell ells ella és ès esc essa "
+              "et ets eta eres eries ers ina ines able ls ió itat "
+              "itats itzar iva ives ivisme ius fer ment amen ament "
+              "aments ments ot sfera al als era ana iste aire eria "
+              "esa eses esos or ícia ícies icis ici íci ícis ària "
+              "àries alla ció cions nça nces ó dor all il ístic enc "
+              "enca ís issa issos íssem íssiu issem isseu ísseu ós "
+              "osa dora dores dors adura ble bles ívol ívola dís "
+              "egar ejar ificar itar ables adors idores idors adora "
+              "ació doras dur dures allengües ant ants ancia ancies "
+              "atòria atòries tori toris ats ions ota isam ors ora "
+              "ores isament bilitat bilitats ivitat ivitats ari aris "
+              "ionisme ionista ionistes ialista ialistes ialisme "
+              "ialismes ud uts uds encia encies ència ències ïtat "
+              "ïtats atiu atius atives ativa ativitat ativitats ible "
+              "ibles assa asses assos ent ents íssim íssima íssims "
+              "íssimes ìssem ìsseu ìssin ims ima imes isme ista "
+              "ismes istes inia inies íinia ínies ita ites triu "
+              "trius oses osos ient otes ots").split()
+_CA_STD = {s: ("r1", "") for s in _CA_STD_R1}
+for _s in ("acions", "ada", "ades"):
+    _CA_STD[_s] = ("r2", "")
+for _s in ("logía logíes logia logies logi logis lògica lògics "
+           "lògiques").split():
+    _CA_STD[_s] = ("r2", "log")
+for _s in ("ic", "ica", "ics", "iques"):
+    _CA_STD[_s] = ("r2", "ic")
+for _s in ("quíssim", "quíssims", "quíssimes", "quíssima"):
+    _CA_STD[_s] = ("r1", "c")
+
+_CA_VERB = {s: ("r1", "") for s in (
+    "ador adora adors adores re ie ent ents udes arà eren ará arían "
+    "arías arán arás aríais aria arian arien aries aràs aría aréis "
+    "aríamos aremos ara aré arés erían erías erán erás eríais ería "
+    "eréis eríamos eremos erá eré er erau erass irían irías irán "
+    "irás iríais iría iréis iríamos iremos irá iré írem íreu íeu ia "
+    "ies íem ìeu ien at ut uda ava aves avem ávem àvem àveu áveu "
+    "aven au ats asseu esseu eresseu àsseu àssem àssim àssiu essen "
+    "esses assen asses assim assiu éssen ésseu éssim éssiu éssem í "
+    "ares àrem àreu àren aríem aríeu areu aren ant ïm ïu és ïen en "
+    "es em am ams ïa ïes dre eix eixer tzar eixes ides ïdes it ït "
+    "ïda aba ada ades ida ía iera ad ed its id ids ase iese aste "
+    "iste an aban ían aran ieran asen iesen aron ieron ado ido "
+    "iendo ió ar ir as ieu ii io ià ess essin essis ass assin assis "
+    "essim èssim èssiu abas adas idas ías aras ieras ases ieses ís "
+    "áis abais íais arais ierais aseis ieseis asteis isteis ados "
+    "idos amos ábamos íamos imos ques áramos iéramos iésemos "
+    "ásemos ira iran irem iren ires ireu iria irien iries irà iràs "
+    "irè irìem irìeu isquen iguem igueu esqui esquin esquis eixi "
+    "eixin eixis eixen eixo isin isis esques sis sin int iríem "
+    "iríeu isc atges esca esquen issen isses issin issis isca "
+    "issiu issim ïsc ïsca ïssin íssiu íssim ïssis ïguem ïgueu ïra "
+    "ïren ïres ïsquen ïsques ïssen ïsses ïxo ïxen ïxes ïx ixo ixen "
+    "ixes ix ixa inin inis ini ineu itza itzi itzeu itzis itzo itz "
+    "itzà arem in às iï iïn iïs").split()}
+_CA_VERB["ando"] = ("r2", "")
+
+_CA_RESID = {s: ("r1", "") for s in (
+    "os a o á à í ó e é eu iu is i ir s ì itz ï ïn ïs it").split()}
+_CA_RESID["iqu"] = ("r1", "ic")
+
+_CA_CLEAN = str.maketrans("áàéèíìóòúüï·", "aaeeiioouui.")
+
+
+def catalan_stem(word: str) -> str:
+    w = word
+    p1, p2 = _std_r1r2(w, _CA_V)
+
+    def apply(table):
+        nonlocal w
+        suf = _longest(w, table)
+        if suf is None:
+            return False
+        c = len(w) - len(suf)
+        cond, rep = table[suf] if isinstance(table, dict) \
+            else ("r1", "")
+        if cond == "r1" and c < p1:
+            return False
+        if cond == "r2" and c < p2:
+            return False
+        w = w[:c] + rep
+        return True
+
+    apply({s: ("r1", "") for s in _CA_PRON})
+    if not apply(_CA_STD):
+        apply(_CA_VERB)
+    apply(_CA_RESID)
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
+# Armenian (armenian.sbl) — ending/verb/adjective/noun amongs applied
+# inside `setlimit tomark pV` (matches may not cross the first-vowel
+# region); `ending` additionally requires R2. No golden vocabulary
+# ships in xapian-data; validated structurally + spot cases.
+# ---------------------------------------------------------------------------
+
+_HY_V = frozenset("աէիօւեոը")
+
+_HY_ADJ = ("բար պես որէն ովին ակի լայն րորդ երորդ ական ալի կոտ եկեն "
+           "որակ եղ վուն երեն արան են ավետ գին իվ ատ ին").split()
+_HY_VERB = ("ում վում ալու ելու վել անալ ելուց ալուց ըալ ըել ալով "
+            "ելով ալիս ելիս ենալ ացնալ եցնել ցնել նել ատել ոտել "
+            "կոտել տել ված եցվել ացվել եցիր ացիր եցինք ացինք վեցիր "
+            "վեցինք վեցիք վեցին ացրիր ացրեց ացրինք ացրիք ացրին եցիք "
+            "ացիք եցին ացին ացար ացավ ացանք ացաք ացան վեցի ացրի "
+            "եցար եցավ ցանք ցաք ցան ացա ացի եցա չել եցի ար ավ անք "
+            "աք ան ալ ել եց աց վե ա").split()
+_HY_NOUN = ("ածո անակ անօց արան արք պան ստան եղէն ենք իկ իչ իք մունք "
+            "յակ յուն ոնք որդ ոց չեք վածք վոր ավոր ություն ուկ ուհի "
+            "ույթ ույք ուստ ուս ցի ալիք անիք իլ իչք ունք գար ու ակ "
+            "ան ք").split()
+_HY_ENDING = ("ները ներն ների ներդ երից ներից երի երդ երն երը ներին "
+              "ությանն ությանը ությանս ությանդ ության երին ին սա ոջ "
+              "ից երով ներով երում ներում ուն ուդ վանս վանը վանդ անը "
+              "անդ վան ոջը ոջս ոջդ ոց ուց ոջից ցից վից վի վով ով "
+              "անով անում վանից ամբ ան ներ եր վա ը ն դ ց ի").split()
+
+
+def _hy_regions(w: str):
+    n = len(w)
+    i = 0
+    pV = p2 = n
+
+    def gopast(i, want_vowel):
+        while i < n:
+            hit = (w[i] in _HY_V) == want_vowel
+            i += 1
+            if hit:
+                return i
+        return None
+
+    g = gopast(0, True)
+    if g is not None:
+        pV = g
+        g = gopast(g, False)
+        g = gopast(g, True) if g is not None else None
+        g = gopast(g, False) if g is not None else None
+        if g is not None:
+            p2 = g
+    return pV, p2
+
+
+def armenian_stem(word: str) -> str:
+    w = word
+    pV, p2 = _hy_regions(w)
+
+    def strip(table, need_r2=False):
+        nonlocal w
+        if pV > len(w):
+            return
+        # setlimit tomark pV: the among only sees w[pV:], so the
+        # longest match is the longest suffix NOT crossing pV
+        suf = _longest(w[pV:], table)
+        if suf is None:
+            return
+        c = len(w) - len(suf)
+        if need_r2 and c < p2:
+            return
+        w = w[:c]
+
+    strip(_HY_ENDING, need_r2=True)
+    strip(_HY_VERB)
+    strip(_HY_ADJ)
+    strip(_HY_NOUN)
+    return w
