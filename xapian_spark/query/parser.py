@@ -178,9 +178,12 @@ class DateValueRangeProcessor:
     D/M/Y forms (retrying M/D/Y when day > 12 forces it, matching the
     reference goldens); emits "YYYYMMDD" strings."""
 
-    def __init__(self, slot, prefer_mdy: bool = False,
-                 epoch_year: int = 1970, column=None):
+    def __init__(self, slot, str_: str = "", prefer_mdy: bool = False,
+                 epoch_year: int = 1970, column=None,
+                 prefix: bool = True):
         self.column = str(slot) if column is None else column
+        self.str_ = str_
+        self.prefix = prefix
         self.prefer_mdy = prefer_mdy
         self.epoch_year = epoch_year
 
@@ -208,6 +211,17 @@ class DateValueRangeProcessor:
         return None
 
     def __call__(self, begin: str, end: str):
+        # optional "date:"-style marker (queryparser.h:166-178 ctor
+        # with str_): the begin (prefix) or end (suffix) must carry it
+        if self.str_:
+            if self.prefix:
+                if not begin.startswith(self.str_):
+                    return None
+                begin = begin[len(self.str_):]
+            else:
+                if not end.endswith(self.str_):
+                    return None
+                end = end[: -len(self.str_)]
         for mdy in ((True,) if self.prefer_mdy else (False, True)):
             lo = self._one(begin, mdy) if begin else None
             hi = self._one(end, mdy) if end else None
@@ -236,6 +250,12 @@ class QueryParser:
         # (queryparser.h:461-474; synonym B-tree replaced by this
         # broadcastable dict)
         self.synonyms = synonyms or {}
+        # FieldProcessor hooks (queryparser.h:647-714, tests
+        # queryparsertest.cc:1819-1930): a callable registered for a
+        # field receives the RAW text after 'field:' (quotes stripped)
+        # and returns an ops.Query that replaces default handling.
+        self.field_procs: Dict[str, object] = {}
+        self.bool_field_procs: Dict[str, object] = {}
         self.vrps: List = []
         self._nonexclusive: set = set()
         self._bool_order: Dict[str, int] = {}
@@ -268,13 +288,24 @@ class QueryParser:
         QueryParser::add_valuerangeprocessor)."""
         self.vrps.append(vrp)
 
-    def add_prefix(self, field: str, prefix: str) -> None:
+    def add_prefix(self, field: str, prefix) -> None:
+        """prefix: a term-prefix string, or a FieldProcessor callable
+        (value str → ops.Query) — queryparser.h:647-682."""
+        if callable(prefix) and not isinstance(prefix, str):
+            self.field_procs[field] = prefix
+            return
         self.prefixes.setdefault(field, []).append(prefix)
 
-    def add_boolean_prefix(self, field: str, prefix: str,
+    def add_boolean_prefix(self, field: str, prefix,
                            exclusive: bool = True) -> None:
         self._bool_order.setdefault(field, len(self._bool_order))
-        self.boolean_prefixes.setdefault(field, []).append(prefix)
+        if callable(prefix) and not isinstance(prefix, str):
+            self.bool_field_procs[field] = prefix
+            # register the field so the lexer routes 'field:value'
+            # (and quoted values) through the filter machinery
+            self.boolean_prefixes.setdefault(field, [])
+        else:
+            self.boolean_prefixes.setdefault(field, []).append(prefix)
         if not exclusive:
             self._nonexclusive.add(field)
 
@@ -310,6 +341,7 @@ class QueryParser:
         love = hate = False
         pend_field: Optional[str] = None
         pend_bool: Optional[str] = None
+        pend_is_fproc = False  # pend_bool names a field_procs field
         quote_close = -1  # index just past the last CLOSING quote
         hold_lovehate = False  # pending +/- surviving punctuation
         while i < n:
@@ -378,9 +410,10 @@ class QueryParser:
                             break
                         val.append(s[k])
                         k += 1
-                    toks.append(Tok("filter", bool_field=pend_bool,
-                                    value="".join(val), love=love,
-                                    hate=hate))
+                    toks.append(Tok(
+                        "fieldproc" if pend_is_fproc else "filter",
+                        bool_field=pend_bool, value="".join(val),
+                        love=love, hate=hate))
                     love = hate = False
                     pend_field = pend_bool = None
                     i = k
@@ -467,7 +500,8 @@ class QueryParser:
                 continue
             hold_lovehate = False
             pending_only = bool(seg_toks) and all(
-                t.kind in ("field_only", "bool_field_only")
+                t.kind in ("field_only", "bool_field_only",
+                           "fieldproc_only")
                 for t in seg_toks)
             for tok in seg_toks:
                 if tok.kind == "field_only":
@@ -475,6 +509,11 @@ class QueryParser:
                     continue
                 if tok.kind == "bool_field_only":
                     pend_bool = tok.bool_field
+                    pend_is_fproc = False
+                    continue
+                if tok.kind == "fieldproc_only":
+                    pend_bool = tok.bool_field
+                    pend_is_fproc = True
                     continue
                 toks.append(tok)
             if not pending_only:
@@ -512,6 +551,13 @@ class QueryParser:
         body = seg
         if ":" in seg:
             head, rest = seg.split(":", 1)
+            if head in self.field_procs:
+                # probabilistic FieldProcessor: raw value → Query
+                if rest:
+                    return [Tok("fieldproc", bool_field=head,
+                                value=rest, love=love, hate=hate)]
+                if next_ch in _QUOTES:
+                    return [Tok("fieldproc_only", bool_field=head)]
             if head in self.boolean_prefixes:
                 if rest:
                     return [Tok("filter", bool_field=head, value=rest,
@@ -643,10 +689,14 @@ class QueryParser:
             return [field]
         return list(field)
 
-    def _bool_terms(self, field: str, value: str) -> List[ops.Term]:
+    def _bool_terms(self, field: str, value: str) -> List[ops.Query]:
         """Boolean filter terms for a field value, one per registered
         prefix; ':' separator when the value starts with an ASCII
-        capital (queryparser.lemony prefix_needs_colon:102-107)."""
+        capital (queryparser.lemony prefix_needs_colon:102-107).
+        A FieldProcessor field delegates to its callable instead."""
+        proc = self.bool_field_procs.get(field)
+        if proc is not None:
+            return [proc(value)]
         out = []
         for p in self.boolean_prefixes[field]:
             needs = (bool(value) and "A" <= value[0] <= "Z"
@@ -973,6 +1023,12 @@ class QueryParser:
             if tok.kind == "range":
                 ranges.append(tok.range_node)
                 continue
+            if tok.kind == "fieldproc":
+                # probabilistic FieldProcessor: the callable builds the
+                # node from the raw value (may raise QueryParserError)
+                node = self.field_procs[tok.bool_field](tok.value)
+                add(node, tok.love, tok.hate, False)
+                continue
             if tok.kind == "partial":
                 st.pos += 1
                 node = tok.partial_node
@@ -1235,6 +1291,8 @@ def describe(q: ops.Query) -> str:
     "(a@1 PHRASE 2 b@2)", 0-scale as "0 * …"."""
     if isinstance(q, ops.MatchNothing):
         return ""
+    if isinstance(q, ops.MatchAll):
+        return "<alldocuments>"
     if isinstance(q, ops.ValueRange):
         def esc(v):
             if not isinstance(v, str):
