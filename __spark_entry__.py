@@ -346,9 +346,10 @@ def q_delete_wand(spark, sf_dir):
 
 
 def q_stem_multilang(spark, sf_dir):
-    """Multilingual Snowball stemming (stem.cc:52-120 registry): each
-    row stemmed by its lang column inside one vectorized batch; the
-    expected Z-stems come from the reference's golden vocabularies
+    """Multilingual Snowball stemming (stem.cc:52-120 registry, all
+    22 algorithms implemented): each row stemmed by its lang column
+    inside one vectorized batch; 10 languages exercised here, every
+    expected Z-stem a golden pair from the reference's vocabularies
     (xapian-data/stemming/<lang>/output.txt)."""
     from xapian_spark.index.build import build_index
 
@@ -356,7 +357,13 @@ def q_stem_multilang(spark, sf_dir):
         [(1, "häuser laufen kindern freundlichkeit", "de"),
          (2, "continuité nationale heureusement jouaient", "fr"),
          (3, "caminando rápidamente señores", "es"),
-         (4, "running jumped", "en")],
+         (4, "running jumped", "en"),
+         (5, "безумного книгами", "ru"),
+         (6, "akabinde", "tr"),
+         (7, "ahlmanilla", "fi"),
+         (8, "ajánlásainak", "hu"),
+         (9, "aglutinatu", "eu"),
+         (10, "antepresupoziţiuni", "ro")],
         "doc_id long, text string, lang string")
     idx = build_index(docs, lang_col="lang")
     return (idx.term_stats.filter(F.col("term").startswith("Z"))
@@ -1199,7 +1206,10 @@ SELECT term, tf::BIGINT AS tf, cf::BIGINT AS cf FROM (VALUES
   ('Zcontinu', 1, 1), ('Znational', 1, 1), ('Zheureux', 1, 1),
   ('Zjou', 1, 1),
   ('Zcamin', 1, 1), ('Zrapid', 1, 1), ('Zseñor', 1, 1),
-  ('Zrun', 1, 1), ('Zjump', 1, 1)) t(term, tf, cf)
+  ('Zrun', 1, 1), ('Zjump', 1, 1),
+  ('Zбезумн', 1, 1), ('Zкниг', 1, 1), ('Zakap', 1, 1),
+  ('Zahlman', 1, 1), ('Zajánlás', 1, 1), ('Zaglutin', 1, 1),
+  ('Zantepresupozit', 1, 1)) t(term, tf, cf)
 """
     out["bm25_wand_or"] = _bm25_topk("'batch','scan','spark'")
     out["bm25_wand_and"] = _bm25_topk("'batch','window'",
