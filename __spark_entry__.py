@@ -588,6 +588,17 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over exact
+    n-gram Jaccard pairs — every document labeled with the min doc_id
+    of its component (A~B and B~C cluster A,B,C together even when
+    A!~C). Min-label propagation with per-round persist keeps lineage
+    flat; labels-only state shuffles O(nodes+edges) per round."""
+    from xapian_spark.pipeline.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def q_minhash_sig(spark, sf_dir):
     from xapian_spark.pipeline.dedup import minhash_signatures
 
@@ -796,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
         "dedup_jaccard": q_dedup_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "minhash_signatures": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1461,6 +1473,33 @@ JOIN ssize sa ON sa.doc_id = p.doc_id_a
 JOIN ssize sb ON sb.doc_id = p.doc_id_b
 WHERE round(p.intersection::DOUBLE
       / (sa.set_size + sb.set_size - p.intersection), 6) >= 0.8
+"""
+    out["neardup_clusters"] = f"""{_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+jp AS (
+  SELECT p.doc_id_a AS u, p.doc_id_b AS v
+  FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*)::BIGINT AS intersection
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN ssize sa ON sa.doc_id = p.doc_id_a
+  JOIN ssize sb ON sb.doc_id = p.doc_id_b
+  WHERE round(p.intersection::DOUBLE
+        / (sa.set_size + sb.set_size - p.intersection), 6) >= 0.8
+),
+edges AS (SELECT u, v FROM jp UNION SELECT v, u FROM jp),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id))::BIGINT
+         AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
 """
     out["minhash_signatures"] = _minhash_sig_sql()
     out["simhash"] = _simhash_sql()

@@ -56,6 +56,24 @@ def test_expandweights_bo1(simpledata_index, rset):
                               round(5.58090119783738, 11)]
 
 
+def test_expand_decider(simpledata_index, rset):
+    """ExpandDecider hook: a Column predicate rides the expansion scan
+    (expanddecider.h ExpandDeciderFilterPrefix analog)."""
+    from pyspark.sql import functions as F
+
+    full = {r["term"] for r in get_eset(
+        simpledata_index, rset, maxitems=20).collect()}
+    kept = {r["term"] for r in get_eset(
+        simpledata_index, rset, maxitems=20,
+        decider=lambda t: ~t.startswith("w")).collect()}
+    dropped = {t for t in full if t.startswith("w")}
+    assert dropped  # the fixture does suggest w-terms without a decider
+    assert not any(t.startswith("w") for t in kept)
+    # rejected candidates free top-N slots for new terms — every
+    # accepted term from the unfiltered list must still be present
+    assert {t for t in full if not t.startswith("w")} <= kept
+
+
 def test_expandweights_negative_allowed(simpledata_index):
     enq = Enquire(simpledata_index)
     rows = enq.get_mset(ops.Term("paragraph"), 0, 2).collect()

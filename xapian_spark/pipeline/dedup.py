@@ -401,3 +401,67 @@ def deduplicate_minhash(docs: DataFrame, text_col: str = "text",
                                 bands, threshold, seed)
     drop = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     return docs.join(drop, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
+                         b_col: str = "doc_id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) over the undirected pair graph — component =
+    the smallest node id reachable from `node`.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its closed neighborhood; converges in O(graph
+    diameter) rounds (near-dup graphs are shallow — chains longer than
+    a handful of hops are vanishingly rare at usual thresholds), with
+    an exact fixpoint test so typical inputs stop after 2-3 rounds.
+    Each round materializes via persist() and drops the previous
+    round's cache, keeping the lineage flat — the standard guard
+    against iterative-plan blowup at web scale. Labels-only state:
+    shuffle volume per round is O(nodes + edges), never all-pairs."""
+    edges = (pairs.select(F.col(a_col).alias("u"),
+                          F.col(b_col).alias("v"))
+             .union(pairs.select(F.col(b_col).alias("u"),
+                                 F.col(a_col).alias("v")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .persist())
+    labels.count()
+    for _ in range(max_iter):
+        # min label over closed neighborhood (self ∪ neighbors)
+        nbr = (edges.join(labels,
+                          edges["v"] == labels["node"])
+               .select(edges["u"].alias("node"), "component"))
+        new = (labels.select("node", "component").union(nbr)
+               .groupBy("node")
+               .agg(F.min("component").alias("component"))
+               .persist())
+        changed = (new.join(labels.withColumnRenamed(
+            "component", "old"), "node")
+            .filter(F.col("component") != F.col("old")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "component")
+
+
+def neardup_clusters(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     threshold: float = 0.6,
+                     max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) for every document: transitive near-dup
+    clusters over exact n-gram Jaccard pairs (A~B and B~C put A,B,C in
+    ONE cluster even when A!~C — the piece the greedy pairwise drop
+    policy of deduplicate_minhash doesn't give). Singleton docs are
+    their own cluster. cluster_id = min doc_id in the component."""
+    pairs = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold)
+    comp = connected_components(pairs, max_iter=max_iter)
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(comp.withColumnRenamed("node", "doc_id"), "doc_id",
+                  "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id")
+                    .alias("cluster_id")))

@@ -45,12 +45,17 @@ def get_eset(
     expand_k: float = 1.0,
     exclude_terms: Optional[List[str]] = None,
     min_wt: float = 0.0,
+    decider=None,
 ) -> DataFrame:
     """(term, wt) — top-`maxitems` expansion terms, wt desc / term asc.
 
     `exclude_terms` mirrors the default behavior of not suggesting the
     query's own terms (Enquire::get_eset without
-    INCLUDE_QUERY_TERMS)."""
+    INCLUDE_QUERY_TERMS). `decider` is the ExpandDecider hook
+    (include/xapian/expanddecider.h): a callable receiving the term
+    Column and returning a boolean Column — JVM-side, so the predicate
+    rides the same scan (e.g. `lambda t: ~t.startswith("Z")` is the
+    ExpandDeciderFilterPrefix complement)."""
     rset = [int(d) for d in rset_doc_ids]
     if not rset:
         return index.postings.sparkSession.createDataFrame(
@@ -101,4 +106,6 @@ def get_eset(
     out = j.select("term", wt.alias("wt")).filter(F.col("wt") > min_wt)
     if exclude_terms:
         out = out.filter(~F.col("term").isin(list(exclude_terms)))
+    if decider is not None:
+        out = out.filter(decider(F.col("term")))
     return out.orderBy(F.desc("wt"), F.asc("term")).limit(maxitems)
