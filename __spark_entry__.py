@@ -482,6 +482,18 @@ def q_percent(spark, sf_dir):
                      "percent")
 
 
+def q_percent_cutoff(spark, sf_dir):
+    """set_cutoff percent prune (multimatch.cc:908-930): docs whose
+    weight falls below 30% of the percent scale are excluded."""
+    from xapian_spark.query import ops
+
+    enq = _enquire(spark, sf_dir)
+    df = enq.get_mset_cutoff(
+        ops.Or([ops.Term("batch"), ops.Term("scan")]),
+        percent_cutoff=30, maxitems=10)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_synonym(spark, sf_dir):
     """OP_SYNONYM: children scored as one term (wdf summed, clamped to
     doclen; exact unioned termfreq)."""
@@ -795,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_multikey": q_sort_multikey,
         "match_decider": q_match_decider,
         "percent": q_percent,
+        "percent_cutoff": q_percent_cutoff,
         "synonym": q_synonym,
         "scale_weight": q_scale_weight,
         "matchall": q_matchall,
@@ -1386,6 +1399,21 @@ SELECT a.doc_id, round(a.score, 6) AS score,
                floor(a.score * t.pf + 2.220446049250313e-14),
                100), 0) END)::INT AS percent
 FROM agg a CROSS JOIN top t
+ORDER BY a.score DESC, a.doc_id ASC
+LIMIT 10
+"""
+    out["percent_cutoff"] = f"""{_BM25_PRELUDE}
+, agg AS (
+  SELECT doc_id, sum(part) AS score, count(DISTINCT term) AS nterms
+  FROM scored WHERE term IN ('batch', 'scan') GROUP BY doc_id
+),
+top AS (
+  SELECT score AS gw, nterms AS nt
+  FROM agg ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT a.doc_id, round(a.score, 6) AS score
+FROM agg a CROSS JOIN top t
+WHERE a.score >= (0.30 - 2.220446049250313e-16) * t.gw * 2.0 / t.nt
 ORDER BY a.score DESC, a.doc_id ASC
 LIMIT 10
 """

@@ -150,6 +150,31 @@ def test_mset_percent(simpledata_index):
                for i in range(len(rows) - 1))
 
 
+def test_mset_cutoff(simpledata_index):
+    """set_cutoff: percent cutoff's post-match min_wt prune
+    (multimatch.cc:908-930) and the absolute weight cutoff."""
+    enq = Enquire(simpledata_index)
+    q = ops.Or([ops.Term("this"), ops.Term("paragraph")])
+    full = enq.get_mset(q, 0, 50).collect()
+    pct = enq.get_mset_percent(q, 0, 50).collect()
+    cut = enq.get_mset_cutoff(q, percent_cutoff=50,
+                              maxitems=50).collect()
+    # the percent column the reference reports agrees with the prune
+    kept_ids = {r["doc_id"] for r in cut}
+    for r in pct:
+        if r["percent"] >= 50:
+            assert r["doc_id"] in kept_ids
+        else:
+            assert r["doc_id"] not in kept_ids
+    assert 0 < len(cut) < len(full)
+    # absolute weight cutoff keeps exactly the docs at/above it
+    mid = full[len(full) // 2]["score"]
+    wcut = enq.get_mset_cutoff(q, weight_cutoff=mid,
+                               maxitems=50).collect()
+    assert {r["doc_id"] for r in wcut} == {
+        r["doc_id"] for r in full if r["score"] >= mid}
+
+
 def test_mset_collapse_and_sort(spark):
     from xapian_spark.index.build import build_index
 

@@ -632,6 +632,45 @@ class Enquire:
             raise ValueError(f"unknown sort order: {order!r}")
         return keyed.orderBy(*cols).limit(maxitems)
 
+    def get_mset_cutoff(self, query: ops.Query,
+                        percent_cutoff: int = 0,
+                        weight_cutoff: float = 0.0,
+                        first: int = 0,
+                        maxitems: int = 10) -> DataFrame:
+        """Enquire::set_cutoff analog. weight_cutoff drops docs with
+        score < the absolute threshold (multimatch.cc:573 min_weight
+        init). percent_cutoff drops docs below percent_cutoff% via the
+        post-match pass (multimatch.cc:908-930): min_wt =
+        (pc/100 - DBL_EPSILON) / percent_scale with percent_scale =
+        (subqueries matched by the greatest-weight doc / total
+        subqueries) / greatest_wt — this threshold dominates the
+        during-match wt*factor prune, so one final filter is exact."""
+        stats = self._gather_stats(list(query.terms()))
+        scored = self._with_extra(self.compile(query, stats), query,
+                                  stats)
+        if weight_cutoff > 0:
+            scored = scored.filter(F.col("score") >= weight_cutoff)
+        if percent_cutoff:
+            top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(1).collect())
+            if top and top[0]["score"] > 0:
+                greatest_wt = top[0]["score"]
+                qterms = list(dict.fromkeys(query.terms()))
+                matched = (
+                    self.index.postings
+                    .filter(F.col("term").isin(qterms)
+                            & (F.col("doc_id") == top[0]["doc_id"]))
+                    .select("term").distinct().count()
+                )
+                scale = matched / len(qterms) / greatest_wt
+                eps = 2.220446049250313e-16
+                min_wt = (percent_cutoff / 100.0 - eps) / scale
+                scored = scored.filter(F.col("score") >= min_wt)
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if first:
+            return ordered.offset(first).limit(maxitems)
+        return ordered.limit(maxitems)
+
     def get_mset_percent(self, query: ops.Query, first: int = 0,
                          maxitems: int = 10) -> DataFrame:
         """Top-k with the reference percent score: percent_scale =
