@@ -182,3 +182,31 @@ def test_or_score_is_sum(simpledata_index):
     for d, s in got.items():
         assert s == pytest.approx(
             sa.get(d, 0.0) + sb.get(d, 0.0), rel=1e-12)
+
+
+def test_docid_order_descending(simpledata_index):
+    """Enquire::set_docid_order(DESCENDING) — equal-weight docs
+    tiebreak docid DESC (msetcmp.cc:46-133)."""
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    enq = Enquire(simpledata_index)
+    asc = enq.get_mset(ops.Term("this"), 0, 50).collect()
+    desc = enq.get_mset(ops.Term("this"), 0, 50,
+                        docid_order="desc").collect()
+    assert {r["doc_id"] for r in asc} == {r["doc_id"] for r in desc}
+    # within every equal-score band the order flips
+    from itertools import groupby
+    for rows in (asc, desc):
+        assert all(rows[i]["score"] >= rows[i + 1]["score"]
+                   for i in range(len(rows) - 1))
+    bands_asc = {s: [r["doc_id"] for r in g] for s, g in
+                 groupby(asc, key=lambda r: round(r["score"], 9))}
+    bands_desc = {s: [r["doc_id"] for r in g] for s, g in
+                  groupby(desc, key=lambda r: round(r["score"], 9))}
+    flipped = False
+    for s, ids in bands_asc.items():
+        assert bands_desc[s] == ids[::-1]
+        if len(ids) > 1:
+            flipped = True
+    assert flipped  # fixture has at least one equal-score band

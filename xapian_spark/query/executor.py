@@ -532,15 +532,21 @@ class Enquire:
                         (F.col("score") + extra).alias("score")))
 
     def get_mset(self, query: ops.Query, first: int = 0,
-                 maxitems: int = 10, decider=None) -> DataFrame:
+                 maxitems: int = 10, decider=None,
+                 docid_order: str = "asc") -> DataFrame:
         """Top-k: DataFrame(doc_id, score) ordered by (score desc,
-        doc_id asc), offset by `first`.
+        docid tiebreak), offset by `first`.
 
         `decider` is the MatchDecider analog (enquire.h MatchDecider):
         a boolean Column over index.docs — docs failing it are excluded
         BEFORE the top-k bound, exactly like the reference applies the
         decider during the match. A left-semi join against the filtered
-        docs table (broadcast when small) keeps the plan one pass."""
+        docs table (broadcast when small) keeps the plan one pass.
+
+        `docid_order` is Enquire::set_docid_order (msetcmp.cc:46-133):
+        "asc" (default ASCENDING), "desc" (DESCENDING); DONT_CARE maps
+        to ascending — with one logical collection the reference's
+        DONT_CARE ordering is ascending too."""
         stats = self._gather_stats(list(query.terms()))
         scored = self._with_extra(self.compile(query, stats), query,
                                   stats)
@@ -550,7 +556,9 @@ class Enquire:
             allowed = self.index.docs.filter(decider).select(
                 F.col("doc_id").cast("long").alias("doc_id"))
             scored = scored.join(allowed, "doc_id", "left_semi")
-        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        tiebreak = F.desc("doc_id") if docid_order == "desc" \
+            else F.asc("doc_id")
+        ordered = scored.orderBy(F.desc("score"), tiebreak)
         if first:
             # offset()+limit() stays a TakeOrderedAndProject of
             # first+maxitems rows; a global row_number() Window would
