@@ -600,6 +600,20 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (data-mixture
+    primitive): row kept iff md5(seed:doc_id) mod 2^32 < frac*2^32 for
+    its lang — reproducible across runs/engines/partitionings (plain
+    df.sample() is none of those). Pure filter, no shuffle."""
+    from xapian_spark.pipeline.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        fractions={"en": 0.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang", seed=7, default_fraction=0.1)
+    return out.select("doc_id", "lang")
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: connected components over exact
     n-gram Jaccard pairs — every document labeled with the min doc_id
@@ -821,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "dedup_jaccard": q_dedup_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "stratified_sample": q_stratified_sample,
         "minhash_signatures": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1528,6 +1543,12 @@ SELECT d.doc_id,
          AS cluster_id
 FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
+"""
+    out["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                   WHEN 'fr' THEN 0.25 ELSE 0.1 END * 4294967296.0)
 """
     out["minhash_signatures"] = _minhash_sig_sql()
     out["simhash"] = _simhash_sql()
