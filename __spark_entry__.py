@@ -600,6 +600,15 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (GPT-2-style,
+    lookahead-free so Java regex and the DuckDB RE2 oracle agree
+    byte-for-byte) beside the whitespace word count."""
+    from xapian_spark.pipeline.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (data-mixture
     primitive): row kept iff md5(seed:doc_id) mod 2^32 < frac*2^32 for
@@ -836,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "stratified_sample": q_stratified_sample,
+        "bpe_token_count": q_bpe_token_count,
         "minhash_signatures": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1544,6 +1554,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
 """
+    from xapian_spark.pipeline.textstats import BPE_SPLIT_RE
+
+    bpe_pat = BPE_SPLIT_RE.replace("'", "''")
+    out["bpe_token_count"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pieces AS (
+  SELECT doc_id,
+         len(list_filter(
+           regexp_extract_all(text, '{bpe_pat}'),
+           p -> trim(p) != '')) AS n_bpe
+  FROM documents
+)
+SELECT t.doc_id, len(t.toks)::INT AS n_words,
+       p.n_bpe::INT AS n_bpe_pieces,
+       round(p.n_bpe::DOUBLE / greatest(len(t.toks), 1), 6)
+         AS pieces_per_word
+FROM toks t JOIN pieces p USING (doc_id)
+"""
+
     out["stratified_sample"] = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -42,3 +42,20 @@ def test_plan_is_jvm_only(spark):
         .queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_counts(spark):
+    from xapian_spark.pipeline.textstats import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "The model's weights converged in 3.5 hours!"),
+         (2, "hello   world"), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_token_counts(docs).collect()}
+    # "The| model|'s| weights| converged| in| 3|.|5| hours|!" = 11
+    assert rows[1]["n_bpe_pieces"] == 11
+    # the|model|s|weights|converged|in|3|5|hours (split on [^a-z0-9])
+    assert rows[1]["n_words"] == 9
+    assert rows[2]["n_bpe_pieces"] == 2
+    assert rows[3]["n_bpe_pieces"] == 0
+    assert rows[3]["pieces_per_word"] == 0.0

@@ -133,3 +133,34 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer pattern, lookahead-free so the same string
+# counts identically under Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, then single whitespace.
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
+                r"| ?[^\s\p{L}\p{N}']+|\s")
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe_pieces, pieces_per_word) — token-count
+    estimation with a BPE-ish pretokenizer regex beside the whitespace
+    word count. n_bpe_pieces counts pretokenizer segments (the unit a
+    byte-pair encoder would then split subword-wise) — the standard
+    cheap proxy for LLM token budgets at corpus scale. Pure JVM regexp
+    (whole-stage codegen), one narrow scan, no shuffle."""
+    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_extract_all(F.col(text_col),
+                                  F.lit(BPE_SPLIT_RE), F.lit(0))
+    n_words = F.size(toks)
+    n_pieces = F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_pieces.alias("n_bpe_pieces"),
+        F.round(n_pieces.cast("double")
+                / F.greatest(n_words, F.lit(1)), 6)
+        .alias("pieces_per_word"),
+    )
