@@ -143,3 +143,44 @@ def test_metadata_kv(spark, corpus, tmp_path):
     assert keys == ["other:x"]
     assert [r["key"] for r in seg.metadata_keys("other").collect()] \
         == ["other:x"]
+
+
+def test_delete_after_replace_kills_resurrected_doc(spark, tmp_path):
+    """A tombstoned docid resurrected by replace must be deletable
+    again (the skip guard compares before_seg against the CURRENT max
+    segment, not mere tombstone existence)."""
+    docs = spark.createDataFrame(
+        [(i, f"common word{i}") for i in range(1, 9)],
+        "doc_id long, text string")
+    seg = build_segments(docs, str(tmp_path / "i"), n_segments=2,
+                         analyzer="simple")
+    rep = spark.createDataFrame([(3, "replaced text")],
+                                "doc_id long, text string")
+    seg = replace_documents(seg, rep, analyzer="simple")
+    seg = delete_documents(seg, [3])
+    wq = WandEnquire(seg)
+    assert wq.get_mset(["replaced"], 10).collect() == []
+    assert seg.stats().doccount == 7
+
+
+def test_double_replace_single_live_copy(spark, tmp_path):
+    """Replacing the same docid twice leaves exactly one live copy and
+    exact stats (re-delete deltas count only segments newer than the
+    prior tombstone)."""
+    docs = spark.createDataFrame(
+        [(i, f"common word{i}") for i in range(1, 9)],
+        "doc_id long, text string")
+    seg = build_segments(docs, str(tmp_path / "i"), n_segments=2,
+                         analyzer="simple")
+    for text in ("zebra one", "zebra two"):
+        rep = spark.createDataFrame([(5, text)],
+                                    "doc_id long, text string")
+        seg = replace_documents(seg, rep, analyzer="simple")
+    wq = WandEnquire(seg)
+    hits = wq.get_mset(["zebra"], 10).collect()
+    assert [r["doc_id"] for r in hits] == [5]
+    assert seg.stats().doccount == 8
+    flat = seg.to_inverted_index()
+    live = {r["term"] for r in flat.postings.filter(
+        F.col("doc_id") == 5).select("term").collect()}
+    assert live == {"zebra", "two"}

@@ -284,10 +284,13 @@ def _tokenize_simple(
     docs: DataFrame, id_col: str, text_col: str, keep_positions: bool
 ) -> DataFrame:
     """Pure-SQL tokenize (no Python): lower → split → posexplode → group."""
-    docs = spread_input(docs)
+    # project BEFORE spreading: the repartition exchange then moves
+    # only (id, text), not every input column (html, metadata, ...)
+    docs = spread_input(docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col))
     toks = (
         docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).alias("doc_id"),
             F.posexplode(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), SIMPLE_SPLIT_RE),

@@ -33,6 +33,14 @@ import numpy as np
 # brass_postlist.cc:93)
 CHUNK_TARGET_BYTES = 2000
 
+# On-disk chunk format version. v2: the first posting entry stores the
+# ABSOLUTE docid (so docid 0 can't underflow the uint64 gap stream);
+# v1 (round-1) stored docid-1. Decoding a v1 index with the v2 codec
+# shifts every docid down by one SILENTLY — writers stamp this into
+# <path>/format.json and SegmentIndex refuses a mismatched (or
+# unstamped legacy) index rather than returning wrong documents.
+CODEC_VERSION = 2
+
 
 def vbyte_encode(values: np.ndarray) -> bytes:
     """VByte-encode an array of uint64 (LSB-first, continuation high bit

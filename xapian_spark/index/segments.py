@@ -44,6 +44,7 @@ from typing import Callable, Iterable, List, Optional
 
 import numpy as np
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -53,7 +54,7 @@ from pyspark.sql.types import (
 
 from xapian_spark.index.build import ANALYZERS, MAX_SAFE_TERM_LENGTH
 from xapian_spark.index.codec import (
-    CHUNK_TARGET_BYTES, encode_chunks, encode_positions,
+    CHUNK_TARGET_BYTES, CODEC_VERSION, encode_chunks, encode_positions,
 )
 
 DOCLEN_TERM = ""  # reserved pseudo-term whose chunks hold (doc_id, 0, doclen)
@@ -82,6 +83,29 @@ MANIFEST_SCHEMA = StructType([
     StructField("build_sec", DoubleType(), False),
     StructField("input_desc", StringType(), True),
 ])
+
+
+def _stamp_format(spark: SparkSession, path: str) -> None:
+    """Record the chunk-codec version beside the chunks (format.json,
+    one row) so a later reader can refuse incompatible data."""
+    spark.createDataFrame(
+        [(int(CODEC_VERSION),)], "codec int"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/format.json")
+
+
+def _check_format(spark: SparkSession, path: str) -> None:
+    try:
+        row = spark.read.json(f"{path}/format.json").head()
+    except AnalysisException:
+        raise ValueError(
+            f"{path}: no format.json — this index predates the v2 "
+            "chunk codec (first entry absolute vs docid-1) and would "
+            "decode every docid off by one; rebuild it") from None
+    v = int(row["codec"]) if row is not None else None
+    if v != CODEC_VERSION:
+        raise ValueError(
+            f"{path}: chunk codec v{v} is not supported by this "
+            f"reader (expects v{CODEC_VERSION}); rebuild the index")
 
 
 def simple_analyzer(text: str):
@@ -181,6 +205,7 @@ class SegmentIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        _check_format(spark, path)
         self.chunks = spark.read.parquet(f"{path}/chunks")
         self._stats = None
         self._term_stats = None
@@ -203,7 +228,9 @@ class SegmentIndex:
             t = self.spark.read.parquet(f"{self.path}/tombstones")
             return t.groupBy("doc_id").agg(
                 F.max("before_seg").alias("before_seg"))
-        except Exception:
+        except AnalysisException:
+            # only "path does not exist" means no deletes; a corrupt
+            # or unreadable table must NOT silently resurrect docs
             return None
 
     def _dead_arrays(self):
@@ -229,7 +256,7 @@ class SegmentIndex:
             return d.groupBy("term").agg(
                 F.sum("tf_delta").alias("tf_delta"),
                 F.sum("cf_delta").alias("cf_delta"))
-        except Exception:
+        except AnalysisException:
             return None
 
     def term_stats(self) -> DataFrame:
@@ -290,7 +317,7 @@ class SegmentIndex:
     def _metadata_df(self) -> Optional[DataFrame]:
         try:
             return self.spark.read.parquet(f"{self.path}/metadata")
-        except Exception:
+        except AnalysisException:
             return None
 
     def set_metadata(self, key: str, value: str) -> None:
@@ -565,6 +592,7 @@ def compact(
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
     man.write.mode("overwrite").parquet(f"{out_path}/manifest")
+    _stamp_format(spark, out_path)
     return SegmentIndex(spark, out_path)
 
 
@@ -604,7 +632,7 @@ def build_segments(
             done = {r.seg_id for r in
                     spark.read.parquet(f"{path}/manifest")
                     .select("seg_id").collect()}
-        except Exception:
+        except AnalysisException:
             done = set()
 
     tagged = docs.select(
@@ -690,6 +718,7 @@ def build_segments(
         )
         man.write.mode("append").parquet(f"{path}/manifest")
 
+    _stamp_format(spark, path)
     return SegmentIndex(spark, path)
 
 
@@ -717,27 +746,34 @@ def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
 
     spark = index.spark
     ids = sorted({int(d) for d in doc_ids})
+    cur_max = index.chunks.agg(F.max("seg_id")).head()[0]
     existing = index.tombstones()
+    prior: dict = {}
     if existing is not None and ids:
-        have = {r["doc_id"] for r in existing.filter(
+        prior = {r["doc_id"]: r["before_seg"] for r in existing.filter(
             F.col("doc_id").isin(ids)).collect()}
-        # already-tombstoned docs must not double their stat deltas
-        ids = [d for d in ids if d not in have]
+        # a doc whose tombstone already covers every current segment is
+        # fully dead — re-deleting it must not double the stat deltas.
+        # But a doc RESURRECTED by a later replace (segments appended
+        # past its before_seg) is live again and must be re-tombstoned,
+        # with deltas counted only over those newer segments.
+        ids = [d for d in ids if prior.get(d, -1) < cur_max]
     if not ids:
         return SegmentIndex(spark, index.path)
 
-    before_seg = index.chunks.agg(F.max("seg_id")).head()[0]
+    before_seg = cur_max
     dead = np.array(ids, dtype=np.int64)
-    b = spark.sparkContext.broadcast(dead)
+    minseg = np.array([prior.get(d, -1) for d in ids], dtype=np.int64)
+    b = spark.sparkContext.broadcast((dead, minseg))
 
     def gen(batches):
         import pandas as pd
 
-        dd = b.value
+        dd, ms = b.value
         for pdf in batches:
             terms, tfd, cfd = [], [], []
-            for term, first, last, data in zip(
-                    pdf["term"], pdf["first_doc_id"],
+            for term, seg, first, last, data in zip(
+                    pdf["term"], pdf["seg_id"], pdf["first_doc_id"],
                     pdf["last_doc_id"], pdf["data"]):
                 lo = np.searchsorted(dd, first)
                 if lo >= dd.size or dd[lo] > last:
@@ -746,6 +782,9 @@ def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
                 idx = np.searchsorted(dd, cids)
                 m = idx < dd.size
                 m[m] = dd[idx[m]] == cids[m]
+                # postings in segments at/below the doc's PRIOR
+                # tombstone were already delta'd by that delete
+                m[m] = ms[idx[m]] < int(seg)
                 if not m.any():
                     continue
                 terms.append(term)
@@ -758,7 +797,8 @@ def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
                 {"term": terms, "tf_delta": tfd, "cf_delta": cfd})
 
     deltas = (index.chunks
-              .select("term", "first_doc_id", "last_doc_id", "data")
+              .select("term", "seg_id", "first_doc_id", "last_doc_id",
+                      "data")
               .mapInPandas(gen,
                            "term string, tf_delta long, cf_delta long")
               .groupBy("term").agg(

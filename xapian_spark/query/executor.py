@@ -661,19 +661,23 @@ class Enquire:
         if percent_cutoff:
             top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(1).collect())
-            if top and top[0]["score"] > 0:
+            qterms = list(dict.fromkeys(query.terms()))
+            if top and top[0]["score"] > 0 and qterms:
                 greatest_wt = top[0]["score"]
-                qterms = list(dict.fromkeys(query.terms()))
                 matched = (
                     self.index.postings
                     .filter(F.col("term").isin(qterms)
                             & (F.col("doc_id") == top[0]["doc_id"]))
                     .select("term").distinct().count()
                 )
-                scale = matched / len(qterms) / greatest_wt
-                eps = 2.220446049250313e-16
-                min_wt = (percent_cutoff / 100.0 - eps) / scale
-                scored = scored.filter(F.col("score") >= min_wt)
+                # a top doc carried purely by extra weight (k2) or a
+                # term-less branch gives scale 0 — the reference's
+                # percent_scale is then 0 too and no prune applies
+                if matched:
+                    scale = matched / len(qterms) / greatest_wt
+                    eps = 2.220446049250313e-16
+                    min_wt = (percent_cutoff / 100.0 - eps) / scale
+                    scored = scored.filter(F.col("score") >= min_wt)
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if first:
             return ordered.offset(first).limit(maxitems)

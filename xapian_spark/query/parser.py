@@ -1237,11 +1237,6 @@ class _State:
         self.i = 0
         self.pos = 0
         self.depth = 0
-        # once one operator word is demoted to a plain term, LATER
-        # operator words in the query demote too (the reference's
-        # degraded-syntax behavior: "kraan NEAR (Elektrisch OR
-        # Electrisch)" gives or@4 as a term)
-        self.demoted = False
 
     def peek(self, ahead: int = 0) -> Optional[Tok]:
         j = self.i + ahead
