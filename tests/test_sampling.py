@@ -59,3 +59,15 @@ def test_bpe_token_counts(spark):
     assert rows[2]["n_bpe_pieces"] == 2
     assert rows[3]["n_bpe_pieces"] == 0
     assert rows[3]["pieces_per_word"] == 0.0
+
+
+def test_plan_no_shuffle(spark):
+    """Sampling is a pure filter: the physical plan contains no
+    Exchange (shuffle) and stays in one WholeStageCodegen span."""
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    plan = stratified_sample(docs, {"en": 0.5})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # "*(1)" is the whole-stage-codegen span marker in toString()
+    assert "*(1)" in plan
