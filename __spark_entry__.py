@@ -958,6 +958,56 @@ FROM h GROUP BY doc_id
 """
 
 
+def _minhash_pairs_sql() -> str:
+    """minhash_dedup_pairs oracle: the same 16-hash signatures, banded
+    4x4 — candidates share any band (direct tuple equality, equivalent
+    to the md5 bucket join), then exact-Jaccard verify >= 0.8. All
+    integer/md5 arithmetic: no float-order risk."""
+    params, p = _minhash_params_sql(16)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = " OR\n        ".join(
+        "(" + " AND ".join(
+            f"a.h{bi * 4 + r} = b.h{bi * 4 + r}" for r in range(4)
+        ) + ")"
+        for bi in range(4)
+    )
+    return f"""{_SHINGLES},
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {bands}
+),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i2.da AS doc_id_a, i2.db AS doc_id_b,
+       round(i2.i::DOUBLE
+             / (sa.set_size + sb.set_size - i2.i), 6) AS jaccard
+FROM inter i2
+JOIN ssize sa ON sa.doc_id = i2.da
+JOIN ssize sb ON sb.doc_id = i2.db
+WHERE round(i2.i::DOUBLE
+      / (sa.set_size + sb.set_size - i2.i), 6) >= 0.8
+"""
+
+
 def _simhash_sql(cols: str = "doc_id, simhash_hi, simhash_lo") -> str:
     votes = []
     for half in ("hi", "lo"):
@@ -1578,6 +1628,16 @@ SELECT doc_id, lang FROM documents
 WHERE ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
       < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                    WHEN 'fr' THEN 0.25 ELSE 0.1 END * 4294967296.0)
+"""
+    out["minhash_pairs"] = _minhash_pairs_sql()
+    out["simhash_neardup"] = f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       (bit_count(xor(a.simhash_hi, b.simhash_hi))
+        + bit_count(xor(a.simhash_lo, b.simhash_lo)))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
 """
     out["minhash_signatures"] = _minhash_sig_sql()
     out["simhash"] = _simhash_sql()
