@@ -85,6 +85,45 @@ MANIFEST_SCHEMA = StructType([
 ])
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem existence check via the Hadoop FS API — used instead
+    of catching AnalysisException, so an existing-but-corrupt table
+    raises loudly rather than silently reading as absent (tombstones
+    that silently read as absent would resurrect deleted docs)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _read_optional_parquet(spark: SparkSession, path: str
+                           ) -> Optional[DataFrame]:
+    """None iff `path` does not exist; any OTHER read failure (empty
+    directory from a partial write, schema corruption) propagates."""
+    if not _path_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _write_dynamic_overwrite(df: DataFrame, path: str,
+                             partition_col: str) -> None:
+    """Overwrite exactly the `partition_col` partitions present in `df`
+    (dynamic partition overwrite) — the idempotent-replay write used by
+    the chunk builder and the delete two-phase commit."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(partition_col)
+         .parquet(path))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def _stamp_format(spark: SparkSession, path: str) -> None:
     """Record the chunk-codec version beside the chunks (format.json,
     one row) so a later reader can refuse incompatible data."""
@@ -220,18 +259,24 @@ class SegmentIndex:
     def doclen_chunks(self) -> DataFrame:
         return self.chunks.filter(F.col("term") == DOCLEN_TERM)
 
+    def _tombstones_raw(self) -> Optional[DataFrame]:
+        """Raw (doc_id, before_seg, batch_id) rows, or None when the
+        table doesn't exist. The tombstones table is the COMMIT marker
+        of a delete batch: a tombstone_deltas batch with no matching
+        tombstone batch is an uncommitted partial write and is ignored
+        (see delete_documents)."""
+        return _read_optional_parquet(
+            self.spark, f"{self.path}/tombstones")
+
     def tombstones(self) -> Optional[DataFrame]:
         """(doc_id, before_seg): doc_id is deleted from every segment
         with seg_id <= before_seg (segments appended AFTER the delete —
         a replace — are live). None when no deletes exist."""
-        try:
-            t = self.spark.read.parquet(f"{self.path}/tombstones")
-            return t.groupBy("doc_id").agg(
-                F.max("before_seg").alias("before_seg"))
-        except AnalysisException:
-            # only "path does not exist" means no deletes; a corrupt
-            # or unreadable table must NOT silently resurrect docs
+        t = self._tombstones_raw()
+        if t is None:
             return None
+        return t.groupBy("doc_id").agg(
+            F.max("before_seg").alias("before_seg"))
 
     def _dead_arrays(self):
         """Driver-side (sorted doc_ids, before_seg) numpy pair for the
@@ -250,14 +295,20 @@ class SegmentIndex:
     def _deltas(self) -> Optional[DataFrame]:
         """Per-term (tf_delta, cf_delta) of tombstoned postings —
         written by delete_documents from a block-range-pruned decode,
-        so term_stats/stats stay exact without a full decode."""
-        try:
-            d = self.spark.read.parquet(f"{self.path}/tombstone_deltas")
-            return d.groupBy("term").agg(
-                F.sum("tf_delta").alias("tf_delta"),
-                F.sum("cf_delta").alias("cf_delta"))
-        except AnalysisException:
+        so term_stats/stats stay exact without a full decode. Only
+        batches whose tombstone rows committed count: a crash between
+        the deltas write and the tombstones write leaves an orphan
+        batch that is ignored here and overwritten by the retry."""
+        d = _read_optional_parquet(
+            self.spark, f"{self.path}/tombstone_deltas")
+        t = self._tombstones_raw()
+        if d is None or t is None:
             return None
+        committed = F.broadcast(t.select("batch_id").distinct())
+        return (d.join(committed, "batch_id")
+                .groupBy("term").agg(
+                    F.sum("tf_delta").alias("tf_delta"),
+                    F.sum("cf_delta").alias("cf_delta")))
 
     def term_stats(self) -> DataFrame:
         """Global term dictionary: term → (tf, cf) from chunk metadata
@@ -315,10 +366,7 @@ class SegmentIndex:
     # -- user metadata K/V (brass_metadata.cc / database.h:371-387) -------
 
     def _metadata_df(self) -> Optional[DataFrame]:
-        try:
-            return self.spark.read.parquet(f"{self.path}/metadata")
-        except AnalysisException:
-            return None
+        return _read_optional_parquet(self.spark, f"{self.path}/metadata")
 
     def set_metadata(self, key: str, value: str) -> None:
         """WritableDatabase::set_metadata analog: last-write-wins via a
@@ -592,6 +640,19 @@ def compact(
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
     man.write.mode("overwrite").parquet(f"{out_path}/manifest")
+    # preserve user metadata across compaction, as the reference's
+    # Compactor does (api/compactor.cc:175 resolve_duplicate_metadata):
+    # keep each key's latest-revision value, drop deleted (empty) keys,
+    # restart the revision counter at 0 in the compacted index.
+    meta = index._metadata_df()
+    if meta is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(F.desc("rev"))
+        (meta.withColumn("_rn", F.row_number().over(w))
+         .filter((F.col("_rn") == 1) & (F.col("value") != ""))
+         .select("key", "value", F.lit(0).cast("long").alias("rev"))
+         .write.mode("overwrite").parquet(f"{out_path}/metadata"))
     _stamp_format(spark, out_path)
     return SegmentIndex(spark, out_path)
 
@@ -620,6 +681,20 @@ def build_segments(
     brass_database.cc:1395-1430).
     """
     spark = docs.sparkSession
+    # Appending onto an existing index (resume, streaming drain,
+    # replace_documents) must refuse a pre-v2 path BEFORE writing:
+    # otherwise the mixed index gets stamped with the current codec
+    # version at the end and every old chunk silently decodes its
+    # docids off by one — the exact corruption _check_format exists to
+    # prevent, caught here at write time rather than first read.
+    if (_path_exists(spark, f"{path}/chunks")
+            or _path_exists(spark, f"{path}/manifest")):
+        _check_format(spark, path)
+    else:
+        # fresh path: stamp BEFORE writing any chunks, so a crash
+        # mid-build leaves a resumable (stamped) partial index rather
+        # than chunks with no format.json that the guard above rejects
+        _stamp_format(spark, path)
     if not n_segments:
         n_segments = max(docs.rdd.getNumPartitions(), 1)
     fn = SEG_ANALYZERS.get(analyzer, analyzer)
@@ -628,12 +703,9 @@ def build_segments(
 
     done: set = set()
     if resume:
-        try:
-            done = {r.seg_id for r in
-                    spark.read.parquet(f"{path}/manifest")
-                    .select("seg_id").collect()}
-        except AnalysisException:
-            done = set()
+        man_df = _read_optional_parquet(spark, f"{path}/manifest")
+        if man_df is not None:
+            done = {r.seg_id for r in man_df.select("seg_id").collect()}
 
     tagged = docs.select(
         F.col(id_col).cast("long").alias(id_col), text_col,
@@ -677,18 +749,7 @@ def build_segments(
         # OVERWRITES rather than duplicates — postings can never be
         # double-counted. Manifested segments are excluded from `todo`
         # and therefore never touched.
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            (chunk_df
-             .write.mode("overwrite").partitionBy("seg_id")
-             .parquet(f"{path}/chunks"))
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        _write_dynamic_overwrite(chunk_df, f"{path}/chunks", "seg_id")
         build_sec = time.time() - t0
 
         # manifest rows for the newly built segments (lineage + metrics)
@@ -718,7 +779,6 @@ def build_segments(
         )
         man.write.mode("append").parquet(f"{path}/manifest")
 
-    _stamp_format(spark, path)
     return SegmentIndex(spark, path)
 
 
@@ -804,11 +864,28 @@ def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
               .groupBy("term").agg(
                   F.sum("tf_delta").alias("tf_delta"),
                   F.sum("cf_delta").alias("cf_delta")))
-    deltas.write.mode("append").parquet(f"{index.path}/tombstone_deltas")
-    spark.createDataFrame(
-        [(d, int(before_seg)) for d in ids],
-        "doc_id long, before_seg int",
-    ).write.mode("append").parquet(f"{index.path}/tombstones")
+    # Two-phase batched commit (crash-safe AND retry-idempotent):
+    # batch_id = max committed batch + 1. Phase 1 writes the stat
+    # deltas under that batch_id with dynamic-partition OVERWRITE — a
+    # retried delete replaces the orphan partition rather than
+    # appending a second copy. Phase 2 writes the tombstone rows, which
+    # COMMIT the batch: _deltas() ignores any deltas batch that has no
+    # matching tombstone batch, so a crash between the phases changes
+    # neither document visibility nor stats, and the retry (same ids →
+    # same batch_id, since the tombstones table is unchanged) replays
+    # cleanly.
+    raw = index._tombstones_raw()
+    bid = 0
+    if raw is not None:
+        bid = int(raw.agg(F.max("batch_id")).head()[0] or 0) + 1
+    _write_dynamic_overwrite(
+        deltas.withColumn("batch_id", F.lit(bid)),
+        f"{index.path}/tombstone_deltas", "batch_id")
+    _write_dynamic_overwrite(
+        spark.createDataFrame(
+            [(d, int(before_seg), bid) for d in ids],
+            "doc_id long, before_seg int, batch_id int"),
+        f"{index.path}/tombstones", "batch_id")
     return SegmentIndex(spark, index.path)
 
 

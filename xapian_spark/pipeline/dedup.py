@@ -414,10 +414,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
     diameter) rounds (near-dup graphs are shallow — chains longer than
     a handful of hops are vanishingly rare at usual thresholds), with
     an exact fixpoint test so typical inputs stop after 2-3 rounds.
-    Each round materializes via persist() and drops the previous
-    round's cache, keeping the lineage flat — the standard guard
-    against iterative-plan blowup at web scale. Labels-only state:
-    shuffle volume per round is O(nodes + edges), never all-pairs."""
+    Each round materializes via localCheckpoint(eager=True), which
+    both caches the round's labels AND truncates the logical plan —
+    persist alone keeps the full lineage tree, which doubles per round
+    and blows up analysis time/memory past ~6 rounds (the classic
+    iterative-algorithm trap at web scale). Labels-only state: shuffle
+    volume per round is O(nodes + edges), never all-pairs."""
     edges = (pairs.select(F.col(a_col).alias("u"),
                           F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
@@ -426,8 +428,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
              .persist())
     labels = (edges.select(F.col("u").alias("node")).distinct()
               .withColumn("component", F.col("node"))
-              .persist())
-    labels.count()
+              .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iter):
         # min label over closed neighborhood (self ∪ neighbors)
         nbr = (edges.join(labels,
@@ -436,15 +438,23 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
         new = (labels.select("node", "component").union(nbr)
                .groupBy("node")
                .agg(F.min("component").alias("component"))
-               .persist())
+               .localCheckpoint(eager=True))
         changed = (new.join(labels.withColumnRenamed(
             "component", "old"), "node")
             .filter(F.col("component") != F.col("old")).count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # one-hop min-label propagation needs O(component diameter)
+        # rounds: stopping short silently SPLITS long chains into
+        # multiple components, which is wrong data, not a degraded
+        # answer — refuse instead.
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (a near-dup chain is longer than max_iter hops); "
+            "re-run with a larger max_iter")
     return labels.select("node", "component")
 
 
@@ -456,7 +466,12 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
     clusters over exact n-gram Jaccard pairs (A~B and B~C put A,B,C in
     ONE cluster even when A!~C — the piece the greedy pairwise drop
     policy of deduplicate_minhash doesn't give). Singleton docs are
-    their own cluster. cluster_id = min doc_id in the component."""
+    their own cluster. cluster_id = min doc_id in the component.
+
+    `max_iter` is a CORRECTNESS knob, not a budget: it must be >= the
+    longest near-dup chain's hop count (label propagation converges in
+    O(component diameter) rounds) — connected_components raises rather
+    than return silently split clusters if the fixpoint isn't reached."""
     pairs = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold)
     comp = connected_components(pairs, max_iter=max_iter)
     return (docs.select(F.col(id_col).alias("doc_id"))
