@@ -141,9 +141,22 @@ def lsh_neardup_pairs(embeddings: DataFrame, dim: int,
 
 def brute_force_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (the oracle-checkable baseline;
-    O(n²) — for small n or verification only)."""
+                      id_col: str = "vec_id",
+                      max_rows: int = 100_000) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the VERIFICATION baseline
+    for lsh_neardup_pairs, O(n²) by construction. The product path at
+    corpus scale is lsh_neardup_pairs (banded sketch join); to keep
+    this from being silently pointed at a full corpus, it refuses
+    inputs above `max_rows` (pass max_rows=None to override for an
+    explicitly-bounded verification job)."""
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"brute_force_pairs is O(n²) and got {n} rows "
+                f"(> max_rows={max_rows}); use lsh_neardup_pairs for "
+                "corpus-scale near-dup, or pass max_rows=None if this "
+                "O(n²) job is genuinely intended")
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("vec"))
     a = e.select(F.col("vec_id").alias("vec_id_a"),

@@ -98,6 +98,15 @@ def suggest(spelling: DataFrame, word: str,
 def spelling_suggestion(spelling: DataFrame, word: str,
                         max_edit_distance: int = 2):
     """The single best suggestion (or None) —
-    Database::get_spelling_suggestion."""
+    Database::get_spelling_suggestion (api/omdatabase.cc:557-669),
+    including the exact-word rule at its end (:667-668): if the word
+    itself is in the dictionary with a HIGHER frequency than the best
+    candidate, no suggestion is made (a common correctly-spelled word
+    must not be 'corrected' to a rarer neighbor)."""
     rows = suggest(spelling, word, max_edit_distance).limit(1).collect()
-    return rows[0]["word"] if rows else None
+    if not rows:
+        return None
+    freq_exact_row = (spelling.filter(F.col("word") == word)
+                      .select("freq").head())
+    freq_exact = freq_exact_row["freq"] if freq_exact_row else 0
+    return rows[0]["word"] if rows[0]["freq"] >= freq_exact else None
