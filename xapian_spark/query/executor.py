@@ -370,7 +370,13 @@ class Enquire:
                          factor: float) -> DataFrame:
         """synonympostlist.cc:64-89 — wdf = Σ children wdf (clamped to
         doclen), one weight calc.  We use the exact unioned docfreq where
-        the reference estimates it (exact counts are cheap in Spark)."""
+        the reference estimates it (exact counts are cheap in Spark).
+
+        The unioned termfreq is computed INSIDE the plan (a 1-row
+        aggregate broadcast back over the matches) rather than with a
+        driver-side count(): compile stays lazy — no eager job and no
+        executor-lifetime persist per synonym/wildcard node, and the
+        whole query still runs as ONE Spark job at mset time."""
         terms = [c.term for c in node.children
                  if stats.termfreqs.get(c.term, (0, 0))[0] > 0]
         spark = self.index.postings.sparkSession
@@ -390,13 +396,23 @@ class Enquire:
                 .alias("wdf"),
                 "doclen",
             )
-        ).persist()
-        tf = base.count()  # exact unioned termfreq
-        cf = sum(stats.termfreqs.get(t, (0, 0))[1] for t in terms)
-        stats.termfreqs["\x00synonym"] = (tf, cf)
+        )
+        lf = self.weight.len_factor(stats.average_length)
+        if hasattr(self.weight, "termweight_col"):
+            tf_df = base.agg(
+                F.count(F.lit(1)).cast("long").alias("_syn_tf"))
+            tw_col = self.weight.termweight_col(
+                F.col("_syn_tf"), stats.collection_size, 1, factor)
+            score = self.weight.sumpart_col(
+                tw_col, F.col("wdf"), F.col("doclen"), lf)
+            return (base.crossJoin(F.broadcast(tf_df))
+                    .select("doc_id", score.alias("score")))
+        # custom weight without a Column termweight: one eager count
+        # (not persisted — the recompute at action time costs the same
+        # scan the old persist-backed count did, without the leak)
+        tf = base.count()
         tw = self.weight.termweight(tf, stats.collection_size, 1, factor) \
             if tf else 0.0
-        lf = self.weight.len_factor(stats.average_length)
         score = self.weight.sumpart_col(
             F.lit(tw), F.col("wdf"), F.col("doclen"), lf)
         return base.select("doc_id", score.alias("score"))
@@ -640,6 +656,39 @@ class Enquire:
             raise ValueError(f"unknown sort order: {order!r}")
         return keyed.orderBy(*cols).limit(maxitems)
 
+    def _topk_with_matched(self, query: ops.Query, first: int,
+                           maxitems: int, weight_cutoff: float = 0.0):
+        """ONE Spark job for everything the percent/cutoff paths need:
+        the top first+maxitems (score, doc_id) rows WITH `_n` = the
+        number of query terms each doc matches, collected. The old
+        shape was three jobs (internal top-1 collect, a postings scan
+        for the top doc's matched-term count, and the caller's final
+        top-k) — `_n` now rides the same top-k aggregation as a
+        doc_id join, so the whole percent computation falls out of the
+        single collected result."""
+        stats = self._gather_stats(list(query.terms()))
+        scored = self._with_extra(self.compile(query, stats), query,
+                                  stats)
+        if weight_cutoff > 0:
+            scored = scored.filter(F.col("score") >= weight_cutoff)
+        qterms = list(dict.fromkeys(query.terms()))
+        if qterms:
+            matched = (
+                self.index.postings
+                .filter(F.col("term").isin(qterms))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_n")))
+            scored = scored.join(matched, "doc_id", "left")
+        else:
+            scored = scored.withColumn("_n", F.lit(0))
+        rows = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(first + maxitems).collect())
+        return rows, qterms
+
+    def _local_mset(self, rows, schema: str) -> DataFrame:
+        spark = self.index.postings.sparkSession
+        return spark.createDataFrame(rows, schema)
+
     def get_mset_cutoff(self, query: ops.Query,
                         percent_cutoff: int = 0,
                         weight_cutoff: float = 0.0,
@@ -652,36 +701,26 @@ class Enquire:
         (pc/100 - DBL_EPSILON) / percent_scale with percent_scale =
         (subqueries matched by the greatest-weight doc / total
         subqueries) / greatest_wt — this threshold dominates the
-        during-match wt*factor prune, so one final filter is exact."""
-        stats = self._gather_stats(list(query.terms()))
-        scored = self._with_extra(self.compile(query, stats), query,
-                                  stats)
-        if weight_cutoff > 0:
-            scored = scored.filter(F.col("score") >= weight_cutoff)
-        if percent_cutoff:
-            top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                   .limit(1).collect())
-            qterms = list(dict.fromkeys(query.terms()))
-            if top and top[0]["score"] > 0 and qterms:
-                greatest_wt = top[0]["score"]
-                matched = (
-                    self.index.postings
-                    .filter(F.col("term").isin(qterms)
-                            & (F.col("doc_id") == top[0]["doc_id"]))
-                    .select("term").distinct().count()
-                )
-                # a top doc carried purely by extra weight (k2) or a
-                # term-less branch gives scale 0 — the reference's
-                # percent_scale is then 0 too and no prune applies
-                if matched:
-                    scale = matched / len(qterms) / greatest_wt
-                    eps = 2.220446049250313e-16
-                    min_wt = (percent_cutoff / 100.0 - eps) / scale
-                    scored = scored.filter(F.col("score") >= min_wt)
-        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        if first:
-            return ordered.offset(first).limit(maxitems)
-        return ordered.limit(maxitems)
+        during-match wt*factor prune, so one final filter is exact.
+        Because results are score-descending, the percent cutoff only
+        truncates the tail — applied driver-side to the one collected
+        top-k, not as a second Spark job."""
+        rows, qterms = self._topk_with_matched(
+            query, first, maxitems, weight_cutoff)
+        if percent_cutoff and rows and rows[0]["score"] > 0 and qterms:
+            greatest_wt = rows[0]["score"]
+            matched = rows[0]["_n"] or 0
+            # a top doc carried purely by extra weight (k2) or a
+            # term-less branch gives scale 0 — the reference's
+            # percent_scale is then 0 too and no prune applies
+            if matched:
+                scale = matched / len(qterms) / greatest_wt
+                eps = 2.220446049250313e-16
+                min_wt = (percent_cutoff / 100.0 - eps) / scale
+                rows = [r for r in rows if r["score"] >= min_wt]
+        return self._local_mset(
+            [(r["doc_id"], r["score"]) for r in rows[first:]],
+            "doc_id long, score double")
 
     def get_mset_percent(self, query: ops.Query, first: int = 0,
                          maxitems: int = 10) -> DataFrame:
@@ -689,29 +728,31 @@ class Enquire:
         (subqueries matched by the greatest-weight doc / total
         subqueries) / greatest_wt (multimatch.cc:893-906), percent =
         int(wt·scale·100 + 100·DBL_EPSILON) clamped to [0,100], 0→1
-        for wt>0 (omenquire.cc convert_to_percent_internal)."""
-        mset = self.get_mset(query, first, maxitems)
-        top = mset.limit(1).collect()
-        if not top or top[0]["score"] <= 0:
-            return mset.withColumn(
-                "percent",
-                F.when(F.col("score") > 0, 100).otherwise(0))
-        greatest_wt = top[0]["score"]
-        top_doc = top[0]["doc_id"]
-        qterms = list(dict.fromkeys(query.terms()))
-        matched = (
-            self.index.postings
-            .filter(F.col("term").isin(qterms)
-                    & (F.col("doc_id") == top_doc))
-            .select("term").distinct().count()
-        )
-        percent_factor = matched / len(qterms) / greatest_wt * 100.0
+        for wt>0 (omenquire.cc convert_to_percent_internal). One Spark
+        job: the percent scale derives from the collected top-k
+        itself (see _topk_with_matched)."""
+        rows, qterms = self._topk_with_matched(query, first, maxitems)
+        schema = "doc_id long, score double, percent int"
+        if not rows or rows[0]["score"] <= 0:
+            return self._local_mset(
+                [(r["doc_id"], r["score"],
+                  100 if r["score"] > 0 else 0)
+                 for r in rows[first:]], schema)
+        greatest_wt = rows[0]["score"]
+        matched = rows[0]["_n"] or 0
+        percent_factor = (matched / len(qterms) / greatest_wt * 100.0
+                          if qterms else 0.0)
         eps = 100.0 * 2.220446049250313e-16
-        pct = F.floor(F.col("score") * F.lit(percent_factor)
-                      + F.lit(eps)).cast("int")
-        pct = F.least(F.greatest(pct, F.lit(0)), F.lit(100))
-        pct = F.when((pct == 0) & (F.col("score") > 0), 1).otherwise(pct)
-        return mset.withColumn("percent", pct)
+        import math as _math
+
+        out = []
+        for r in rows[first:]:
+            pct = int(_math.floor(r["score"] * percent_factor + eps))
+            pct = min(max(pct, 0), 100)
+            if pct == 0 and r["score"] > 0:
+                pct = 1
+            out.append((r["doc_id"], r["score"], pct))
+        return self._local_mset(out, schema)
 
 
 def _positions_match(plists: List[List[int]], window: int,
