@@ -114,13 +114,19 @@ def main() -> None:
 
     seg_path = tempfile.mkdtemp(prefix="bench_segidx_")
     try:
+        # segment_build times EXACTLY the round-1 work (chunk build +
+        # count) so the line stays comparable round over round; the
+        # term-dictionary materialization — moved inside this window in
+        # round 2, which muddied the r01→r02 delta — is its own line.
         t0 = time.perf_counter()
         seg = build_segments(docs, seg_path, n_segments=cpus,
                              analyzer="xapian",
                              input_desc=f"{sf_dir}/documents.parquet")
         seg.chunks.count()
-        seg.term_stats().count()  # materialize the term dictionary
         timings["segment_build"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        seg.term_stats().count()  # materialize the term dictionary
+        timings["term_dict"] = time.perf_counter() - t0
         wq = WandEnquire(seg)
         t0 = time.perf_counter()
         wq.get_mset(["Zbatch", "Zscan", "Zspark", "Zwindow"], 10).collect()

@@ -126,10 +126,17 @@ def _write_dynamic_overwrite(df: DataFrame, path: str,
 
 def _stamp_format(spark: SparkSession, path: str) -> None:
     """Record the chunk-codec version beside the chunks (format.json,
-    one row) so a later reader can refuse incompatible data."""
-    spark.createDataFrame(
-        [(int(CODEC_VERSION),)], "codec int"
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/format.json")
+    one row) so a later reader can refuse incompatible data.
+
+    Built from range(1), NOT createDataFrame([...]): a driver-list
+    DataFrame parallelizes into defaultParallelism Python-RDD slices,
+    and coalesce(1) then runs every slice's Python worker round-trip
+    sequentially in one task — measured ~6 s per stamp at local[32]
+    (this single line was most of round 2's segment_build regression).
+    range(1) is a pure-JVM single-partition source: same file, ~0.1 s."""
+    (spark.range(1)
+     .select(F.lit(int(CODEC_VERSION)).alias("codec"))
+     .write.mode("overwrite").json(f"{path}/format.json"))
 
 
 def _check_format(spark: SparkSession, path: str) -> None:
@@ -377,9 +384,11 @@ class SegmentIndex:
         rev = 0
         if m is not None:
             rev = (m.agg(F.max("rev")).head()[0] or 0) + 1
-        self.spark.createDataFrame(
-            [(key, value, rev)], "key string, value string, rev long"
-        ).write.mode("append").parquet(f"{self.path}/metadata")
+        # range(1)-based 1-row frame: pure JVM, no Python-RDD slices
+        (self.spark.range(1)
+         .select(F.lit(key).alias("key"), F.lit(value).alias("value"),
+                 F.lit(rev).cast("long").alias("rev"))
+         .write.mode("append").parquet(f"{self.path}/metadata"))
 
     def get_metadata(self, key: str) -> str:
         """Database::get_metadata: '' for absent (or deleted) keys."""

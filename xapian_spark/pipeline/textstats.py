@@ -114,7 +114,9 @@ def lang_id(docs: DataFrame, text_col: str = "text",
                 F.lit(lang).alias("lang"),
             )
         )
-    # pick max hits; tie → lexicographically smallest lang (deterministic)
+    # pick max hits; tie → lexicographically LARGEST lang (array_max on
+    # (hits, lang) structs compares lang as the tiebreak ascending and
+    # takes the max — matching the docstring; deterministic either way)
     best = F.array_max(F.array(*hit_cols))
     return docs.select(
         F.col(id_col).alias("doc_id"),

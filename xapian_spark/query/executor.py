@@ -686,8 +686,20 @@ class Enquire:
         return rows, qterms
 
     def _local_mset(self, rows, schema: str) -> DataFrame:
+        """Collected top-k rows → a LOCAL DataFrame. Built via pandas/
+        Arrow so it becomes a LocalRelation — a plain createDataFrame
+        of a driver list parallelizes into defaultParallelism
+        Python-RDD slices and every downstream action pays a Python
+        worker round-trip per slice."""
+        import pandas as pd
+
         spark = self.index.postings.sparkSession
-        return spark.createDataFrame(rows, schema)
+        rows = list(rows)
+        if not rows:
+            return spark.createDataFrame([], schema)
+        names = [f.split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(rows, columns=names)
+        return spark.createDataFrame(pdf, schema=schema)
 
     def get_mset_cutoff(self, query: ops.Query,
                         percent_cutoff: int = 0,

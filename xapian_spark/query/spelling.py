@@ -73,14 +73,26 @@ def build_spelling_table(words: DataFrame, word_col: str = "word",
     )
 
 
+def word_fragments_py(word: str) -> list:
+    """Pure-Python twin of word_fragments for the QUERY word — the
+    query side must not pay a Spark job per suggested word (the old
+    1-row createDataFrame + collect did exactly that)."""
+    if len(word) <= 1:
+        return []
+    frags = ["H" + word[:2], "T" + word[-2:]]
+    if len(word) <= 4:
+        frags.append("B" + word[0] + word[-1])
+    if len(word) > 2:
+        frags += ["M" + word[i:i + 3] for i in range(len(word) - 2)]
+    return list(dict.fromkeys(frags))
+
+
 def suggest(spelling: DataFrame, word: str,
             max_edit_distance: int = 2) -> DataFrame:
     """(word, freq, distance) candidates ordered by the reference's
     better-candidate rule: distance asc, freq desc, word asc."""
     spark = spelling.sparkSession
-    frags_df = spark.createDataFrame([(word,)], "w string").select(
-        F.explode(word_fragments(F.col("w"))).alias("fragment"))
-    frags = [r["fragment"] for r in frags_df.collect()]
+    frags = word_fragments_py(word)
     if not frags:
         return spark.createDataFrame(
             [], "word string, freq long, distance int")
