@@ -700,14 +700,17 @@ def q_media_stats(spark, sf_dir):
 
 
 def q_media_decode_shape(spark, sf_dir):
-    """Stubbed image decode: output shape (w*h*3 bytes per pixel
-    buffer) is the real decoder contract."""
+    """REAL image decode over real PNG blobs: the fixture writes
+    genuine PNG files (pure-Python encoder) and decode_images inflates
+    and unfilters them with the vendored codec (pipeline/png.py) — no
+    PIL, no fake mode. width/height come from each blob's IHDR; the
+    oracle checks the decoded shape (w*h*3 RGB bytes)."""
     from xapian_spark.pipeline.multimodal import (
-        decode_images, synthetic_media,
+        decode_images, synthetic_png_media,
     )
 
-    media = synthetic_media(spark, 50, kind="image")
-    return decode_images(media, fake=True).select(
+    media = synthetic_png_media(spark, 50)
+    return decode_images(media, fake=False).select(
         "media_id", "width", "height",
         F.length("pixels").alias("pixel_bytes"))
 

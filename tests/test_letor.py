@@ -87,3 +87,39 @@ def test_rank_with_model(letor_setup):
     by_f3 = sorted(
         feats.collect(), key=lambda r: (-r["f3"], r["doc_id"]))
     assert got == [r["doc_id"] for r in by_f3]
+
+
+def test_listmle_learns_and_reduces_reference_loss():
+    # listmle.cc:138-228 — per-query SGD on the top-one likelihood,
+    # stop on |loss delta| < tolerance. Training must reduce the
+    # REFERENCE loss (log-sum-exp minus the argmax-label doc's score)
+    # and find the informative feature.
+    from xapian_spark.query.letor import listmle_loss, listmle_train
+
+    rng = np.random.default_rng(9)
+    ranklists = []
+    for _q in range(8):
+        n = 6
+        feats = np.zeros((n, N_FEATURES))
+        rel = rng.permutation(n) % 3
+        feats[:, 4] = rel + rng.normal(0, 0.05, n)
+        feats[:, 10] = rng.normal(0, 1, n)
+        ranklists.append((feats, rel.astype(float)))
+    p0 = np.zeros(N_FEATURES)
+    params = listmle_train(ranklists, learning_rate=0.05,
+                           tolerance=1e-9, max_iterations=300)
+    assert listmle_loss(ranklists, params) < listmle_loss(ranklists, p0)
+    assert params[4] > 0 and abs(params[4]) > abs(params[10])
+
+
+def test_listmle_converges_by_tolerance():
+    from xapian_spark.query.letor import listmle_loss, listmle_train
+
+    feats = np.zeros((3, N_FEATURES))
+    feats[:, 0] = [0.0, 1.0, 2.0]
+    labels = np.array([0.0, 1.0, 2.0])
+    params = listmle_train([(feats, labels)], learning_rate=0.1,
+                           tolerance=1e-4, max_iterations=10_000)
+    # converged weights rank by the informative feature
+    order = np.argsort(-(feats @ params))
+    assert list(order) == [2, 1, 0]

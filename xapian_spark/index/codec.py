@@ -39,7 +39,11 @@ CHUNK_TARGET_BYTES = 2000
 # shifts every docid down by one SILENTLY — writers stamp this into
 # <path>/format.json and SegmentIndex refuses a mismatched (or
 # unstamped legacy) index rather than returning wrong documents.
-CODEC_VERSION = 2
+# v3: pos_data switches from count+gaps vbyte to the reference's
+# binary-interpolative position coding (brass_positionlist.cc pack +
+# common/bitstream.cc), byte-exact per position list; v2 pos_data
+# would misdecode under v3 and vice versa.
+CODEC_VERSION = 3
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
@@ -167,34 +171,187 @@ def decode_chunk(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tri[1::3].astype(np.int64), tri[2::3].astype(np.int64)
 
 
-def encode_positions(pos_lists) -> bytes:
-    """Per-posting position lists → one vbyte stream
-    (the brass position table analog, brass_positionlist.cc — we use
-    count + first + gaps instead of binary-interpolative coding; same
-    information, simpler codec).
+# -- binary-interpolative position coding ------------------------------------
+# The reference scheme, reproduced byte-exactly per position list:
+# BrassPositionListTable::pack (brass_positionlist.cc:36-51) over the
+# BitWriter/BitReader of common/bitstream.cc — vbyte(last position),
+# then for lists of > 1 entry a bitstream of encode(first, last),
+# encode(n-2, last-first), and the "Managing Gigabytes" interpolative
+# code of the interior entries (mid encoded against the narrowing
+# [pos_j, pos_k] interval, centre-of-range values using one fewer bit
+# when the range isn't a power of two — bitstream.cc:70-125).
 
-    Stream layout per posting: [n, p1, p2-p1, …] (n may be 0)."""
-    flat: List[int] = []
+
+class _BitWriter:
+    """bitstream.cc BitWriter: LSB-first bit packing."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def _write_bits(self, value: int, bits: int) -> None:
+        self.acc |= value << self.n
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def encode(self, value: int, outof: int) -> None:
+        """Encode value ∈ [0, outof): shorten centre-of-range values
+        by one bit when outof isn't a power of two (bitstream.cc:70)."""
+        bits = (outof - 1).bit_length()
+        spare = (1 << bits) - outof
+        if spare:
+            mid_start = (outof - spare) // 2
+            if value >= mid_start + spare:
+                value = (value - (mid_start + spare)) | (1 << (bits - 1))
+            elif value >= mid_start:
+                bits -= 1
+        self._write_bits(value, bits)
+
+    def freeze(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "idx", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.idx = 0
+        self.acc = 0
+        self.n = 0
+
+    def _read_bits(self, count: int) -> int:
+        while self.n < count:
+            self.acc |= self.data[self.idx] << self.n
+            self.idx += 1
+            self.n += 8
+        r = self.acc & ((1 << count) - 1)
+        self.acc >>= count
+        self.n -= count
+        return r
+
+    def decode(self, outof: int) -> int:
+        bits = (outof - 1).bit_length()
+        spare = (1 << bits) - outof
+        if spare:
+            mid_start = (outof - spare) // 2
+            p = self._read_bits(bits - 1)
+            if p < mid_start:
+                if self._read_bits(1):
+                    p += mid_start + spare
+        else:
+            p = self._read_bits(bits)
+        return p
+
+
+def _encode_interpolative(wr: _BitWriter, pos: List[int], j: int,
+                          k: int) -> None:
+    """bitstream.cc:131-147 — encode pos[j+1..k-1] given pos[j], pos[k]."""
+    while j + 1 < k:
+        mid = (j + k) // 2
+        outof = pos[k] - pos[j] + j - k + 1
+        lowest = pos[j] + mid - j
+        wr.encode(pos[mid] - lowest, outof)
+        _encode_interpolative(wr, pos, j, mid)
+        j = mid
+
+
+def _decode_interpolative(rd: _BitReader, pos: List[int], j: int,
+                          k: int) -> None:
+    while j + 1 < k:
+        mid = (j + k) // 2
+        outof = pos[k] - pos[j] + j - k + 1
+        lowest = pos[j] + mid - j
+        pos[mid] = rd.decode(outof) + lowest
+        _decode_interpolative(rd, pos, j, mid)
+        j = mid
+
+
+def pack_positions(pl: List[int]) -> bytes:
+    """One position list → the reference's exact packed value
+    (brass_positionlist.cc:36-51): vbyte(last) + [bitstream when
+    len > 1]. Requires a strictly-ascending non-empty list."""
+    blob = vbyte_encode(np.array([pl[-1]], dtype=np.uint64))
+    if len(pl) > 1:
+        wr = _BitWriter()
+        wr.encode(pl[0], pl[-1])
+        wr.encode(len(pl) - 2, pl[-1] - pl[0])
+        _encode_interpolative(wr, pl, 0, len(pl) - 1)
+        blob += wr.freeze()
+    return blob
+
+
+def unpack_positions(blob: bytes) -> List[int]:
+    """Inverse of pack_positions (brass_positionlist.cc:85-120)."""
+    # vbyte header: consume bytes until one without the high bit
+    i = 0
+    last = 0
+    shift = 0
+    while True:
+        b = blob[i]
+        last |= (b & 0x7F) << shift
+        shift += 7
+        i += 1
+        if not (b & 0x80):
+            break
+    if i == len(blob):
+        return [last]  # single-entry special case
+    rd = _BitReader(blob[i:])
+    first = rd.decode(last)
+    size = rd.decode(last - first) + 2
+    pos = [0] * size
+    pos[0] = first
+    pos[-1] = last
+    _decode_interpolative(rd, pos, 0, size - 1)
+    return pos
+
+
+def encode_positions(pos_lists) -> bytes:
+    """Per-posting position lists → one stream: each posting stores
+    vbyte(blob length) + the reference-packed blob (length 0 = no
+    positions). The blob itself is byte-exact to what the reference
+    stores per (docid, term) key in its position table."""
+    parts: List[bytes] = []
     for pl in pos_lists:
-        pl = [] if pl is None else list(pl)
-        flat.append(len(pl))
-        prev = 0
-        for p in pl:
-            flat.append(int(p) - prev)
-            prev = int(p)
-    return vbyte_encode(np.array(flat, dtype=np.uint64))
+        pl = [] if pl is None else [int(p) for p in pl]
+        if not pl:
+            parts.append(b"\x00")
+            continue
+        blob = pack_positions(pl)
+        parts.append(
+            vbyte_encode(np.array([len(blob)], dtype=np.uint64)) + blob)
+    return b"".join(parts)
 
 
 def decode_positions(data: bytes, n_postings: int) -> List[np.ndarray]:
     """Inverse of encode_positions → list of int32 arrays."""
-    vals = vbyte_decode(data).astype(np.int64)
     out: List[np.ndarray] = []
     i = 0
     for _ in range(n_postings):
-        cnt = int(vals[i])
-        i += 1
-        gaps = vals[i: i + cnt]
-        i += cnt
-        out.append(np.cumsum(gaps).astype(np.int32) if cnt
-                   else np.empty(0, dtype=np.int32))
+        # vbyte length prefix
+        ln = 0
+        shift = 0
+        while True:
+            b = data[i]
+            ln |= (b & 0x7F) << shift
+            shift += 7
+            i += 1
+            if not (b & 0x80):
+                break
+        if ln == 0:
+            out.append(np.empty(0, dtype=np.int32))
+            continue
+        out.append(np.array(unpack_positions(data[i:i + ln]),
+                            dtype=np.int32))
+        i += ln
     return out

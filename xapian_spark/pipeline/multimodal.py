@@ -76,12 +76,16 @@ def _fake_pixels(data: bytes, w: int, h: int) -> bytes:
 
 def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                   fake: bool = False) -> DataFrame:
-    """binary image column → (media_id, width, height, pixels BINARY).
+    """binary image column → (media_id, width, height, pixels BINARY
+    = RGB w*h*3).
 
-    Real mode needs PIL (not in this container) — raises
-    NotImplementedError per-batch; fake mode produces deterministic
-    bytes with the real decode's shape so downstream plumbing is
-    testable."""
+    Real mode decodes PNG blobs with the vendored pure-Python codec
+    (pipeline/png.py — zlib inflate + full scanline unfiltering), or
+    any format via PIL when it's installed; a non-PNG blob without PIL
+    raises NotImplementedError per-batch. Fake mode produces
+    deterministic bytes with the real decode's shape so downstream
+    plumbing is testable without fixtures. In real mode width/height
+    come from the DECODED image (IHDR), not the metadata columns."""
     schema = StructType([
         StructField("media_id", LongType(), False),
         StructField("width", IntegerType(), False),
@@ -92,30 +96,40 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from xapian_spark.pipeline.png import decode_png_rgb, is_png
+
         pil = _try_import_pil()
         for pdf in batches:
-            if not fake and pil is None:
-                raise NotImplementedError(
-                    "image decode needs PIL; run with fake=True for the "
-                    "deterministic stub")
             rows = {"media_id": [], "width": [], "height": [],
                     "pixels": []}
             for mid, w, h, data in zip(pdf["media_id"], pdf["width"],
                                        pdf["height"], pdf["data"]):
-                w = int(w or 8)
-                h = int(h or 8)
-                if w * h > max_pixels:
-                    continue  # size guard: skip over-budget blobs
                 if fake:
+                    w = int(w or 8)
+                    h = int(h or 8)
+                    if w * h > max_pixels:
+                        continue  # size guard: skip over-budget blobs
                     px = _fake_pixels(bytes(data or b""), w, h)
-                else:  # pragma: no cover - no PIL in container
+                elif is_png(bytes(data or b"")):
+                    w, h, px = decode_png_rgb(bytes(data))
+                    if w * h > max_pixels:
+                        continue
+                elif pil is not None:  # pragma: no cover - no PIL here
                     import io
 
                     img = pil.open(io.BytesIO(bytes(data)))
+                    w, h = img.size
+                    if w * h > max_pixels:
+                        continue
                     px = img.convert("RGB").tobytes()
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image decode needs PIL; PNG decodes "
+                        "natively (pipeline/png.py), or run with "
+                        "fake=True for the deterministic stub")
                 rows["media_id"].append(int(mid))
-                rows["width"].append(w)
-                rows["height"].append(h)
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
                 rows["pixels"].append(px)
             yield pd.DataFrame(rows)
 
@@ -190,6 +204,35 @@ def frame_sample(videos: DataFrame, every_ms: int = 1000,
 
     return videos.select("media_id", "duration_ms", "data") \
         .mapInPandas(gen, schema)
+
+
+def synthetic_png_media(spark, n: int, seed: int = 7) -> DataFrame:
+    """IMAGE_SCHEMA rows whose `data` blobs are REAL PNG files (written
+    by the pure-Python encoder, pipeline/png.py) — the fixture that
+    exercises decode_images' real path end-to-end without PIL."""
+    from xapian_spark.pipeline.png import encode_png
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 8 + (i % 4) * 4
+                h = 8 + (i % 3) * 4
+                px = _fake_pixels(
+                    hashlib.md5(f"{seed}:png:{i}".encode()).digest(),
+                    w, h)
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/img{i}.png",
+                    "mime": "image/png", "width": w, "height": h,
+                    "data": encode_png(w, h, px, 3),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, IMAGE_SCHEMA)
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:

@@ -231,6 +231,52 @@ def listnet_loss(ranklists, params) -> float:
     return total
 
 
+# ---------------------------------------------------------------------------
+# ListMLE (xapian-letor/listmle.cc)
+# ---------------------------------------------------------------------------
+
+def listmle_loss(ranklists, params) -> float:
+    """The reference's likelihood loss (listmle.cc:186-216):
+    Σ_queries [log Σ_j exp(w·x_j) − w·x_top] where `top` is the doc
+    with the highest relevance label (max_position, :58-66)."""
+    total = 0.0
+    for feats, labels in ranklists:
+        top = int(np.argmax(labels))
+        dots = feats @ params
+        m = dots.max() if len(dots) else 0.0  # stable logsumexp
+        total += m + float(np.log(np.exp(dots - m).sum()))
+        total -= float(dots[top])
+    return total
+
+
+def listmle_train(
+    ranklists: List[Tuple[np.ndarray, np.ndarray]],
+    learning_rate: float = 0.001,
+    tolerance: float = 1e-6,
+    max_iterations: int = 1000,
+) -> np.ndarray:
+    """Train ListMLE exactly as listmle.cc:138-228: per-query SGD on
+    the top-one likelihood — gradient_k = Σ_j x_jk·softmax_j − x_top,k
+    with `top` the argmax-label doc — iterating until the loss change
+    drops below `tolerance` (the reference loops unboundedly on that
+    test alone; `max_iterations` is a safety bound it lacks)."""
+    params = np.zeros(N_FEATURES)
+    prev_loss = 0.0
+    for _ in range(max_iterations):
+        for feats, labels in ranklists:
+            top = int(np.argmax(labels))
+            dots = feats @ params
+            z = np.exp(dots - dots.max())
+            p = z / z.sum()
+            grad = feats.T @ p - feats[top]
+            params -= learning_rate * grad
+        cur_loss = listmle_loss(ranklists, params)
+        if abs(cur_loss - prev_loss) < tolerance:
+            break
+        prev_loss = cur_loss
+    return params
+
+
 def rank_with_model(features: DataFrame, params: np.ndarray,
                     maxitems: int = 10) -> DataFrame:
     """ListNET::rank / score_doc — distributed dot product, sorted."""
