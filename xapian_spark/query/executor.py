@@ -70,13 +70,17 @@ class Enquire:
 
     def _full_term_dict(self) -> Optional[Dict[str, Tuple[int, int]]]:
         if self._term_dict is None:
-            n = self.index.term_stats.count()
-            if n > self.TERM_DICT_CACHE_MAX:
+            # ONE job: collect capped at CACHE_MAX+1 rows (the limit is
+            # pushed into the scan, so an over-budget web-scale term
+            # dictionary stops after CACHE_MAX+1 rows instead of being
+            # counted in full and then collected in a second job)
+            rows = self.index.term_stats.limit(
+                self.TERM_DICT_CACHE_MAX + 1).collect()
+            if len(rows) > self.TERM_DICT_CACHE_MAX:
                 self._term_dict = {}
             else:
                 self._term_dict = {
-                    r["term"]: (r["tf"], r["cf"])
-                    for r in self.index.term_stats.collect()
+                    r["term"]: (r["tf"], r["cf"]) for r in rows
                 }
         return self._term_dict if self._term_dict else None
 
@@ -338,13 +342,18 @@ class Enquire:
         return docs.filter(cond).select(F.col("doc_id").cast("long"))
 
     def _compile_flat(self, node, stats: _QueryStats,
-                      factor: float) -> DataFrame:
-        """And/Or/Synonym/Max over plain Terms: ONE scan + ONE shuffle."""
+                      factor: float, keep_n: bool = False) -> DataFrame:
+        """And/Or/Synonym/Max over plain Terms: ONE scan + ONE shuffle.
+        `keep_n` carries the per-doc matched-term count out of the
+        aggregation (the percent/cutoff paths need it — computing it
+        here avoids a second shuffle over the same postings)."""
         terms = [(c.term, c.wqf, factor) for c in node.children]
         # drop absent terms (matcher prunes empty postlists)
         present = [t for t in terms if stats.termfreqs.get(t[0], (0, 0))[0]]
         spark = self.index.postings.sparkSession
-        empty = spark.createDataFrame([], "doc_id long, score double")
+        out_schema = "doc_id long, score double" + (
+            ", _n long" if keep_n else "")
+        empty = spark.createDataFrame([], out_schema)
         if isinstance(node, ops.And) and len(present) < len(terms):
             return empty  # AND with an empty child matches nothing
         if not present:
@@ -356,15 +365,19 @@ class Enquire:
         sp = self._scored_postings(present, stats)
         g = sp.groupBy("doc_id")
         if isinstance(node, ops.Max):
+            if keep_n:
+                return g.agg(F.max("score").alias("score"),
+                             F.count_distinct("term").alias("_n"))
             return g.agg(F.max("score").alias("score"))
         n_distinct = len({t for t, _, _ in present})
         agg = g.agg(
             self._sum_scores().alias("score"),
-            F.count_distinct(F.col("term")).alias("_n"),
+            F.count_distinct(F.col("term")).cast("long").alias("_n"),
         )
         if isinstance(node, ops.And):
             agg = agg.filter(F.col("_n") == n_distinct)
-        return agg.select("doc_id", "score")
+        return agg.select("doc_id", "score", "_n") if keep_n \
+            else agg.select("doc_id", "score")
 
     def _compile_synonym(self, node: ops.Synonym, stats: _QueryStats,
                          factor: float) -> DataFrame:
@@ -543,9 +556,12 @@ class Enquire:
         qlen = self._query_length(query)
         dl = self.index.doclens.select("doc_id", "doclen")
         extra = w.sumextra_col(F.col("doclen"), lf, qlen)
+        keep = [c for c in scored.columns
+                if c not in ("doc_id", "score")]
         return (scored.join(dl, "doc_id")
                 .select("doc_id",
-                        (F.col("score") + extra).alias("score")))
+                        (F.col("score") + extra).alias("score"),
+                        *keep))
 
     def get_mset(self, query: ops.Query, first: int = 0,
                  maxitems: int = 10, decider=None,
@@ -667,20 +683,27 @@ class Enquire:
         doc_id join, so the whole percent computation falls out of the
         single collected result."""
         stats = self._gather_stats(list(query.terms()))
-        scored = self._with_extra(self.compile(query, stats), query,
-                                  stats)
+        qterms = list(dict.fromkeys(query.terms()))
+        if (qterms and self._is_flat(query)
+                and not isinstance(query, ops.Synonym)):
+            # flat queries (the common shape): the aggregation already
+            # produces _n — reuse it, zero extra shuffle
+            scored = self._compile_flat(query, stats, 1.0, keep_n=True)
+            scored = self._with_extra(scored, query, stats)
+        else:
+            scored = self._with_extra(self.compile(query, stats),
+                                      query, stats)
+            if qterms:
+                matched = (
+                    self.index.postings
+                    .filter(F.col("term").isin(qterms))
+                    .groupBy("doc_id")
+                    .agg(F.count_distinct("term").alias("_n")))
+                scored = scored.join(matched, "doc_id", "left")
+            else:
+                scored = scored.withColumn("_n", F.lit(0))
         if weight_cutoff > 0:
             scored = scored.filter(F.col("score") >= weight_cutoff)
-        qterms = list(dict.fromkeys(query.terms()))
-        if qterms:
-            matched = (
-                self.index.postings
-                .filter(F.col("term").isin(qterms))
-                .groupBy("doc_id")
-                .agg(F.count_distinct("term").alias("_n")))
-            scored = scored.join(matched, "doc_id", "left")
-        else:
-            scored = scored.withColumn("_n", F.lit(0))
         rows = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(first + maxitems).collect())
         return rows, qterms
