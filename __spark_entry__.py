@@ -794,6 +794,17 @@ def q_embed_neardup_lsh(spark, sf_dir):
                              bands=8)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming first-occurrence dedup
+    (applyInPandasWithState, streaming/dedup.py) — this runs its batch
+    degradation, which is the documented correctness oracle for the
+    stateful path; the cross-micro-batch / cross-restart state
+    behavior is pytest-verified (test_streaming.py)."""
+    from xapian_spark.streaming.dedup import streaming_dedup_first
+
+    return streaming_dedup_first(_docs(spark, sf_dir))
+
+
 def q_parser_spelling(spark, sf_dir):
     """FLAG_SPELLING_CORRECTION end-to-end
     (queryparser_internal.cc get_corrected_query_string +
@@ -870,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new this round
         "parser_spelling": q_parser_spelling,
         "posting_value_weight": q_posting_value_weight,
+        "stream_dedup": q_stream_dedup,
         # (c) code paths changed this round (delete/compact/build/
         # clustering/spelling), then the remaining distinct operators
         "delete_wand": q_delete_wand,
@@ -901,8 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_cutoff": q_percent_cutoff,
         "facets_lang": q_facets_lang,
         "eset_trad": q_eset_trad,
-        "eset_bo1": q_eset_bo1,
         # ---- 50-entry artifact window ends here ----
+        "eset_bo1": q_eset_bo1,
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
@@ -1448,6 +1460,14 @@ WHERE fragment IN ('Hba', 'Tth', 'Mbac', 'Mact', 'Mcth')
   AND word <> 'bacth' AND levenshtein(word, 'bacth') <= 2
 ORDER BY distance ASC, freq DESC, word ASC
 LIMIT 10
+"""
+    out["stream_dedup"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp
 """
     # parser_spelling: derive the suggestion IN SQL (fragments +
     # levenshtein + the exact-word frequency rule), then score the

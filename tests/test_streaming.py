@@ -123,3 +123,48 @@ def test_read_table_specs(spark, tmp_path):
     assert read_table(spark, p).count() == 20
     docs.createOrReplaceTempView("pages_view")
     assert read_table(spark, "table:pages_view").count() == 20
+
+
+def test_streaming_dedup_stateful_across_drains(spark, tmp_path):
+    """applyInPandasWithState dedup: only the first-ever occurrence of
+    a fingerprint is emitted — within a drain AND across drains (the
+    state store persists via the checkpoint)."""
+    from xapian_spark.streaming.dedup import drain_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"),  # dup of 1 (normed)
+         (3, "gamma"), (4, "delta")],
+        schema).write.parquet(str(src / "p0"))
+    res = drain_dedup(spark, f"{src}/*", schema, out, ckpt)
+    got1 = {r["doc_id"] for r in res.collect()}
+    assert got1 == {1, 3, 4}
+
+    # second drain: 5 repeats doc 3's text → suppressed by STATE;
+    # 6 is genuinely new → emitted
+    spark.createDataFrame(
+        [(5, "gamma"), (6, "epsilon")],
+        schema).write.parquet(str(src / "p1"))
+    res = drain_dedup(spark, f"{src}/*", schema, out, ckpt)
+    got2 = {r["doc_id"] for r in res.collect()} - got1
+    assert got2 == {6}
+
+
+def test_streaming_dedup_batch_oracle(spark):
+    """The batch degradation (groupBy-min) IS the oracle: same rows as
+    the pipeline's exact dedup first-occurrence policy."""
+    from xapian_spark.pipeline.dedup import deduplicate_exact
+    from xapian_spark.streaming.dedup import streaming_dedup_first
+
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(100))
+    a = {r["doc_id"] for r in
+         streaming_dedup_first(docs).collect()}
+    b = {r["doc_id"] for r in deduplicate_exact(docs).collect()}
+    assert a == b
