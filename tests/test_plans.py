@@ -103,3 +103,51 @@ def test_value_range_pushdown(spark, tmp_path):
     plan = _formatted(df)
     assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
     assert "LessThanOrEqual(n_chars,300)" in plan, plan
+
+
+def test_percent_flat_path_has_no_join(spark):
+    # the matched-term count rides the one flat aggregation — the
+    # percent/cutoff path must not add a second postings aggregation
+    # joined back in (one shuffle saved on the common query shape)
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(200))
+    idx = build_index(docs, text_col="text", analyzer="simple")
+    enq = Enquire(idx)
+    q = ops.Or([ops.Term("the"), ops.Term("data")])
+    stats = enq._gather_stats(list(q.terms()))
+    flat = enq._compile_flat(q, stats, 1.0, keep_n=True)
+    assert "Join" not in _plan(flat)
+
+
+def test_synonym_scalar_is_broadcast(spark):
+    # the synonym's exact unioned termfreq is a 1-row aggregate
+    # broadcast over the matches (BroadcastNestedLoopJoin), NOT an
+    # eager driver count — compile must also trigger no Spark job
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(200))
+    idx = build_index(docs, text_col="text", analyzer="simple")
+    enq = Enquire(idx)
+    enq._gather_stats(["the", "data"])  # warm the once-per-Enquire
+    # term-dict cache so only the synonym compile itself is measured
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    syn = enq.compile(ops.Synonym([ops.Term("the"), ops.Term("data")]))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # compile is fully lazy
+    assert "BroadcastNestedLoopJoin" in _plan(syn)
+
+
+def test_posting_source_mset_is_take_ordered(spark):
+    from xapian_spark.query.posting_sources import (
+        value_weight_posting_source,
+    )
+
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars").limit(200))
+    idx = build_index(docs, text_col="text", analyzer="simple")
+    ps = value_weight_posting_source(docs, "n_chars")
+    m = Enquire(idx).get_mset(ops.AndMaybe(ops.Term("the"), ps), 0, 5)
+    assert "TakeOrderedAndProject" in _plan(m)
