@@ -123,3 +123,32 @@ def test_listmle_converges_by_tolerance():
     # converged weights rank by the informative feature
     order = np.argsort(-(feats @ params))
     assert list(order) == [2, 1, 0]
+
+
+def test_svmrank_learns_and_reduces_objective():
+    # svmranker.cc semantic contract: linear SVR on pooled
+    # (features, label) pairs; training reduces the primal objective
+    # and the learned function ranks by the informative feature
+    from xapian_spark.query.letor import svmrank_loss, svmrank_train
+
+    rng = np.random.default_rng(13)
+    ranklists = []
+    for _q in range(8):
+        n = 6
+        feats = np.zeros((n, N_FEATURES))
+        rel = rng.permutation(n) % 3
+        feats[:, 4] = rel + rng.normal(0, 0.05, n)
+        feats[:, 10] = rng.normal(0, 1, n)
+        ranklists.append((feats, rel.astype(float)))
+    p0 = np.zeros(N_FEATURES)
+    params = svmrank_train(ranklists)
+    assert svmrank_loss(ranklists, params) < svmrank_loss(ranklists, p0)
+    assert params[4] > 0 and abs(params[4]) > abs(params[10])
+    # epsilon-insensitive: a perfect-within-epsilon fit has ~zero loss
+    feats = np.zeros((4, N_FEATURES))
+    feats[:, 0] = [0.0, 1.0, 2.0, 3.0]
+    labels = feats[:, 0].copy()
+    p = svmrank_train([(feats, labels)], iterations=2000,
+                      learning_rate=0.1)
+    pred = feats @ p
+    assert np.all(np.argsort(-pred) == [3, 2, 1, 0])

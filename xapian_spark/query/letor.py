@@ -277,6 +277,49 @@ def listmle_train(
     return params
 
 
+# ---------------------------------------------------------------------------
+# SVMRanker (xapian-letor/svmranker.cc)
+# ---------------------------------------------------------------------------
+
+def svmrank_train(
+    ranklists: List[Tuple[np.ndarray, np.ndarray]],
+    C: float = 1.0,
+    epsilon: float = 0.1,
+    learning_rate: float = 0.05,
+    iterations: int = 500,
+) -> np.ndarray:
+    """The reference's SVMRanker (svmranker.cc:112-170) trains libsvm
+    nu-SVR with a LINEAR kernel (svm_type=4, kernel_type=0, C=1,
+    p=0.1) on (feature vector → relevance label) pairs pooled across
+    all ranklists, then ranks by the learned linear function.
+    Re-expressed as the PRIMAL linear SVR — L2-regularized
+    epsilon-insensitive regression solved by subgradient descent
+    (libsvm solves the dual with SMO; same model family and scoring
+    function, different optimizer — a documented divergence since
+    vendoring libsvm is out of scope). epsilon mirrors param.p=0.1."""
+    X = np.vstack([f for f, _l in ranklists]).astype(np.float64)
+    y = np.concatenate([l for _f, l in ranklists]).astype(np.float64)
+    n = max(len(y), 1)
+    w = np.zeros(N_FEATURES)
+    for _ in range(iterations):
+        err = X @ w - y
+        active = np.abs(err) > epsilon
+        grad = w / (C * n) + (np.sign(err) * active) @ X / n
+        w -= learning_rate * grad
+    return w
+
+
+def svmrank_loss(ranklists, params, C: float = 1.0,
+                 epsilon: float = 0.1) -> float:
+    """Primal SVR objective: ||w||²/(2C·n) + mean ε-insensitive error."""
+    X = np.vstack([f for f, _l in ranklists]).astype(np.float64)
+    y = np.concatenate([l for _f, l in ranklists]).astype(np.float64)
+    n = max(len(y), 1)
+    err = np.abs(X @ params - y)
+    hinge = np.maximum(err - epsilon, 0.0)
+    return float((params @ params) / (2 * C * n) + hinge.mean())
+
+
 def rank_with_model(features: DataFrame, params: np.ndarray,
                     maxitems: int = 10) -> DataFrame:
     """ListNET::rank / score_doc — distributed dot product, sorted."""
