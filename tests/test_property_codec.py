@@ -93,3 +93,32 @@ def test_parser_total_on_arbitrary_input(text):
         assert str(e).startswith("Syntax:")
         return
     assert isinstance(q, ops.Query)
+
+
+@given(st.sets(st.integers(min_value=1, max_value=1_000_000),
+               min_size=1, max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_interpolative_positions_roundtrip(posset):
+    """pack_positions/unpack_positions (the reference's
+    binary-interpolative scheme) round-trips any strictly-ascending
+    position list."""
+    from xapian_spark.index.codec import pack_positions, unpack_positions
+
+    pos = sorted(posset)
+    assert unpack_positions(pack_positions(pos)) == pos
+
+
+@given(st.lists(
+    st.one_of(st.none(),
+              st.sets(st.integers(min_value=1, max_value=10_000),
+                      max_size=50)),
+    max_size=20))
+@settings(max_examples=80, deadline=None)
+def test_positions_stream_roundtrip(lists):
+    from xapian_spark.index.codec import decode_positions, encode_positions
+
+    norm = [sorted(x) if x else None for x in lists]
+    enc = encode_positions(norm)
+    dec = decode_positions(enc, len(norm))
+    for a, b in zip(norm, dec):
+        assert list(b) == (a or [])
