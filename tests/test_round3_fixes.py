@@ -108,19 +108,26 @@ def test_compact_preserves_metadata(spark, corpus, tmp_path):
 
 def test_corrupt_tombstones_raise_not_resurrect(spark, corpus, tmp_path):
     import os
+    import shutil
 
     path = str(tmp_path / "idx")
     seg = build_segments(corpus, path, n_segments=2, analyzer="simple")
     seg = delete_documents(seg, [4])
-    # corrupt the table: replace it with an empty directory (the
-    # partial-write shape that used to read as "no deletes")
-    import shutil
-
+    # an EMPTY tombstones dir (interrupted FIRST delete, nothing
+    # committed) correctly reads as "no deletes" — that state holds no
+    # committed batch to lose
     shutil.rmtree(f"{path}/tombstones")
     os.makedirs(f"{path}/tombstones")
+    assert SegmentIndex(spark, path).tombstones() is None
+    # but GARBAGE inside a committed batch partition must RAISE, not
+    # silently resurrect deleted docs
+    os.makedirs(f"{path}/tombstones/batch_id=0")
+    with open(f"{path}/tombstones/batch_id=0/part-junk.parquet",
+              "wb") as f:
+        f.write(b"this is not parquet")
     broken = SegmentIndex(spark, path)
     with pytest.raises(Exception):
-        broken.tombstones()
+        (broken.tombstones() or broken.chunks.limit(0)).collect()
 
 
 def test_connected_components_nonconvergence_raises(spark):
@@ -189,3 +196,93 @@ def test_percent_runs_single_job(spark, corpus):
     for r in cut[:10]:
         if r["doc_id"] in pcts:
             assert pcts[r["doc_id"]] >= 60
+
+
+def test_orphan_batch_not_committed_by_unrelated_delete(
+        spark, corpus, tmp_path):
+    """A crash leaves an orphan deltas batch; a LATER delete of ids
+    that were never indexed (empty deltas) must not commit it."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    seg = build_segments(corpus, path, n_segments=2, analyzer="simple")
+    pristine = (seg.stats().doccount, seg.stats().average_length)
+    seg = delete_documents(seg, [3, 9])
+    shutil.rmtree(f"{path}/tombstones")  # crash window: orphan deltas
+    broken = SegmentIndex(spark, path)
+    # delete ids that don't exist → deltas frame is EMPTY
+    seg2 = delete_documents(broken, [424242, 424243])
+    # stats: the two unindexed ids change nothing; the orphan batch
+    # must NOT have been committed by this batch's tombstones
+    assert (seg2.stats().doccount, seg2.stats().average_length) == \
+        pristine
+
+
+def test_resume_survives_unreadable_manifest(spark, corpus, tmp_path):
+    """Crash during the manifest append leaves an unreadable dir —
+    resume must rebuild (idempotent overwrite), not fail forever."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx")
+    seg = build_segments(corpus, path, n_segments=2, analyzer="simple")
+    expect = {r["term"]: (r["tf"], r["cf"])
+              for r in seg.term_stats().collect()}
+    shutil.rmtree(f"{path}/manifest")
+    os.makedirs(f"{path}/manifest/_temporary")  # staging only
+    seg2 = build_segments(corpus, path, n_segments=2,
+                          analyzer="simple", resume=True)
+    got = {r["term"]: (r["tf"], r["cf"])
+           for r in seg2.term_stats().collect()}
+    assert got == expect
+
+
+def test_pack_positions_rejects_invalid_input():
+    from xapian_spark.index.codec import pack_positions
+
+    with pytest.raises(ValueError, match=">= 1"):
+        pack_positions([0, 1])
+    with pytest.raises(ValueError, match="ascending"):
+        pack_positions([3, 2])
+    with pytest.raises(ValueError, match="ascending"):
+        pack_positions([2, 2])
+
+
+def test_png_ihdr_probe_and_bomb_guard():
+    import struct
+    import zlib
+
+    from xapian_spark.pipeline.png import (
+        decode_png, encode_png, read_ihdr,
+    )
+
+    blob = encode_png(6, 4, bytes(6 * 4 * 3), 3)
+    assert read_ihdr(blob) == (6, 4, 3)
+    # a blob whose IDAT inflates far past what IHDR promises must
+    # raise, not balloon (decompression-bomb guard)
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(10_000_000)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_png(bomb)
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    def pids():
+        return {int(k) for k in spark.sparkContext._jsc
+                .getPersistentRDDs().keySet().toArray()}
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)],
+        "doc_id_a long, doc_id_b long")
+    before = pids()
+    out = connected_components(pairs, max_iter=30)
+    out.count()
+    # only the FINAL labels checkpoint may remain; every superseded
+    # round's copy must have been released explicitly
+    assert len(pids() - before) <= 1

@@ -280,7 +280,17 @@ def _decode_interpolative(rd: _BitReader, pos: List[int], j: int,
 def pack_positions(pl: List[int]) -> bytes:
     """One position list → the reference's exact packed value
     (brass_positionlist.cc:36-51): vbyte(last) + [bitstream when
-    len > 1]. Requires a strictly-ascending non-empty list."""
+    len > 1]. Requires a strictly-ascending list of positions >= 1
+    (the termpos domain TermGenerator produces) and RAISES otherwise:
+    position 0 as the first of two entries packs to an empty bitstream
+    that unpacks as a single entry (a quirk the reference format
+    shares), and unsorted/duplicate input would corrupt silently."""
+    if pl[0] < 1:
+        raise ValueError(
+            f"positions must be >= 1 (got {pl[0]}); termpos 0 is "
+            "ambiguous in the packed format")
+    if any(b <= a for a, b in zip(pl, pl[1:])):
+        raise ValueError("positions must be strictly ascending")
     blob = vbyte_encode(np.array([pl[-1]], dtype=np.uint64))
     if len(pl) > 1:
         wr = _BitWriter()

@@ -105,6 +105,36 @@ def _read_optional_parquet(spark: SparkSession, path: str
     return spark.read.parquet(path)
 
 
+def _read_optional_partitioned(spark: SparkSession, path: str,
+                               partition_prefix: str
+                               ) -> Optional[DataFrame]:
+    """Like _read_optional_parquet for partitionBy-written tables,
+    where "exists but holds ZERO partition directories" is a
+    legitimate empty state (e.g. tombstone_deltas after a delete of
+    never-indexed ids wrote an empty batch): returns None for both
+    path-absent and no-partitions; a dir WITH partitions still reads
+    strictly (corruption raises)."""
+    if not _path_exists(spark, path):
+        return None
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.listStatus(hpath)
+    if not any(st.getPath().getName().startswith(partition_prefix)
+               for st in statuses):
+        return None
+    return spark.read.parquet(path)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a path if it exists (Hadoop FS)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _write_dynamic_overwrite(df: DataFrame, path: str,
                              partition_col: str) -> None:
     """Overwrite exactly the `partition_col` partitions present in `df`
@@ -272,8 +302,8 @@ class SegmentIndex:
         of a delete batch: a tombstone_deltas batch with no matching
         tombstone batch is an uncommitted partial write and is ignored
         (see delete_documents)."""
-        return _read_optional_parquet(
-            self.spark, f"{self.path}/tombstones")
+        return _read_optional_partitioned(
+            self.spark, f"{self.path}/tombstones", "batch_id=")
 
     def tombstones(self) -> Optional[DataFrame]:
         """(doc_id, before_seg): doc_id is deleted from every segment
@@ -306,8 +336,8 @@ class SegmentIndex:
         batches whose tombstone rows committed count: a crash between
         the deltas write and the tombstones write leaves an orphan
         batch that is ignored here and overwritten by the retry."""
-        d = _read_optional_parquet(
-            self.spark, f"{self.path}/tombstone_deltas")
+        d = _read_optional_partitioned(
+            self.spark, f"{self.path}/tombstone_deltas", "batch_id=")
         t = self._tombstones_raw()
         if d is None or t is None:
             return None
@@ -712,9 +742,19 @@ def build_segments(
 
     done: set = set()
     if resume:
-        man_df = _read_optional_parquet(spark, f"{path}/manifest")
-        if man_df is not None:
-            done = {r.seg_id for r in man_df.select("seg_id").collect()}
+        try:
+            man_df = _read_optional_parquet(spark, f"{path}/manifest")
+            if man_df is not None:
+                done = {r.seg_id
+                        for r in man_df.select("seg_id").collect()}
+        except AnalysisException:
+            # a crash DURING the manifest append can leave an
+            # unreadable directory (only _temporary staging inside);
+            # rebuilding everything is SAFE here — chunk writes are
+            # idempotent dynamic-partition overwrites — so unlike the
+            # tombstone readers, this reader may treat unreadable as
+            # empty rather than refuse
+            done = set()
 
     tagged = docs.select(
         F.col(id_col).cast("long").alias(id_col), text_col,
@@ -887,6 +927,14 @@ def delete_documents(index: SegmentIndex, doc_ids: Iterable[int]
     bid = 0
     if raw is not None:
         bid = int(raw.agg(F.max("batch_id")).head()[0] or 0) + 1
+    # Pre-clean any orphan partition for this batch id BEFORE writing:
+    # dynamic partition overwrite only replaces partitions PRESENT in
+    # the new frame, so a retry whose deltas happen to be empty (e.g.
+    # deleting ids that were never indexed) would otherwise leave a
+    # stale orphan batch in place — which the tombstones write below
+    # would then wrongly commit.
+    _delete_path(spark,
+                 f"{index.path}/tombstone_deltas/batch_id={bid}")
     _write_dynamic_overwrite(
         deltas.withColumn("batch_id", F.lit(bid)),
         f"{index.path}/tombstone_deltas", "batch_id")

@@ -437,6 +437,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
                                  F.col(a_col).alias("v")))
              .distinct()
              .persist())
+    def _release_checkpoint(df):
+        # DataFrame.unpersist() only consults the CacheManager, which
+        # localCheckpoint bypasses — free the superseded round's
+        # checkpointed blocks explicitly through its LogicalRDD handle
+        # (best-effort: ContextCleaner would eventually reclaim them,
+        # but "eventually" can mean many resident label copies on a
+        # long-running driver)
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+
     labels = (edges.select(F.col("u").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
@@ -453,6 +467,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
         changed = (new.join(labels.withColumnRenamed(
             "component", "old"), "node")
             .filter(F.col("component") != F.col("old")).count())
+        _release_checkpoint(labels)
         labels = new
         if changed == 0:
             break

@@ -111,9 +111,14 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                         continue  # size guard: skip over-budget blobs
                     px = _fake_pixels(bytes(data or b""), w, h)
                 elif is_png(bytes(data or b"")):
-                    w, h, px = decode_png_rgb(bytes(data))
+                    from xapian_spark.pipeline.png import read_ihdr
+
+                    # size guard from the IHDR alone — over-budget
+                    # blobs are skipped BEFORE any inflate/unfilter
+                    w, h, _ch = read_ihdr(bytes(data))
                     if w * h > max_pixels:
                         continue
+                    w, h, px = decode_png_rgb(bytes(data))
                 elif pil is not None:  # pragma: no cover - no PIL here
                     import io
 

@@ -43,6 +43,24 @@ def _chunks(data: bytes):
     raise ValueError("PNG: missing IEND")
 
 
+def read_ihdr(data: bytes):
+    """Cheap header probe: (width, height, channels) from IHDR alone —
+    no IDAT inflate. Lets callers apply size guards BEFORE paying the
+    decompress + unfilter cost (or feeding a decompression bomb)."""
+    if not is_png(data):
+        raise ValueError("not a PNG (bad magic)")
+    for ctype, body in _chunks(bytes(data)):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _CHANNELS or interlace \
+                    or comp or filt:
+                raise ValueError("PNG: unsupported image parameters")
+            return width, height, _CHANNELS[color]
+        break  # IHDR must be first
+    raise ValueError("PNG: no IHDR")
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -77,9 +95,14 @@ def decode_png(data: bytes):
             idat.extend(body)
     if width is None:
         raise ValueError("PNG: no IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never expand past the size the IHDR dimensions
+    # promise (+1 to detect overflow) — a crafted decompression bomb
+    # fails fast instead of ballooning memory
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG: decompressed size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)

@@ -114,11 +114,34 @@ def spelling_suggestion(spelling: DataFrame, word: str,
     including the exact-word rule at its end (:667-668): if the word
     itself is in the dictionary with a HIGHER frequency than the best
     candidate, no suggestion is made (a common correctly-spelled word
-    must not be 'corrected' to a rarer neighbor)."""
-    rows = suggest(spelling, word, max_edit_distance).limit(1).collect()
-    if not rows:
+    must not be 'corrected' to a rarer neighbor).
+
+    ONE Spark job: the best candidate (min over a sortable
+    (distance, -freq, word) struct) and the exact word's own frequency
+    come out of a single aggregation over the fragment-matched
+    candidates — corrected_query_string calls this per query word, so
+    a second lookup job per word would double the hot-path latency."""
+    frags = word_fragments_py(word)
+    if not frags:
         return None
-    freq_exact_row = (spelling.filter(F.col("word") == word)
-                      .select("freq").head())
-    freq_exact = freq_exact_row["freq"] if freq_exact_row else 0
-    return rows[0]["word"] if rows[0]["freq"] >= freq_exact else None
+    cand = (
+        spelling.filter(F.col("fragment").isin(frags))
+        .select("word", "freq").distinct()
+        .withColumn("distance",
+                    F.levenshtein(F.col("word"), F.lit(word)))
+        .filter(F.col("distance") <= max_edit_distance)
+    )
+    row = cand.agg(
+        F.min(F.when(F.col("distance") > 0, F.struct(
+            F.col("distance"),
+            (-F.col("freq")).alias("negfreq"),
+            F.col("word"),
+            F.col("freq")))).alias("best"),
+        F.max(F.when(F.col("word") == word, F.col("freq")))
+        .alias("freq_exact"),
+    ).head()
+    best = row["best"]
+    if best is None:
+        return None
+    freq_exact = row["freq_exact"] or 0
+    return best["word"] if best["freq"] >= freq_exact else None
