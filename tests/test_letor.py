@@ -152,3 +152,45 @@ def test_svmrank_learns_and_reduces_objective():
                       learning_rate=0.1)
     pred = feats @ p
     assert np.all(np.argsort(-pred) == [3, 2, 1, 0])
+
+
+def test_eval_metrics_hand_computed():
+    from xapian_spark.query.letor import (
+        average_precision, mean_average_precision,
+        mean_reciprocal_rank, ndcg_at,
+    )
+
+    # AP([1,0,1]) = (1/1 + 2/3) / 2
+    assert average_precision([1, 0, 1]) == pytest.approx(
+        (1.0 + 2.0 / 3.0) / 2.0)
+    assert average_precision([0, 0, 0]) == 0.0
+    assert mean_average_precision([[1, 0, 1], [0, 1]]) == pytest.approx(
+        ((1.0 + 2.0 / 3.0) / 2.0 + 0.5) / 2.0)
+    # perfect order → NDCG 1; reversed < 1
+    assert ndcg_at([3, 2, 1, 0]) == pytest.approx(1.0)
+    assert ndcg_at([0, 1, 2, 3]) < 1.0
+    assert ndcg_at([0, 0, 0]) == 0.0
+    # MRR: first relevant at ranks 1 and 3
+    assert mean_reciprocal_rank([[1, 0], [0, 0, 2]]) == pytest.approx(
+        (1.0 + 1.0 / 3.0) / 2.0)
+    # a trained ranker's NDCG beats the zero ranker's on its own data
+    from xapian_spark.query.letor import listnet_train
+
+    rng = np.random.default_rng(3)
+    ranklists = []
+    for _q in range(6):
+        feats = np.zeros((5, N_FEATURES))
+        rel = rng.permutation(5) % 3
+        feats[:, 4] = rel + rng.normal(0, 0.05, 5)
+        ranklists.append((feats, rel.astype(float)))
+    params = listnet_train(ranklists, learning_rate=0.05,
+                           iterations=200)
+
+    def ndcg_of(p):
+        vals = []
+        for feats, labels in ranklists:
+            order = np.argsort(-(feats @ p), kind="stable")
+            vals.append(ndcg_at(labels[order]))
+        return np.mean(vals)
+
+    assert ndcg_of(params) > ndcg_of(np.zeros(N_FEATURES))

@@ -320,6 +320,62 @@ def svmrank_loss(ranklists, params, C: float = 1.0,
     return float((params @ params) / (2 * C * n) + hinge.mean())
 
 
+# ---------------------------------------------------------------------------
+# Evaluation metrics (xapian-letor/evalmetric.cc declares the base
+# class and names MAP, NDCG, MRR as its subclasses — the file ships as
+# a stub, so these carry the standard IR definitions)
+# ---------------------------------------------------------------------------
+
+def average_precision(labels_in_rank_order) -> float:
+    """AP for one query: mean of precision@k over ranks k holding a
+    relevant (label > 0) doc; 0.0 when nothing relevant."""
+    rel = [1 if float(x) > 0 else 0 for x in labels_in_rank_order]
+    if not any(rel):
+        return 0.0
+    hits = 0
+    acc = 0.0
+    for k, r in enumerate(rel, start=1):
+        if r:
+            hits += 1
+            acc += hits / k
+    return acc / sum(rel)
+
+
+def mean_average_precision(ranked_label_lists) -> float:
+    lists = list(ranked_label_lists)
+    if not lists:
+        return 0.0
+    return float(np.mean([average_precision(x) for x in lists]))
+
+
+def ndcg_at(labels_in_rank_order, k: int = 10) -> float:
+    """NDCG@k with the (2^rel - 1) / log2(rank+1) gain (the LETOR
+    convention); 1.0-normalized against the ideal ordering."""
+    lab = np.asarray(list(labels_in_rank_order), dtype=np.float64)[:k]
+
+    def dcg(v):
+        return float(((2.0 ** v - 1.0)
+                      / np.log2(np.arange(2, v.size + 2))).sum())
+
+    ideal = np.sort(np.asarray(list(labels_in_rank_order),
+                               dtype=np.float64))[::-1][:k]
+    idcg = dcg(ideal)
+    return dcg(lab) / idcg if idcg > 0 else 0.0
+
+
+def mean_reciprocal_rank(ranked_label_lists) -> float:
+    """MRR: mean of 1/rank of the first relevant doc per query."""
+    out = []
+    for labels in ranked_label_lists:
+        rr = 0.0
+        for k, x in enumerate(labels, start=1):
+            if float(x) > 0:
+                rr = 1.0 / k
+                break
+        out.append(rr)
+    return float(np.mean(out)) if out else 0.0
+
+
 def rank_with_model(features: DataFrame, params: np.ndarray,
                     maxitems: int = 10) -> DataFrame:
     """ListNET::rank / score_doc — distributed dot product, sorted."""
