@@ -849,6 +849,35 @@ def q_posting_value_weight(spark, sf_dir):
     return _mset(spark, sf_dir, ops.AndMaybe(ops.Term("batch"), ps))
 
 
+# the batch workload shared by q_bm25_batch and its oracle:
+# (query_id, terms, op) — duplicate terms merge into wqf
+_BATCH_WORKLOAD = [
+    ("b_or", ["batch", "scan", "spark"], "or"),
+    ("b_and", ["join", "hash", "row"], "and"),
+    ("b_tail", ["dup", "stream"], "or"),
+    ("b_and2", ["window", "sort"], "and"),
+    ("b_single", ["query"], "or"),
+    ("b_wqf", ["merge", "merge", "filter"], "or"),
+]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """The whole 6-query workload answered in ONE dataflow
+    (query/batch.py): broadcast query terms onto a single postings
+    scan, one candidate shuffle, per-query top-10 with the mset
+    tiebreak.  The reference answers queries one at a time
+    (matcher/multimatch.cc); batching is the Spark-native serving
+    path — per-query scores stay identical to Enquire.get_mset."""
+    from xapian_spark.query.batch import bm25_batch
+
+    df = bm25_batch(
+        _index(spark, sf_dir),
+        [(q, t) for q, t, _o in _BATCH_WORKLOAD], k=10,
+        ops_by_id={q: o for q, _t, o in _BATCH_WORKLOAD})
+    return df.select("query_id", "rank", "doc_id",
+                     F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact records the
     # FIRST 50 entries. Ranked so every entry lands in the window
@@ -882,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_spelling": q_parser_spelling,
         "posting_value_weight": q_posting_value_weight,
         "stream_dedup": q_stream_dedup,
+        "bm25_batch": q_bm25_batch,
         # (c) code paths changed this round (delete/compact/build/
         # clustering/spelling), then the remaining distinct operators
         "delete_wand": q_delete_wand,
@@ -912,8 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent": q_percent,
         "percent_cutoff": q_percent_cutoff,
         "facets_lang": q_facets_lang,
-        "eset_trad": q_eset_trad,
         # ---- 50-entry artifact window ends here ----
+        "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
@@ -1522,6 +1552,43 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 SELECT a.doc_id, round(a.score + d.n_chars, 6) AS score
 FROM agg a JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    _bq_vals = []
+    for _qid, _terms, _op in _BATCH_WORKLOAD:
+        _wqf: dict = {}
+        for _t in _terms:
+            _wqf[_t] = _wqf.get(_t, 0) + 1
+        for _t, _w in _wqf.items():
+            _bq_vals.append(
+                f"('{_qid}', '{_t}', {_w}, {str(_op == 'and').lower()})")
+    _bq = ",\n         ".join(_bq_vals)
+    # the prelude's part has the k3 wqf factor at wqf=1 (== 1); scale
+    # by (k3+1)*wqf/(k3+wqf) = 2*wqf/(1+wqf) per (query, term)
+    out["bm25_batch"] = f"""{_BM25_PRELUDE}
+, batchq(query_id, term, wqf, is_and) AS (
+  VALUES {_bq}
+),
+nterms AS (
+  SELECT query_id, count(*)::BIGINT AS n_terms, bool_or(is_and) AS is_and
+  FROM batchq GROUP BY 1
+),
+cand AS (
+  SELECT b.query_id, s.doc_id,
+         sum(s.part * (2.0 * b.wqf / (1.0 + b.wqf))) AS score,
+         count(*)::BIGINT AS matched
+  FROM scored s JOIN batchq b USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY c.score DESC, c.doc_id ASC) AS rank
+  FROM cand c JOIN nterms n USING (query_id)
+  WHERE NOT n.is_and OR c.matched = n.n_terms
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """
     out["wildcard"] = f"""{_BM25_PRELUDE}
 , syn AS (

@@ -98,6 +98,24 @@ def main() -> None:
     enq.get_mset(ops.Wildcard("wind"), 0, 10).collect()
     timings["wildcard"] = time.perf_counter() - t0
 
+    # batch serving path: 100 queries in ONE job (query/batch.py) —
+    # the per-query Spark job overhead that dominates the single-query
+    # lines above amortizes across the workload
+    from xapian_spark.query.batch import bm25_batch
+
+    term_dict = sorted(t for t in (enq._full_term_dict() or {})
+                       if t.startswith("Z"))
+    batch_qs, batch_ops = [], {}
+    for i in range(100):
+        ts = [term_dict[(i * 3 + j) % len(term_dict)]
+              for j in range(1 + (i % 3))]
+        batch_qs.append((f"q{i}", ts))
+        batch_ops[f"q{i}"] = "and" if i % 4 == 0 else "or"
+    t0 = time.perf_counter()
+    n_batch_rows = bm25_batch(idx, batch_qs, k=10,
+                              ops_by_id=batch_ops).count()
+    timings["bm25_batch_100"] = time.perf_counter() - t0
+
     # multilingual build: per-row Snowball stemmer selection (de/fr/es)
     t0 = time.perf_counter()
     ml = build_index(docs, text_col="text", id_col="doc_id",
@@ -189,6 +207,7 @@ def main() -> None:
         "n_docs": n_docs,
         "n_postings": n_postings,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "batch_queries_per_sec": round(100 / timings["bm25_batch_100"], 1),
         "ivf_recall_at10_replicas4": recall,
         "cpus": cpus,
     }
