@@ -861,6 +861,23 @@ _BATCH_WORKLOAD = [
 ]
 
 
+def q_wand_batch(spark, sf_dir):
+    """The same 6-query workload through the chunk-encoded segment
+    index's batch kernel (WandEnquire.get_mset_batch): per segment,
+    each workload term's chunks decode ONCE and every query scores
+    vectorized against the decoded arrays — decode amortization across
+    the workload's shared terms, no postings shuffle.  Results are
+    identical to bm25_batch (same oracle SQL)."""
+    from xapian_spark.query.wand import WandEnquire
+
+    wq = WandEnquire(_segment_index(spark, sf_dir))
+    df = wq.get_mset_batch(
+        [(q, t) for q, t, _o in _BATCH_WORKLOAD], 10,
+        ops_by_id={q: o for q, _t, o in _BATCH_WORKLOAD})
+    return df.select("query_id", "rank", "doc_id",
+                     F.round("score", 6).alias("score"))
+
+
 def q_bm25_batch(spark, sf_dir):
     """The whole 6-query workload answered in ONE dataflow
     (query/batch.py): broadcast query terms onto a single postings
@@ -912,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_value_weight": q_posting_value_weight,
         "stream_dedup": q_stream_dedup,
         "bm25_batch": q_bm25_batch,
+        "wand_batch": q_wand_batch,
         # (c) code paths changed this round (delete/compact/build/
         # clustering/spelling), then the remaining distinct operators
         "delete_wand": q_delete_wand,
@@ -941,8 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_decider": q_match_decider,
         "percent": q_percent,
         "percent_cutoff": q_percent_cutoff,
-        "facets_lang": q_facets_lang,
         # ---- 50-entry artifact window ends here ----
+        "facets_lang": q_facets_lang,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "phrase_window": q_phrase_window,
@@ -1590,6 +1608,8 @@ SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
+    # the segment batch kernel must produce the identical result set
+    out["wand_batch"] = out["bm25_batch"]
     out["wildcard"] = f"""{_BM25_PRELUDE}
 , syn AS (
   SELECT p.doc_id,

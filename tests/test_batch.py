@@ -100,3 +100,60 @@ def test_batch_rejects_generalized_weights(simpledata_index):
     with pytest.raises(ValueError):
         bm25_batch(simpledata_index, [("q", ["paragraph"])],
                    weight=TfIdfWeight("ntn"))
+
+
+# ---------------------------------------------------------------------------
+# batch over the chunk-encoded segment index (WandEnquire.get_mset_batch)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def seg_index(simpledata_index, tmp_path_factory, spark):
+    from xapian_spark.index.build import build_index  # noqa: F401
+    from xapian_spark.index.segments import build_segments
+    from xapian_spark.io.apitest import corpus_df
+
+    docs = corpus_df(spark, "apitest_simpledata")
+    path = str(tmp_path_factory.mktemp("batch_seg"))
+    return build_segments(docs, path, n_segments=4, analyzer="apitest",
+                          text_col="data", input_desc="apitest_simpledata")
+
+
+def test_wand_batch_matches_single_wand(seg_index):
+    from xapian_spark.query.wand import WandEnquire
+
+    wq = WandEnquire(seg_index)
+    res = wq.get_mset_batch([(q, t) for q, t, _o in SPECS], 10,
+                            ops_by_id={q: o for q, _t, o in SPECS}).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for q in by_q:
+        by_q[q].sort()
+    for qid, terms, op in SPECS:
+        wqf = {}
+        for t in terms:
+            wqf[t] = wqf.get(t, 0) + 1
+        rows = wq.get_mset(list(dict.fromkeys(terms)), 10, op=op,
+                           wqf=wqf).collect()
+        exp = [(i + 1, r["doc_id"], round(r["score"], 9))
+               for i, r in enumerate(rows)]
+        assert by_q.get(qid, []) == exp, qid
+
+
+def test_wand_batch_matches_flat_batch(seg_index, simpledata_index):
+    """Cross-engine identity: the segment batch kernel and the flat
+    DataFrame batch produce the same docids and scores."""
+    from xapian_spark.query.wand import WandEnquire
+
+    flat = _batch(simpledata_index, SPECS, k=10)
+    wq = WandEnquire(seg_index)
+    res = wq.get_mset_batch([(q, t) for q, t, _o in SPECS], 10,
+                            ops_by_id={q: o for q, _t, o in SPECS}).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for q in by_q:
+        by_q[q].sort()
+    assert by_q == {q: rows for q, rows in flat.items() if rows}

@@ -321,3 +321,143 @@ class WandEnquire:
         return (per_seg
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k))
+
+    def get_mset_batch(self, queries, maxitems: int = 10,
+                       op: str = "or",
+                       ops_by_id: Optional[Dict[str, str]] = None
+                       ) -> DataFrame:
+        """Batch serving over the chunk-encoded index: a whole query
+        workload in ONE job.
+
+        queries: iterable of (query_id, [term, ...]) — duplicate terms
+        merge into wqf; per-query OP_AND via ops_by_id.  Returns
+        (query_id, rank, doc_id, score), identical per query to
+        get_mset (same kernels, same deterministic summation, same
+        tiebreak).
+
+        Trade-off vs the single-query path: block-max pruning is
+        per-query, but a workload's head terms repeat across queries —
+        so the batch kernel decodes each term's chunks ONCE per
+        segment (term-pruned to the workload's union), then scores
+        every query vectorized against the decoded arrays.  Decode
+        amortization beats per-query block skipping as soon as terms
+        are shared; the postings still never shuffle (per-segment
+        kernel + a tiny per-(segment,query) top-k merge)."""
+        from pyspark.sql import Window
+
+        spark = self.index.spark
+        ops_map = ops_by_id or {}
+        workload = []
+        union_terms: set = set()
+        for qid, terms in queries:
+            wqf: Dict[str, int] = {}
+            for t in terms:
+                wqf[t] = wqf.get(t, 0) + 1
+            q_op = ops_map.get(qid, op)
+            if q_op not in ("or", "and"):
+                raise ValueError(f"unsupported batch op {q_op!r}")
+            workload.append((qid, wqf, q_op == "and"))
+            union_terms |= set(wqf)
+
+        st = self.index.stats()
+        rows = (self.index.term_stats()
+                .filter(F.col("term").isin(sorted(union_terms)))
+                .collect())
+        tfs = {r["term"]: r["tf"] for r in rows}
+        lf = self.weight.len_factor(st.average_length)
+
+        # per-query plan: (qid, {term: termweight}, n_terms, is_and);
+        # same empty-result rule as get_mset — a query with no indexed
+        # term, or an AND missing any term, yields no rows
+        plan = []
+        for qid, wqf, is_and in workload:
+            tws_q = {
+                t: self.weight.termweight(tfs[t], st.doccount, w)
+                for t, w in wqf.items() if tfs.get(t)
+            }
+            if tws_q and not (is_and and len(tws_q) < len(wqf)):
+                plan.append((qid, tws_q, len(tws_q), is_and))
+        out_schema = "query_id string, doc_id long, score double"
+        if not plan:
+            return spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double")
+
+        needed = sorted({t for _q, tws_q, _n, _a in plan for t in tws_q})
+        weight = self.weight
+        k = maxitems
+        dead = self.index._dead_arrays()
+        chunk_rows = (
+            self.index.postings_chunks
+            .filter(F.col("term").isin(needed))
+            .select("term", "seg_id", "data")
+        )
+
+        def kernel(pdf):
+            import pandas as pd
+
+            from xapian_spark.index.codec import decode_chunk
+
+            seg_dead = None
+            if dead is not None and len(pdf):
+                seg = int(pdf["seg_id"].iloc[0])
+                ids_, before = dead
+                seg_dead = ids_[before >= seg]
+                if seg_dead.size == 0:
+                    seg_dead = None
+            decoded = {}
+            for t, g in pdf.groupby("term"):
+                ids_l, w_l, dl_l = [], [], []
+                for data in g["data"]:
+                    ids, wdf, dl = decode_chunk(data)
+                    if seg_dead is not None:
+                        m = ~_member_sorted(ids, seg_dead)
+                        if not m.all():
+                            ids, wdf, dl = ids[m], wdf[m], dl[m]
+                    if ids.size:
+                        ids_l.append(ids)
+                        w_l.append(wdf)
+                        dl_l.append(dl)
+                if ids_l:
+                    decoded[t] = (np.concatenate(ids_l),
+                                  np.concatenate(w_l),
+                                  np.concatenate(dl_l))
+            q_out, d_out, s_out = [], [], []
+            for qid, tws_q, n_terms, is_and in plan:
+                ids_l, parts_l = [], []
+                for t, tw in tws_q.items():
+                    hit = decoded.get(t)
+                    if hit is None:
+                        continue
+                    ids, wdf, dl = hit
+                    ids_l.append(ids)
+                    parts_l.append(_sumpart_np(weight, tw, wdf, dl, lf))
+                if not ids_l or (is_and and len(ids_l) < n_terms):
+                    continue
+                docs = np.concatenate(ids_l)
+                udocs, scores = _sum_parts_sorted(
+                    docs, np.concatenate(parts_l))
+                if is_and:
+                    # udocs is sorted unique, aligned with np.unique
+                    _ud, cnt = np.unique(docs, return_counts=True)
+                    m = cnt == n_terms
+                    udocs, scores = udocs[m], scores[m]
+                topd, tops = _take_topk(udocs, scores, k)
+                q_out.extend([qid] * topd.size)
+                d_out.append(topd)
+                s_out.append(tops)
+            return pd.DataFrame({
+                "query_id": q_out,
+                "doc_id": np.concatenate(d_out) if d_out
+                else np.empty(0, dtype=np.int64),
+                "score": np.concatenate(s_out) if s_out
+                else np.empty(0, dtype=np.float64),
+            })
+
+        per_seg = chunk_rows.groupBy("seg_id").applyInPandas(
+            kernel, out_schema)
+        win = (Window.partitionBy("query_id")
+               .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        return (per_seg
+                .withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score"))
