@@ -668,6 +668,29 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition fractions (top/duplicated
+    n-gram occupancy for n=2,3) — the boilerplate/spam signal Gopher
+    thresholds to filter web corpora (Rae et al. 2021 table A1)."""
+    from xapian_spark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: eval set = every 7th doc, train =
+    the rest; flag train docs sharing any word 5-gram with eval (the
+    GPT-3-style overlap rule; production uses 8-13 grams — 5 exercises
+    the op on this short-doc synthetic corpus). Eval shingles are
+    broadcast; train never shuffles."""
+    from xapian_spark.pipeline.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(tr, ev, n=5)
+
+
 def q_quality(spark, sf_dir):
     from xapian_spark.pipeline.textstats import quality_scores
 
@@ -915,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -1934,6 +1959,57 @@ SELECT doc_id, n_tokens,
          + least(stopword_ratio * 5.0, 1.0) * 0.25
          + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25, 6) AS quality
 FROM feat
+"""
+    out["repetition_stats"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, len(toks))]) AS g
+  FROM toks WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS g
+  FROM toks WHERE len(toks) >= 3
+),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+             coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup
+      FROM c GROUP BY 1, 2)
+SELECT d.doc_id,
+  round(coalesce(max(CASE WHEN p.n = 2
+                     THEN p.top::DOUBLE / p.total END), 0.0), 6)
+    AS top_2gram_frac,
+  round(coalesce(max(CASE WHEN p.n = 2
+                     THEN p.dup::DOUBLE / p.total END), 0.0), 6)
+    AS dup_2gram_frac,
+  round(coalesce(max(CASE WHEN p.n = 3
+                     THEN p.top::DOUBLE / p.total END), 0.0), 6)
+    AS top_3gram_frac,
+  round(coalesce(max(CASE WHEN p.n = 3
+                     THEN p.dup::DOUBLE / p.total END), 0.0), 6)
+    AS dup_3gram_frac
+FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+    out["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+4], ' ')
+            for i in range(1, len(toks) - 3)])) AS shingle
+  FROM toks WHERE len(toks) >= 5
+),
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh
+       WHERE doc_id % 7 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT ev.eval_doc_id) AS n_eval_docs,
+       count(DISTINCT tr.shingle) AS n_shared_shingles
+FROM tr JOIN ev ON ev.shingle = tr.shingle
+GROUP BY tr.doc_id
 """
     out["fingerprints"] = """
 SELECT doc_id,

@@ -159,7 +159,10 @@ def test_synonym_query_leaves_no_cache(spark, corpus, tmp_path):
     q = ops.Synonym([ops.Term("the"), ops.Term("data")])
     enq.get_mset(q, 0, 10).collect()
     enq.get_mset(ops.Wildcard("wind"), 0, 10).collect()
-    assert _persistent_rdd_ids(spark) == before
+    # subset, not equality: earlier tests' weakly-referenced
+    # localCheckpoints may be GC-freed while this test runs, shrinking
+    # the baseline — what must NOT happen is a NEW persisted RDD
+    assert _persistent_rdd_ids(spark) <= before
 
 
 def test_minhash_dedup_pairs_drops_shingle_cache(spark, corpus):

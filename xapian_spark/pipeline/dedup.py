@@ -414,6 +414,39 @@ def deduplicate_minhash(docs: DataFrame, text_col: str = "text",
     return docs.join(drop, id_col, "left_anti")
 
 
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    any word n-gram with an evaluation set (the GPT-3/PaLM-style
+    overlap rule — production pipelines use 8-13 grams; `n` is the
+    knob). Returns one row per CONTAMINATED train doc:
+    (doc_id, n_eval_docs, n_shared_shingles).
+
+    Scale shape: the eval set is tiny relative to a 100 TB train
+    corpus, so its distinct shingles are broadcast and the train-side
+    shingle stream filters through one broadcast-hash join — no
+    shuffle of train data, no all-pairs work. The groupBy shuffles
+    only the matched (contaminated) rows, which are rare by
+    construction."""
+    tr = shingle_df(train, text_col, id_col, n).select("doc_id", "shingle")
+    ev = shingle_df(eval_docs, text_col, id_col, n).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle")
+    return (tr.join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+                 F.countDistinct("shingle").alias("n_shared_shingles")))
+
+
+def decontaminate_apply(train: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8) -> DataFrame:
+    """The apply step: train corpus with contaminated docs removed."""
+    flagged = decontaminate(train, eval_docs, text_col, id_col, n)
+    return train.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
                          b_col: str = "doc_id_b",
                          max_iter: int = 20) -> DataFrame:

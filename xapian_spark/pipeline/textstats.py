@@ -137,6 +137,92 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _all_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a token array (occurrences, not the distinct
+    set — repetition stats need multiplicities). Same n-slices/zip_with
+    formulation as dedup._shingles_of: every subexpression evaluates
+    O(1) times per document (the naive transform(i -> slice(...)) form
+    re-evaluates the token expression per n-gram and goes quadratic)."""
+    ln = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, F.greatest(ln, F.lit(0)))
+             for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(toks) < n,
+                  F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition statistics (Rae et al.
+    2021, table A1): for n in {2, 3}, the fraction of n-gram
+    occurrences taken by the single most frequent n-gram
+    (top_{n}gram_frac) and the fraction of occurrences belonging to any
+    duplicated n-gram (dup_{n}gram_frac). Gopher thresholds these to
+    drop boilerplate/spam pages (e.g. top-2-gram fraction > 0.20);
+    this emits the raw fractions so callers pick their own cuts.
+
+    Token-fraction variant of Gopher's character fractions (documented
+    divergence — same signal, cheaper at corpus scale). Docs with fewer
+    than n tokens get 0.0.
+
+    Scale shape: one explode + two groupBys keyed by (doc_id, ...) —
+    partial aggregation combines map-side and the key space is bounded
+    by document length, so no skew beyond the longest document; no
+    driver-side work, no Python UDFs."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    def _tagged(n: int) -> Column:
+        # NB: the lambda must take exactly one arg — F.transform gives a
+        # two-arg lambda (element, index), which would shadow a
+        # default-arg n with the position
+        return F.transform(
+            _all_ngrams(F.col("_toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.concat(_tagged(2), _tagged(3))
+    occurrences = (
+        base.select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    )
+    counts = occurrences.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .alias("dup"),
+    )
+
+    def frac(n: int, num: str) -> Column:
+        return F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n,
+                             F.col(num).cast("double") / F.col("total"))),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    wide = per_n.groupBy("doc_id").agg(
+        frac(2, "top").alias("top_2gram_frac"),
+        frac(2, "dup").alias("dup_2gram_frac"),
+        frac(3, "top").alias("top_3gram_frac"),
+        frac(3, "dup").alias("dup_3gram_frac"),
+    )
+    out_cols = ("top_2gram_frac", "dup_2gram_frac",
+                "top_3gram_frac", "dup_3gram_frac")
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(wide, "doc_id", "left").select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+    )
+
+
 # GPT-2-style pretokenizer pattern, lookahead-free so the same string
 # counts identically under Java regex (Spark) and RE2 (DuckDB oracle):
 # contraction suffixes, space-prefixed letter runs, digit runs,
