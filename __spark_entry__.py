@@ -691,6 +691,15 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, n=5)
 
 
+def q_unigram_lm(spark, sf_dir):
+    """CCNet-style LM quality signal: per-doc mean bits per token under
+    the corpus's own unigram distribution (unigram variant of the KenLM
+    perplexity filter, Wenzek et al. 2019 §4.3)."""
+    from xapian_spark.pipeline.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_quality(spark, sf_dir):
     from xapian_spark.pipeline.textstats import quality_scores
 
@@ -940,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "unigram_lm": q_unigram_lm,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2010,6 +2020,22 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    out["unigram_lm"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tfa AS (SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        GROUP BY 1, 2),
+freq AS (SELECT tok, sum(tf) AS cf FROM tfa GROUP BY 1),
+tot AS (SELECT sum(cf) AS total FROM freq),
+sc AS (SELECT doc_id, sum(tf) AS n_tokens,
+              sum(tf * -log2(cf::DOUBLE / total)) / sum(tf) AS bpt
+       FROM tfa JOIN freq USING (tok) CROSS JOIN tot
+       GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(sc.bpt, 0.0), 6) AS bits_per_token
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
     out["fingerprints"] = """
 SELECT doc_id,

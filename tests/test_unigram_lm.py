@@ -1,0 +1,75 @@
+"""CCNet-style unigram LM scoring (bits per token) — hand-computed
+expectations; the sf0.01 documents table is oracle-checked by the
+driver gate (`unigram_lm` entry in __spark_entry__)."""
+
+import math
+
+import pytest
+
+from xapian_spark.pipeline.textstats import unigram_lm_scores, unigram_model
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_computed_two_docs(spark):
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    # doc 1 = "a a a": bpt = -log2(3/4)
+    # doc 2 = "b":     bpt = -log2(1/4) = 2
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(_df(spark, [(1, "a a a"), (2, "b")])).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["bits_per_token"] == pytest.approx(
+        -math.log2(3 / 4), abs=1e-6)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["bits_per_token"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_uniform_corpus_equal_scores(spark):
+    # 4 distinct tokens, each once -> every doc scores exactly 2 bits
+    out = unigram_lm_scores(
+        _df(spark, [(1, "w x"), (2, "y z")])).collect()
+    for r in out:
+        assert r["bits_per_token"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_common_tokens_score_lower(spark):
+    # doc of corpus-frequent tokens scores below a doc of hapaxes
+    docs = _df(spark, [
+        (1, "the the the the the the"),
+        (2, "the the the aardvark zygote"),
+    ])
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert out[1]["bits_per_token"] < out[2]["bits_per_token"]
+
+
+def test_empty_doc_zero_not_missing(spark):
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(_df(spark, [(1, "a b"), (2, "")])).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["bits_per_token"] == 0.0
+
+
+def test_external_model_scores_other_corpus(spark):
+    # model trained on A (a a a b: p(a)=3/4, p(b)=1/4) scores corpus B;
+    # OOV tokens ("zzz") are in-vocab-only: ignored in both numerator
+    # and denominator
+    model = unigram_model(_df(spark, [(1, "a a a b")]))
+    out = {r["doc_id"]: r for r in unigram_lm_scores(
+        _df(spark, [(10, "b b"), (11, "a zzz")]), model=model).collect()}
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["bits_per_token"] == pytest.approx(2.0, abs=1e-6)
+    assert out[11]["n_tokens"] == 1
+    assert out[11]["bits_per_token"] == pytest.approx(
+        -math.log2(3 / 4), abs=1e-6)
+
+
+def test_weighted_mean_mixed_doc(spark):
+    # corpus: a a a b (doc1="a a a b"): p(a)=3/4, p(b)=1/4
+    # bpt = (3*-log2(3/4) + 1*2) / 4
+    r = unigram_lm_scores(_df(spark, [(1, "a a a b")])).collect()[0]
+    expect = (3 * -math.log2(3 / 4) + 2.0) / 4
+    assert r["n_tokens"] == 4
+    assert r["bits_per_token"] == pytest.approx(expect, abs=1e-6)

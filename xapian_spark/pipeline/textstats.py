@@ -223,6 +223,75 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram frequency table (tok, cf) — the 'training' pass
+    of the LM filter. Train once, persist/write, then score any corpus
+    against it (the CCNet deployment: the KenLM model is trained on
+    Wikipedia, not on the corpus being scored)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+
+
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      model: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    negative log2-probability (bits per token) under the corpus's own
+    unigram distribution. CCNet/LLaMA filter Common Crawl by KenLM
+    5-gram perplexity (Wenzek et al. 2019 §4.3); this is the unigram
+    variant of the same signal, expressible without an external model —
+    documents full of common tokens score low (fluent/boilerplate),
+    rare-token soup scores high. Emits the raw statistic; callers pick
+    their own head/middle/tail cuts.
+
+    Returns (doc_id, n_tokens, bits_per_token); empty docs get 0.0.
+    `model` is a (tok, cf) frame from unigram_model(); when None the
+    model is trained on `docs` itself (self-scoring). Under an
+    external model, out-of-vocabulary tokens are excluded from both
+    the numerator and n_tokens (in-vocab mean; no smoothing).
+
+    Scale shape: two passes over the corpus when self-scoring — one
+    token-keyed groupBy to build the frequency table, one scoring pass
+    ((doc_id, token) pre-aggregation so map-side combine collapses
+    repeated tokens before the shuffle, then a token-keyed join back)
+    — the standard shape of every published LM filter (train pass,
+    score pass); pass a persisted `model` to make it one pass. The
+    model total is a 1-row broadcast cross join. The frequency side
+    has exactly one row per vocabulary term, so the score join skews
+    only with document-side head terms ("the"), which AQE's skew-join
+    splitting handles; nothing is collected to the driver."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = model if model is not None else unigram_model(docs, text_col)
+    total = freq.agg(F.sum("cf").cast("double").alias("total"))
+    scored = (
+        tf.join(freq, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf")
+                   * -F.log2(F.col("cf").cast("double") / F.col("total")))
+             / F.sum("tf")).alias("_bpt"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.round(F.coalesce(F.col("_bpt"), F.lit(0.0)), 6)
+        .alias("bits_per_token"),
+    )
+
+
 # GPT-2-style pretokenizer pattern, lookahead-free so the same string
 # counts identically under Java regex (Spark) and RE2 (DuckDB oracle):
 # contraction suffixes, space-prefixed letter runs, digit runs,
