@@ -700,6 +700,32 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_pii(spark, sf_dir):
+    """PII detect + redact (emails / IPv4 / NA phone numbers — the
+    C4/ROOTS pre-training scrub). The synthetic corpus has no PII, so
+    the query deterministically injects some derived from doc_id (an
+    email always; a phone on doc_id%3==0; an IP on doc_id%5==0), then
+    value-checks both the per-class counts AND the md5 of the redacted
+    text against the oracle doing the identical construction."""
+    from xapian_spark.pipeline.pii import pii_stats, redact_col
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" from 10.0.0.7")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).withColumn("text", aug)
+    return pii_stats(docs).join(
+        docs.select("doc_id",
+                    F.md5(redact_col(F.col("text"))).alias("redacted_md5")),
+        "doc_id",
+    )
+
+
 def q_quality(spark, sf_dir):
     from xapian_spark.pipeline.textstats import quality_scores
 
@@ -950,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "unigram_lm": q_unigram_lm,
+        "pii_redact": q_pii,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2020,6 +2047,43 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    out["pii_redact"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+           || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.7'
+                   ELSE '' END AS text
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_emails,
+              regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS text
+       FROM aug),
+s2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+              regexp_replace(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IP>', 'g') AS text
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              len(regexp_extract_all(text,
+                  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+              regexp_replace(text,
+                  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                  '<PHONE>', 'g') AS text
+       FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       n_emails + n_ips + n_phones AS n_pii,
+       md5(text) AS redacted_md5
+FROM s3
 """
     out["unigram_lm"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
