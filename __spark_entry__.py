@@ -700,6 +700,18 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights: target model = every 7th doc
+    (stand-in target domain), raw model = the whole corpus; each doc
+    scored by mean log2 likelihood ratio (positive = target-like)."""
+    from xapian_spark.pipeline.textstats import (importance_weights,
+                                                 unigram_model)
+
+    docs = _docs(spark, sf_dir)
+    target = unigram_model(docs.filter(F.col("doc_id") % 7 == 0))
+    return importance_weights(docs, target)
+
+
 def q_pii(spark, sf_dir):
     """PII detect + redact (emails / IPv4 / NA phone numbers — the
     C4/ROOTS pre-training scrub). The synthetic corpus has no PII, so
@@ -977,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "unigram_lm": q_unigram_lm,
         "pii_redact": q_pii,
+        "importance_weights": q_importance_weights,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2047,6 +2060,27 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    out["importance_weights"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tfa AS (SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        GROUP BY 1, 2),
+tgt AS (SELECT tok, sum(tf) AS cf_t FROM tfa
+        WHERE doc_id % 7 = 0 GROUP BY 1),
+raw AS (SELECT tok, sum(tf) AS cf_r FROM tfa GROUP BY 1),
+tot_t AS (SELECT sum(cf_t)::DOUBLE AS total_t FROM tgt),
+tot_r AS (SELECT sum(cf_r)::DOUBLE AS total_r FROM raw),
+sc AS (SELECT doc_id, sum(tf) AS n_tokens,
+              sum(tf * (log2(cf_t / total_t) - log2(cf_r / total_r)))
+                / sum(tf) AS lr
+       FROM tfa JOIN tgt USING (tok) JOIN raw USING (tok)
+            CROSS JOIN tot_t CROSS JOIN tot_r
+       GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(sc.lr, 0.0), 6) AS log2_ratio_per_token
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
     out["pii_redact"] = r"""
 WITH aug AS (

@@ -292,6 +292,60 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+def importance_weights(docs: DataFrame, target_model: DataFrame,
+                       raw_model: DataFrame | None = None,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document mean log2 likelihood ratio between a TARGET-domain
+    unigram model and the RAW-corpus model. Sampling proportional to
+    exp of this weight reshapes the raw corpus toward the target
+    distribution; DSIR does the same with hashed-n-gram bag models —
+    this is the unigram instance of that estimator (documented
+    divergence). `target_model`/`raw_model` are (tok, cf) frames from
+    unigram_model(); raw_model defaults to one trained on `docs`.
+
+    Returns (doc_id, n_tokens, log2_ratio_per_token); positive means
+    more target-like. Tokens absent from EITHER vocabulary are
+    excluded from numerator and n_tokens (no smoothing), so every
+    ratio is finite.
+
+    Scale shape: identical to unigram_lm_scores — one (doc_id, token)
+    pre-aggregated scoring pass joined to the two model tables (each
+    one row per vocab term) plus two 1-row broadcast totals; no
+    driver-side work, no Python UDFs."""
+    if raw_model is None:
+        raw_model = unigram_model(docs, text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tgt = target_model.select("tok", F.col("cf").alias("cf_t"))
+    raw = raw_model.select("tok", F.col("cf").alias("cf_r"))
+    tot_t = tgt.agg(F.sum("cf_t").cast("double").alias("total_t"))
+    tot_r = raw.agg(F.sum("cf_r").cast("double").alias("total_r"))
+    ratio = (F.log2(F.col("cf_t").cast("double") / F.col("total_t"))
+             - F.log2(F.col("cf_r").cast("double") / F.col("total_r")))
+    scored = (
+        tf.join(tgt, "tok").join(raw, "tok")
+        .join(F.broadcast(tot_t)).join(F.broadcast(tot_r))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"),
+             (F.sum(F.col("tf") * ratio) / F.sum("tf")).alias("_lr"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.round(F.coalesce(F.col("_lr"), F.lit(0.0)), 6)
+        .alias("log2_ratio_per_token"),
+    )
+
+
 # GPT-2-style pretokenizer pattern, lookahead-free so the same string
 # counts identically under Java regex (Spark) and RE2 (DuckDB oracle):
 # contraction suffixes, space-prefixed letter runs, digit runs,
