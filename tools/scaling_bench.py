@@ -114,6 +114,15 @@ def query_latency(cpus: int = 32, n_queries: int = 30) -> dict:
     enq = Enquire(idx)
     qp = QueryParser()
     _cdf, words = _vocab()
+    # steady-state measurement: the first queries of a fresh session pay
+    # one-time Python-worker startup + whole-stage-codegen compilation
+    # (measured: first query 6+ s, identical query shape 0.3 s warm) —
+    # a serving deployment pays that once per executor lifetime, so it
+    # is excluded from the per-query latency distribution
+    for i in range(3):
+        qs = " ".join(words[(i * 53 + j * 131) % 2000]
+                      for j in range(1 + i % 3))
+        enq.get_mset(qp.parse_query(qs), 0, 10).collect()
     lat = []
     for i in range(n_queries):
         # mix of head/mid/tail vocabulary, 1-3 term queries
