@@ -700,6 +700,15 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_cross_doc_spans(spark, sf_dir):
+    """Cross-doc repeated 4-token spans (exact-substring-dedup signal,
+    Lee et al. 2021) — fraction of each doc's windows that also occur
+    in another document."""
+    from xapian_spark.pipeline.textstats import cross_doc_span_stats
+
+    return cross_doc_span_stats(_docs(spark, sf_dir), n=4)
+
+
 def q_importance_weights(spark, sf_dir):
     """DSIR-style importance weights: target model = every 7th doc
     (stand-in target domain), raw model = the whole corpus; each doc
@@ -990,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "pii_redact": q_pii,
         "importance_weights": q_importance_weights,
+        "cross_doc_spans": q_cross_doc_spans,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2060,6 +2070,27 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    out["cross_doc_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+3], ' ')
+                 for i in range(1, len(toks) - 2)]) AS g
+  FROM toks WHERE len(toks) >= 4
+),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+nd AS (SELECT g, count(*) AS n_docs FROM c GROUP BY 1),
+p AS (SELECT doc_id, sum(c) AS n_spans,
+             coalesce(sum(c) FILTER (WHERE n_docs >= 2), 0)
+               AS n_shared_spans
+      FROM c JOIN nd USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.n_shared_spans, 0)::BIGINT AS n_shared_spans,
+       round(coalesce(p.n_shared_spans::DOUBLE / p.n_spans, 0.0), 6)
+         AS shared_span_frac
+FROM documents d LEFT JOIN p USING (doc_id)
 """
     out["importance_weights"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -292,6 +292,58 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    """Cross-document repeated-span statistics — the signal behind
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": drop spans that recur
+    across the corpus; production uses 50-token spans over a suffix
+    array). Per doc: total n-token windows, windows whose n-gram also
+    occurs in at least one OTHER document, and that fraction. N-gram
+    window counting replaces the suffix array (documented divergence —
+    same recurrence signal, join-friendly at corpus scale); within-doc
+    repetition is the separate repetition_stats op.
+
+    Returns (doc_id, n_spans, n_shared_spans, shared_span_frac);
+    docs with fewer than n tokens get 0 / 0 / 0.0.
+
+    Scale shape: explode windows → (doc_id, gram) pre-aggregation
+    (map-side combine collapses within-doc repeats) → gram-keyed
+    groupBy for the per-gram document count (linear, one row per
+    distinct gram; head-gram skew is bounded by AQE skew-join
+    splitting) → join back and one per-doc aggregation. No driver-side
+    work, no Python UDFs."""
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(_all_ngrams(tokens_col(F.col(text_col)), n))
+                    .alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ndocs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        grams.join(ndocs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c"))
+                  .otherwise(F.lit(0))).alias("n_shared_spans"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+        .alias("n_spans"),
+        F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("long")
+        .alias("n_shared_spans"),
+        F.round(
+            F.coalesce(F.col("n_shared_spans").cast("double")
+                       / F.col("n_spans"), F.lit(0.0)), 6)
+        .alias("shared_span_frac"),
+    )
+
+
 def importance_weights(docs: DataFrame, target_model: DataFrame,
                        raw_model: DataFrame | None = None,
                        text_col: str = "text",
