@@ -151,3 +151,49 @@ def test_posting_source_mset_is_take_ordered(spark):
     ps = value_weight_posting_source(docs, "n_chars")
     m = Enquire(idx).get_mset(ops.AndMaybe(ops.Term("the"), ps), 0, 5)
     assert "TakeOrderedAndProject" in _plan(m)
+
+
+def test_pii_stats_is_pure_narrow_codegen(spark):
+    """PII scrub must stay a per-row projection: no shuffle, no Python
+    workers — the 100 TB pass is scan-bound or it's wrong."""
+    from xapian_spark.pipeline.pii import pii_stats, redact_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (pii_stats(docs), redact_pii(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # codegen stages render as "*(1) Project ..." in this string form
+        assert plan.lstrip().startswith("*("), plan
+
+
+def test_unigram_lm_no_python_and_broadcast_total(spark):
+    """LM scoring stays JVM-side; the 1-row corpus total arrives by
+    broadcast, never by shuffling the scored side."""
+    from xapian_spark.pipeline.textstats import unigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(unigram_lm_scores(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The train side must never shuffle: eval shingles arrive by
+    broadcast-hash join (at 100 TB train x tiny eval, a sort-merge
+    join would shuffle the whole training corpus)."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.pipeline.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = _plan(decontaminate(tr, ev, n=4))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Exchange below the broadcast join is on the eval side /
+    # the final contaminated-rows groupBy — assert the join itself is
+    # not sort-merge
+    assert "SortMergeJoin" not in plan, plan
