@@ -161,6 +161,17 @@ def main() -> None:
                         threshold=0.8).count()
     timings["minhash_dedup"] = time.perf_counter() - t0
 
+    from xapian_spark.pipeline.textstats import (cross_doc_span_stats,
+                                                 unigram_lm_scores)
+
+    t0 = time.perf_counter()
+    unigram_lm_scores(docs).count()
+    timings["unigram_lm"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cross_doc_span_stats(docs, n=4).count()
+    timings["cross_doc_spans"] = time.perf_counter() - t0
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.orderBy("vec_id").head()["embedding"]
     t0 = time.perf_counter()
