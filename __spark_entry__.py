@@ -728,7 +728,7 @@ def q_pii(spark, sf_dir):
     email always; a phone on doc_id%3==0; an IP on doc_id%5==0), then
     value-checks both the per-class counts AND the md5 of the redacted
     text against the oracle doing the identical construction."""
-    from xapian_spark.pipeline.pii import pii_stats, redact_col
+    from xapian_spark.pipeline.pii import pii_stats
 
     aug = F.concat(
         F.col("text"),
@@ -740,11 +740,7 @@ def q_pii(spark, sf_dir):
                F.lit(" from 10.0.0.7")).otherwise(F.lit("")),
     )
     docs = _docs(spark, sf_dir).withColumn("text", aug)
-    return pii_stats(docs).join(
-        docs.select("doc_id",
-                    F.md5(redact_col(F.col("text"))).alias("redacted_md5")),
-        "doc_id",
-    )
+    return pii_stats(docs, include_redacted_md5=True)
 
 
 def q_quality(spark, sf_dir):

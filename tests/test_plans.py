@@ -159,7 +159,8 @@ def test_pii_stats_is_pure_narrow_codegen(spark):
     from xapian_spark.pipeline.pii import pii_stats, redact_pii
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for df in (pii_stats(docs), redact_pii(docs)):
+    for df in (pii_stats(docs), redact_pii(docs),
+               pii_stats(docs, include_redacted_md5=True)):
         plan = _plan(df)
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan

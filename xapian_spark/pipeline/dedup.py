@@ -57,19 +57,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 def _shingles_of(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token-array column.
 
-    Formulated as n top-level slices zipped together: every
-    subexpression is evaluated O(1) times PER DOCUMENT. The naive
-    transform(i -> slice/element_at(toks, i..)) forms re-evaluate the
-    token expression per SHINGLE (CollapseProject inlines the alias),
-    which made the whole stage quadratic — measured 10x slower."""
-    ln = F.size(toks) - (n - 1)
-    parts = [F.slice(toks, j + 1, F.greatest(ln, F.lit(0)))
-             for j in range(n)]
-    sh = parts[0]
-    for p in parts[1:]:
-        sh = F.zip_with(sh, p, lambda x, y: F.concat_ws(" ", x, y))
-    return F.when(F.size(toks) < n, F.array()).otherwise(
-        F.array_distinct(sh))
+    Delegates to textstats._all_ngrams — the n-slices/zip_with
+    formulation whose every subexpression evaluates O(1) times PER
+    DOCUMENT (the naive transform(i -> slice/element_at(toks, i..))
+    forms re-evaluate the token expression per SHINGLE via
+    CollapseProject inlining, which made the whole stage quadratic —
+    measured 10x slower). Keep that property in ONE place."""
+    from xapian_spark.pipeline.textstats import _all_ngrams
+
+    return F.array_distinct(_all_ngrams(toks, n))
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:

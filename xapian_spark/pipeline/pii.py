@@ -37,23 +37,27 @@ def redact_col(text: Column) -> Column:
 
 
 def pii_stats(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              include_redacted_md5: bool = False) -> DataFrame:
     """(doc_id, n_emails, n_ips, n_phones, n_pii) match counts per
     document. Counts are taken on the progressively-redacted text the
     same way redact_col consumes it, so overlapping classes (an IPv4
     inside an email's domain, digits inside an IP) are attributed to
     exactly one class and the counts always sum to the number of
-    redaction tags."""
+    redaction tags. With include_redacted_md5, a `redacted_md5` column
+    (md5 of the fully-scrubbed text) rides the SAME single narrow
+    projection — no second scan, no join."""
     text = F.col(text_col)
     counts = []
     for name, pattern, tag in PII_PATTERNS:
         counts.append(F.regexp_count(text, F.lit(pattern))
                       .alias(f"n_{name}s"))
         text = F.regexp_replace(text, pattern, tag)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        *counts,
-    ).withColumn(
+    cols = [F.col(id_col).alias("doc_id"), *counts]
+    if include_redacted_md5:
+        # `text` is now the fully-redacted expression
+        cols.append(F.md5(text).alias("redacted_md5"))
+    return docs.select(*cols).withColumn(
         "n_pii",
         sum(F.col(f"n_{name}s") for name, _, _ in PII_PATTERNS)
         .alias("n_pii"),

@@ -153,6 +153,45 @@ def _all_ngrams(toks: Column, n: int) -> Column:
                   F.array().cast("array<string>")).otherwise(grams)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to session parallelism before a
+    CPU-heavy tokenize/explode stage — a single small parquet file
+    would otherwise serialize it into ONE task (same guard as
+    dedup.shingle_df / index.build.spread_input; no-op at scale where
+    input partitions >> cores)."""
+    from xapian_spark.index.build import spread_input
+
+    return spread_input(docs)
+
+
+def _doc_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, tok, tf) term frequencies — the shared scoring-pass
+    input of unigram_lm_scores and importance_weights; the (doc_id,
+    tok) pre-aggregation lets map-side combine collapse repeated
+    tokens before the shuffle."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _zero_fill(docs: DataFrame, id_col: str, scored: DataFrame,
+               fills: list) -> DataFrame:
+    """Left-join per-doc results back onto every input doc id so docs
+    that produced no rows (empty/short text, OOV) appear with
+    defaults. fills = [(col_name, default, cast_type_or_None)]."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    out = []
+    for name, default, cast in fills:
+        c = F.coalesce(F.col(name), F.lit(default))
+        if cast:
+            c = c.cast(cast)
+        out.append(c.alias(name))
+    return ids.join(scored, "doc_id", "left").select("doc_id", *out)
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style within-document repetition statistics (Rae et al.
@@ -171,7 +210,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     partial aggregation combines map-side and the key space is bounded
     by document length, so no skew beyond the longest document; no
     driver-side work, no Python UDFs."""
-    base = docs.select(
+    base = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("_toks"),
     )
@@ -214,13 +253,9 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         frac(3, "top").alias("top_3gram_frac"),
         frac(3, "dup").alias("dup_3gram_frac"),
     )
-    out_cols = ("top_2gram_frac", "dup_2gram_frac",
-                "top_3gram_frac", "dup_3gram_frac")
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    return ids.join(wide, "doc_id", "left").select(
-        "doc_id",
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
-    )
+    return _zero_fill(docs, id_col, wide, [
+        (c, 0.0, None) for c in ("top_2gram_frac", "dup_2gram_frac",
+                                 "top_3gram_frac", "dup_3gram_frac")])
 
 
 def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -229,7 +264,8 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     against it (the CCNet deployment: the KenLM model is trained on
     Wikipedia, not on the corpus being scored)."""
     return (
-        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        _spread(docs)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cf"))
     )
@@ -263,13 +299,9 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
     has exactly one row per vocabulary term, so the score join skews
     only with document-side head terms ("the"), which AQE's skew-join
     splitting handles; nothing is collected to the driver."""
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    freq = model if model is not None else unigram_model(docs, text_col)
+    spread = _spread(docs)
+    tf = _doc_tf(spread, text_col, id_col)
+    freq = model if model is not None else unigram_model(spread, text_col)
     total = freq.agg(F.sum("cf").cast("double").alias("total"))
     scored = (
         tf.join(freq, "tok")
@@ -277,19 +309,15 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            (F.sum(F.col("tf")
-                   * -F.log2(F.col("cf").cast("double") / F.col("total")))
-             / F.sum("tf")).alias("_bpt"),
+            F.round(
+                F.sum(F.col("tf")
+                      * -F.log2(F.col("cf").cast("double")
+                                / F.col("total")))
+                / F.sum("tf"), 6).alias("bits_per_token"),
         )
     )
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
-        .alias("n_tokens"),
-        F.round(F.coalesce(F.col("_bpt"), F.lit(0.0)), 6)
-        .alias("bits_per_token"),
-    )
+    return _zero_fill(docs, id_col, scored, [
+        ("n_tokens", 0, "long"), ("bits_per_token", 0.0, None)])
 
 
 def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
@@ -314,9 +342,10 @@ def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
     splitting) → join back and one per-doc aggregation. No driver-side
     work, no Python UDFs."""
     grams = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(_all_ngrams(tokens_col(F.col(text_col)), n))
-                    .alias("g"))
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(_all_ngrams(tokens_col(F.col(text_col)), n))
+                .alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -329,19 +358,13 @@ def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
             F.sum(F.when(F.col("n_docs") >= 2, F.col("c"))
                   .otherwise(F.lit(0))).alias("n_shared_spans"),
         )
+        .withColumn("shared_span_frac",
+                    F.round(F.col("n_shared_spans").cast("double")
+                            / F.col("n_spans"), 6))
     )
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    return ids.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
-        .alias("n_spans"),
-        F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("long")
-        .alias("n_shared_spans"),
-        F.round(
-            F.coalesce(F.col("n_shared_spans").cast("double")
-                       / F.col("n_spans"), F.lit(0.0)), 6)
-        .alias("shared_span_frac"),
-    )
+    return _zero_fill(docs, id_col, per_doc, [
+        ("n_spans", 0, "long"), ("n_shared_spans", 0, "long"),
+        ("shared_span_frac", 0.0, None)])
 
 
 def importance_weights(docs: DataFrame, target_model: DataFrame,
@@ -367,14 +390,10 @@ def importance_weights(docs: DataFrame, target_model: DataFrame,
     pre-aggregated scoring pass joined to the two model tables (each
     one row per vocab term) plus two 1-row broadcast totals; no
     driver-side work, no Python UDFs."""
+    spread = _spread(docs)
     if raw_model is None:
-        raw_model = unigram_model(docs, text_col)
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+        raw_model = unigram_model(spread, text_col)
+    tf = _doc_tf(spread, text_col, id_col)
     tgt = target_model.select("tok", F.col("cf").alias("cf_t"))
     raw = raw_model.select("tok", F.col("cf").alias("cf_r"))
     tot_t = tgt.agg(F.sum("cf_t").cast("double").alias("total_t"))
@@ -386,16 +405,11 @@ def importance_weights(docs: DataFrame, target_model: DataFrame,
         .join(F.broadcast(tot_t)).join(F.broadcast(tot_r))
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("n_tokens"),
-             (F.sum(F.col("tf") * ratio) / F.sum("tf")).alias("_lr"))
+             F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 6)
+             .alias("log2_ratio_per_token"))
     )
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    return ids.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
-        .alias("n_tokens"),
-        F.round(F.coalesce(F.col("_lr"), F.lit(0.0)), 6)
-        .alias("log2_ratio_per_token"),
-    )
+    return _zero_fill(docs, id_col, scored, [
+        ("n_tokens", 0, "long"), ("log2_ratio_per_token", 0.0, None)])
 
 
 # GPT-2-style pretokenizer pattern, lookahead-free so the same string
