@@ -700,6 +700,21 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3-style quality classifier (Brown et al. 2020 appendix A):
+    full-batch logistic regression over the quality features, labels =
+    doc_id%7==0 (stand-in 'reference quality' set), 10 gradient steps,
+    then per-doc sigmoid score + 0.5-threshold class. The oracle
+    replays the IDENTICAL unrolled iterations in SQL."""
+    from xapian_spark.pipeline.classifier import (
+        classifier_features, score_logreg, train_logreg)
+
+    feats = classifier_features(_docs(spark, sf_dir)).withColumn(
+        "label", (F.col("doc_id") % 7 == 0).cast("int"))
+    w = train_logreg(feats, iters=10, lr=1.0)
+    return score_logreg(feats, w)
+
+
 def q_cross_doc_spans(spark, sf_dir):
     """Cross-doc repeated 4-token spans (exact-substring-dedup signal,
     Lee et al. 2021) — fraction of each doc's windows that also occur
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii,
         "importance_weights": q_importance_weights,
         "cross_doc_spans": q_cross_doc_spans,
+        "quality_classifier": q_quality_classifier,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2066,6 +2082,52 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    # unrolled full-batch GD: it{{k}} holds the 5 weights after step k;
+    # each step aggregates sigmoid errors over feat CROSS JOIN it{{k-1}}
+    _lg_z = ("i.w0 + i.w1*f.alpha_ratio + i.w2*f.stopword_ratio"
+             " + i.w3*f.type_token_ratio + i.w4*f.punct_ratio")
+    _lg_iters = "it0 AS (SELECT 0.0 w0, 0.0 w1, 0.0 w2, 0.0 w3, 0.0 w4)"
+    for _k in range(1, 11):
+        _lg_iters += f""",
+it{_k} AS (
+  SELECT any_value(w0) - avg(p - y) AS w0,
+         any_value(w1) - avg((p - y) * alpha_ratio) AS w1,
+         any_value(w2) - avg((p - y) * stopword_ratio) AS w2,
+         any_value(w3) - avg((p - y) * type_token_ratio) AS w3,
+         any_value(w4) - avg((p - y) * punct_ratio) AS w4
+  FROM (SELECT f.*, i.w0, i.w1, i.w2, i.w3, i.w4,
+               1.0/(1.0 + exp(-({_lg_z}))) AS p
+        FROM feat f CROSS JOIN it{_k - 1} i))"""
+    out["quality_classifier"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(length(text), 1) AS n_chars,
+         {_TOKS} AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         round((n_chars - length(regexp_replace(text, '[A-Za-z]', '',
+                                                'g')))
+           ::DOUBLE / n_chars, 6) AS alpha_ratio,
+         round(len(list_filter(toks, t -> list_contains({sw['en']}, t)))
+           ::DOUBLE / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round(len(list_distinct(toks))::DOUBLE
+           / greatest(len(toks), 1), 6) AS type_token_ratio,
+         round((n_chars - length(regexp_replace(text,
+                                                '[^A-Za-z0-9\\s]', '',
+                                                'g')))
+           ::DOUBLE / n_chars, 6) AS punct_ratio,
+         CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM base
+),
+{_lg_iters}
+SELECT f.doc_id,
+       round(1.0/(1.0 + exp(-({_lg_z}))), 6) AS prob,
+       CASE WHEN 1.0/(1.0 + exp(-({_lg_z}))) >= 0.5
+            THEN 1 ELSE 0 END AS pred
+FROM feat f CROSS JOIN it10 i
 """
     out["cross_doc_spans"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
