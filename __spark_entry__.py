@@ -700,6 +700,23 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_curate(spark, sf_dir):
+    """The full RefinedWeb/Dolma-style curation chain in one lazy
+    plan: quality gate (>= 0.65) → exact dedup → decontaminate vs the
+    every-7th-doc eval set (5-grams, broadcast) → deterministic 50%
+    hash sample (seed 7) → PII redact. Oracle replays the identical
+    five stages in SQL and value-checks the surviving doc_ids AND the
+    redacted text."""
+    from xapian_spark.pipeline.curate import curate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    out = curate(tr, ev, min_quality=0.65, decontam_n=5,
+                 sample_fraction=0.5, seed=7)
+    return out.select("doc_id", "text")
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3-style quality classifier (Brown et al. 2020 appendix A):
     full-batch logistic regression over the quality features, labels =
@@ -1012,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "cross_doc_spans": q_cross_doc_spans,
         "quality_classifier": q_quality_classifier,
+        "curate": q_curate,
         "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
@@ -2082,6 +2100,70 @@ SELECT tr.doc_id,
        count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON ev.shingle = tr.shingle
 GROUP BY tr.doc_id
+"""
+    out["curate"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(length(text), 1) AS n_chars,
+         {_TOKS} AS toks
+  FROM documents WHERE doc_id % 7 <> 0
+),
+q AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      round(
+        least(len(toks)::DOUBLE / 100.0, 1.0) * 0.25
+        + (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+            ::DOUBLE / n_chars * 0.25
+        + least(len(list_filter(toks,
+                                t -> list_contains({sw['en']}, t)))
+            ::DOUBLE / greatest(len(toks), 1) * 5.0, 1.0) * 0.25
+        + (1.0 - least((n_chars - length(regexp_replace(text,
+                        '[^A-Za-z0-9\\s]', '', 'g')))
+            ::DOUBLE / n_chars * 5.0, 1.0)) * 0.25, 6) AS quality
+    FROM base)
+  WHERE quality >= 0.65
+),
+d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                             '\\s+', ' ', 'g'))
+             ORDER BY doc_id ASC) AS rn
+    FROM q)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+4], ' ')
+            for i in range(1, len(toks) - 3)])) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 5
+),
+contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0) tr
+  JOIN (SELECT shingle FROM sh WHERE doc_id % 7 = 0) ev
+    USING (shingle)
+),
+keep AS (
+  SELECT doc_id, text FROM d
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    AND ('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        < 0.5 * 4294967296.0
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+        '<EMAIL>', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+      '<IP>', 'g'),
+    '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g') AS text
+FROM keep
 """
     # unrolled full-batch GD: it{{k}} holds the 5 weights after step k;
     # each step aggregates sigmoid errors over feat CROSS JOIN it{{k-1}}
