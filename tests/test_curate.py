@@ -55,6 +55,25 @@ def test_sampling_is_deterministic_subset(spark):
     assert half_a <= full
 
 
+def test_export_shards_roundtrip_and_determinism(spark, tmp_path):
+    from xapian_spark.pipeline.curate import export_shards
+
+    docs = _df(spark, [(i, f"doc number {i}") for i in range(100)])
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    export_shards(docs, p1, n_shards=4)
+    export_shards(docs, p2, n_shards=4)
+    back = spark.read.parquet(p1)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards == {0, 1, 2, 3}
+    # identical assignment across runs
+    a = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(p2).collect()}
+    assert a == b
+
+
 def test_report_counts_monotone(spark):
     ev = _df(spark, [(100, "the secret answer phrase included here")])
     rep = curation_report(corpus(spark), ev, min_quality=0.5,

@@ -48,6 +48,26 @@ def curate(docs: DataFrame, eval_docs: DataFrame | None = None,
     return redact_pii(pool, text_col)
 
 
+def export_shards(df: DataFrame, path: str, n_shards: int,
+                  id_col: str = "doc_id", seed: int = 0) -> None:
+    """Write the curated corpus as `n_shards` deterministic,
+    size-balanced shards (`shard=NNN/` parquet dirs) for trainer-side
+    streaming. Shard assignment is a seeded hash of the doc id —
+    stable across runs AND cluster sizes (spark_partition_id would
+    change with parallelism), so a re-export after an incremental
+    update moves only the docs that changed. One shuffle keyed by the
+    shard id; shard sizes concentrate around |df|/n_shards by hash
+    uniformity."""
+    from xapian_spark.pipeline.sampling import _bucket
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    out = df.withColumn(
+        "shard", (_bucket(F.col(id_col), seed) % n_shards).cast("int"))
+    (out.repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path))
+
+
 def curation_report(docs: DataFrame, eval_docs: DataFrame | None = None,
                     **kwargs) -> dict:
     """Per-stage surviving-doc counts (runs the chain's prefixes; for
