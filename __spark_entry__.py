@@ -1002,6 +1002,83 @@ def q_bm25_batch(spark, sf_dir):
                      F.round("score", 6).alias("score"))
 
 
+def _url_pages(spark, sf_dir):
+    """Deterministic (url, warc_ts, text) page table derived from
+    documents (the testdata has no url column; the DuckDB oracles
+    derive the identical table).  The URL variants exercise every
+    canonicalization rule: upper-case scheme/host, a www. prefix, the
+    default :443 port on even ids, tracking params + unsorted
+    parameter order on id%3 in {0,1}, a fragment on id%5==0.  warc_ts
+    increases with doc_id so "latest capture" == max doc_id."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+         .otherwise(F.lit("")),
+        F.lit("/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=feed&b=2&a=1"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec"))
+         .otherwise(F.lit("")))
+    return d.select(
+        "doc_id", url.alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + F.col("doc_id"))
+         .alias("warc_ts"),
+        "text")
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (pipeline/urls.py): lower-case scheme and
+    host, strip www. and default ports, drop fragments and tracking
+    params, sort surviving query params.  The oracle states the
+    expected canonical string in CLOSED FORM (it does not re-run the
+    parser), so it independently checks every rule."""
+    from xapian_spark.pipeline.urls import canonicalize_urls
+
+    return canonicalize_urls(_url_pages(spark, sf_dir)).select(
+        "doc_id", "canonical_url", "host")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-keyed dedup, the reference's replace-by-urlterm update
+    semantics (omindex.cc:373-396 skip_duplicates / replace) applied
+    corpus-wide: one row per canonical URL, latest capture wins.  One
+    hash shuffle keyed by canonical_url."""
+    from xapian_spark.pipeline.urls import url_dedup
+
+    return url_dedup(_url_pages(spark, sf_dir)).select(
+        "canonical_url", "doc_id")
+
+
+def q_url_term(spark, sf_dir):
+    """The reference's unique-per-URL document key U<url>, hash-
+    truncated past 240 chars (omindex.cc:364-368, hashterm.cc:39-69).
+    Synthetic URLs straddle the truncation boundary; the oracle
+    REPLAYS the 32-bit rolling hash + base-64ish encode in DuckDB
+    (list_reduce), an independent transcription of hashterm.cc."""
+    from xapian_spark.pipeline.urls import url_term
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/"),
+        F.expr("repeat('x', CAST(100 + doc_id % 300 AS INT))"),
+        F.lit("-"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", url_term(url).alias("urlterm"))
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host curation stats over the canonicalized page table
+    (exact distinct mode for deterministic verification; production
+    default is the one-pass HLL sketch)."""
+    from xapian_spark.pipeline.urls import host_stats
+
+    df = host_stats(_url_pages(spark, sf_dir), exact=True)
+    return df.select("host", "n_pages", "n_canonical",
+                     F.round("avg_text_len", 6).alias("avg_text_len"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact records the
     # FIRST 50 entries. Ranked so every entry lands in the window
@@ -1040,6 +1117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         # (b) new this round
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
+        "url_term": q_url_term,
+        "host_stats": q_host_stats,
         "parser_spelling": q_parser_spelling,
         "posting_value_weight": q_posting_value_weight,
         "stream_dedup": q_stream_dedup,
@@ -2422,6 +2503,66 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
     out["embed_neardup"] = f"""{_PAIR_COS}
 SELECT vec_id_a, vec_id_b, round(cosine, 6) AS cosine
 FROM s WHERE round(cosine, 6) >= 0.4
+"""
+    # URL curation ops: the oracle derives the IDENTICAL synthetic
+    # page table from documents (see _url_pages) and then states the
+    # expected canonical URL in closed form — an independent check of
+    # every canonicalization rule, not a re-run of the parser.
+    _URL_CANON = """
+SELECT doc_id,
+       'https://' || source || '.example.com/p/' || (doc_id % 7) ||
+       CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END
+         AS canonical_url,
+       source || '.example.com' AS host,
+       length(text) AS tl
+FROM documents
+"""
+    out["url_canonical"] = f"""
+WITH pages AS ({_URL_CANON})
+SELECT doc_id, canonical_url, host FROM pages
+"""
+    out["url_dedup"] = f"""
+WITH pages AS ({_URL_CANON}),
+ranked AS (
+  SELECT canonical_url, doc_id,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY doc_id DESC) AS rn
+  FROM pages)
+SELECT canonical_url, doc_id FROM ranked WHERE rn = 1
+"""
+    out["host_stats"] = f"""
+WITH pages AS ({_URL_CANON})
+SELECT host, count(*)::BIGINT AS n_pages,
+       count(DISTINCT canonical_url)::BIGINT AS n_canonical,
+       round(avg(tl), 6) AS avg_text_len
+FROM pages GROUP BY host
+"""
+    # url_term: independent DuckDB transcription of hashterm.cc:39-69
+    # (32-bit rolling hash h=h*33+c over the tail past char 234,
+    # little-end-first 6-sextet encode, 33-offset alphabet, space pad).
+    _HCH = " || ".join(
+        f"CASE WHEN hv // {64 ** j} <> 0 "
+        f"THEN chr((((hv // {64 ** j}) % 64) + 33)::INT) "
+        f"ELSE ' ' END" for j in range(6))
+    out["url_term"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         'Uhttp://' || source || '.example.com/' ||
+         repeat('x', (100 + doc_id % 300)::INT) || '-' || doc_id
+           AS term
+  FROM documents),
+h AS (
+  SELECT doc_id, term,
+         list_reduce(
+           list_prepend(1::BIGINT,
+             list_transform(regexp_split_to_array(substr(term, 235),
+                                                  ''),
+                            c -> ascii(c)::BIGINT)),
+           (a, b) -> (a * 33 + b) % 4294967296) AS hv
+  FROM t WHERE length(term) > 240)
+SELECT doc_id, term AS urlterm FROM t WHERE length(term) <= 240
+UNION ALL
+SELECT doc_id, substr(term, 1, 234) || {_HCH} AS urlterm FROM h
 """
     # minhash_pairs, simhash_neardup, embed_neardup_lsh: approximate /
     # candidate-generation operators — rows-only check (no oracle).
