@@ -1079,6 +1079,28 @@ def q_host_stats(spark, sf_dir):
                      F.round("avg_text_len", 6).alias("avg_text_len"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-doc paragraph dedup (keep first occurrence
+    corpus-wide, reassemble in order).  The testdata text has no
+    newlines, so both engines derive the SAME paragraph structure
+    first: consecutive 3-word chunks joined by newline.  The oracle
+    replays chunking + keep-first + reassembly with windows/string_agg
+    — independent of the Spark min-struct/array-filter implementation."""
+    from xapian_spark.pipeline.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / 3).cast("int")
+    text2 = F.array_join(
+        F.transform(F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(words, i * 3 + 1, 3), " ")),
+        "\n")
+    chunked = d.select("doc_id", text2.alias("text"))
+    return paragraph_dedup(chunked).select(
+        "doc_id", "text", "n_paras", "n_kept")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact records the
     # FIRST 50 entries. Ranked so every entry lands in the window
@@ -1117,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         # (b) new this round
+        "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "url_term": q_url_term,
@@ -2563,6 +2586,29 @@ h AS (
 SELECT doc_id, term AS urlterm FROM t WHERE length(term) <= 240
 UNION ALL
 SELECT doc_id, substr(term, 1, 234) || {_HCH} AS urlterm FROM h
+"""
+    out["paragraph_dedup"] = """
+WITH words AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, array_length(ws) + 1)) AS ord
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents)),
+paras AS (
+  SELECT doc_id, ((ord - 1) // 3)::INT AS pos,
+         string_agg(w, ' ' ORDER BY ord) AS para
+  FROM words GROUP BY doc_id, (ord - 1) // 3),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, pos) AS rn
+  FROM paras),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+totals AS (
+  SELECT doc_id, count(*)::INT AS n_paras FROM paras GROUP BY doc_id)
+SELECT k.doc_id, string_agg(k.para, chr(10) ORDER BY k.pos) AS text,
+       any_value(t.n_paras) AS n_paras, count(*)::INT AS n_kept
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id
 """
     # minhash_pairs, simhash_neardup, embed_neardup_lsh: approximate /
     # candidate-generation operators — rows-only check (no oracle).

@@ -535,3 +535,58 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
             .select("doc_id",
                     F.coalesce("component", "doc_id")
                     .alias("cluster_id")))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    keep_empty_docs: bool = False) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication (Wenzek et
+    al. 2020 §3.1): split every document into paragraphs on `sep`,
+    keep each distinct paragraph's FIRST occurrence corpus-wide
+    (ordered by (doc_id, position) — deterministic and
+    engine-independent), drop every later copy (including repeats
+    inside one document), and reassemble the surviving paragraphs in
+    original order.  This removes boilerplate (headers, nav bars,
+    cookie banners) that exact whole-doc dedup misses.
+
+    Returns (id_col, text_col, n_paras, n_kept); documents whose every
+    paragraph was seen earlier are dropped unless keep_empty_docs, in
+    which case they stay with empty text.
+
+    Scale shape — paragraph TEXT never shuffles by paragraph key:
+    1. explode to (md5, doc_id, pos) triples (~40 B/row, narrow);
+    2. groupBy md5 with an ALGEBRAIC min(struct(doc_id, pos)) —
+       map-side partial aggregation collapses even a 100M-copy
+       boilerplate paragraph to one row per map task, so head-key
+       skew cannot pile onto a single reducer (contrast a window
+       rank over the hash, which would);
+    3. the winners regroup by doc_id (uniform key) into a kept-pos
+       list, join back to `docs` on doc_id, and each doc re-splits
+       its own text locally, filtering to kept positions — pure
+       codegen expressions, one uniform-keyed shuffle of the text.
+    """
+    parr = F.split(F.col(text_col), sep)
+    paras = (docs
+             .select(F.col(id_col),
+                     F.posexplode(parr).alias("pos", "para"))
+             .filter(F.col("para") != "")
+             .select(id_col, "pos", F.md5(F.col("para")).alias("h")))
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("f"))
+    kept_by_doc = (firsts
+                   .select(F.col(f"f.{id_col}").alias(id_col),
+                           F.col("f.pos").alias("pos"))
+                   .groupBy(id_col)
+                   .agg(F.array_sort(F.collect_list("pos"))
+                        .alias("_kept_pos")))
+    joined = docs.join(kept_by_doc, id_col,
+                       "left" if keep_empty_docs else "inner")
+    kept_pos = F.coalesce("_kept_pos",
+                          F.array().cast("array<int>"))
+    kept_paras = F.filter(
+        parr, lambda p, i: F.array_contains(kept_pos, i))
+    return joined.select(
+        id_col,
+        F.array_join(kept_paras, sep).alias(text_col),
+        F.size(F.filter(parr, lambda p: p != "")).alias("n_paras"),
+        F.size(kept_pos).alias("n_kept"))
