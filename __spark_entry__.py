@@ -1101,6 +1101,80 @@ def q_paragraph_dedup(spark, sf_dir):
         "doc_id", "text", "n_paras", "n_kept")
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2). The testdata
+    text has no newlines or punctuation, so both engines first build
+    the SAME multi-line page deterministically: a terminated lead
+    sentence, an unterminated filler line, a javascript notice on
+    doc_id%4, a terminated closing line, and lorem-ipsum / curly-brace
+    contamination on doc_id%17 / doc_id%13."""
+    from xapian_spark.pipeline.heuristics import c4_clean
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(".\n"),
+            F.substring("text", 61, 40), F.lit("\n"),
+            F.when(did % 4 == 0,
+                   F.lit("Please enable javascript to view this page.\n"))
+            .otherwise(F.lit("")),
+            F.lit("The final line of this page ends properly!"),
+            F.when(did % 13 == 0, F.lit("\nvar cfg = {debug: false};"))
+            .otherwise(F.lit("")),
+            F.when(did % 17 == 0, F.lit("\nLorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(aug, min_lines=2)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1). The
+    augmentation injects each failure mode deterministically: symbol
+    runs on doc_id%5, bullet lines on doc_id%7, ellipsis endings on
+    doc_id%11, and a guaranteed stopword tail on doc_id%3 (the raw
+    testdata vocabulary only sometimes contains the required
+    stopwords, so rule coverage varies row to row)."""
+    from xapian_spark.pipeline.heuristics import gopher_quality
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit(" ### ## #")).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.lit(" and that with the of have be to"))
+            .otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.lit("\n- first bullet item\n- second bullet item"
+                         "\n- third bullet item"))
+            .otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.lit("\nthis trailing thought just goes on..."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(aug)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-based domain mixture sampling (alpha=0.5): keep
+    rate per language = sqrt(min_count/count), decided by the same
+    seeded md5 identity hash as stratified_sample — the oracle replays
+    the rate computation and the predicate exactly (sqrt is correctly
+    rounded IEEE-754 in both engines)."""
+    from xapian_spark.pipeline.heuristics import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    out = mixture_sample(d, domain_col="lang", alpha=0.5, seed=42)
+    return out.select("doc_id", "lang",
+                      F.round("rate", 6).alias("rate"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact records the
     # FIRST 50 entries. Ranked so every entry lands in the window
@@ -1139,6 +1213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         # (b) new this round
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "mixture_sample": q_mixture_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1162,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "parser_search": q_parser_search,
+        # ---- 50-entry artifact window ends here ----
+        # (everything below has a green CORRECTNESS_r02 driver row)
         "parser_wildcard": q_parser_wildcard,
         "wildcard": q_wildcard,
         "spelling": q_spelling,
@@ -1178,7 +1257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_decider": q_match_decider,
         "percent": q_percent,
         "percent_cutoff": q_percent_cutoff,
-        # ---- 50-entry artifact window ends here ----
         "facets_lang": q_facets_lang,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
@@ -2609,6 +2687,119 @@ SELECT k.doc_id, string_agg(k.para, chr(10) ORDER BY k.pos) AS text,
        any_value(t.n_paras) AS n_paras, count(*)::INT AS n_kept
 FROM kept k JOIN totals t USING (doc_id)
 GROUP BY k.doc_id
+"""
+    out["c4_clean"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         substring(text, 1, 60) || '.' || chr(10) ||
+         substring(text, 61, 40) || chr(10) ||
+         CASE WHEN doc_id % 4 = 0
+              THEN 'Please enable javascript to view this page.'
+                   || chr(10) ELSE '' END ||
+         'The final line of this page ends properly!' ||
+         CASE WHEN doc_id % 13 = 0
+              THEN chr(10) || 'var cfg = {debug: false};' ELSE '' END ||
+         CASE WHEN doc_id % 17 = 0
+              THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+              ELSE '' END AS text
+  FROM documents),
+lined AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)),
+                        x -> trim(x)) AS ls
+  FROM aug),
+kept AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, x ->
+           (ends_with(x, '.') OR ends_with(x, '!')
+            OR ends_with(x, '?') OR ends_with(x, '"'))
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS k
+  FROM lined)
+SELECT doc_id,
+       len(ls)::INT AS n_lines,
+       len(k)::INT AS n_kept_lines,
+       array_to_string(k, chr(10)) AS clean_text,
+       (len(k) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep
+FROM kept
+"""
+    out["gopher_quality"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0 THEN ' ### ## #' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' and that with the of have be to' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN chr(10) || '- first bullet item' || chr(10)
+                   || '- second bullet item' || chr(10)
+                   || '- third bullet item' ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN chr(10) || 'this trailing thought just goes on...'
+              ELSE '' END AS text
+  FROM documents),
+feat AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     w -> w <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM aug),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         greatest(len(words), 1)::DOUBLE AS safe_n,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE
+           / greatest(len(words), 1) AS mean_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+         )::DOUBLE / greatest(len(words), 1) AS symbol_ratio,
+         len(list_filter(lines, x ->
+             starts_with(x, '-') OR starts_with(x, '*')
+             OR starts_with(x, chr(8226))))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           ::DOUBLE / greatest(len(words), 1) AS alpha_word_frac,
+         len(list_intersect(
+               list_distinct(list_transform(words, w -> lower(w))),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                'with'])) AS n_stopwords
+  FROM feat)
+SELECT doc_id,
+       n_words::INT AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       n_stopwords::INT AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_len,
+       (symbol_ratio <= 0.1) AS ok_symbol,
+       (bullet_frac <= 0.9) AS ok_bullet,
+       (ellipsis_frac <= 0.3) AS ok_ellipsis,
+       (alpha_word_frac >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS keep
+FROM m
+"""
+    out["mixture_sample"] = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang, n, sqrt(mn::DOUBLE / n) AS rate FROM c, m)
+SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substring(md5('42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      < r.rate * 4294967296.0
 """
     # minhash_pairs, simhash_neardup, embed_neardup_lsh: approximate /
     # candidate-generation operators — rows-only check (no oracle).

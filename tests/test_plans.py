@@ -198,3 +198,31 @@ def test_decontaminate_broadcasts_eval_side(spark):
     # the final contaminated-rows groupBy — assert the join itself is
     # not sort-merge
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_c4_and_gopher_are_pure_narrow_codegen(spark):
+    """C4 cleaning and the Gopher rules are per-row projections over
+    higher-order array expressions: no shuffle, no Python workers —
+    at 100 TB both passes must stay scan-bound."""
+    from xapian_spark.pipeline.heuristics import c4_clean, gopher_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (c4_clean(docs), gopher_quality(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """Temperature resampling must never shuffle the corpus side: the
+    per-domain rate table (|domains| rows) arrives by broadcast-hash
+    join; the only Exchange feeds the tiny domain-count aggregate."""
+    from xapian_spark.pipeline.heuristics import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(mixture_sample(docs, domain_col="lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

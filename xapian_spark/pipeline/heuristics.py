@@ -1,0 +1,264 @@
+"""Classic web-corpus curation heuristics — C4 line-level cleaning,
+Gopher document-quality rules, and temperature-based domain mixture
+sampling.
+
+These are the standard published filters a Common-Crawl-scale training
+pipeline runs between raw extraction and dedup:
+
+- C4 (Raffel et al., "Exploring the Limits of Transfer Learning with a
+  Unified Text-to-Text Transformer", 2020, §2.2): keep only lines that
+  end in terminal punctuation and have >= 3 words, drop lines
+  mentioning javascript, drop whole pages containing "lorem ipsum" or
+  a curly brace, and require a minimum number of surviving lines.
+- Gopher (Rae et al., "Scaling Language Models: Methods, Analysis &
+  Insights from Training Gopher", 2021, A1.1): word-count bounds, mean
+  word length bounds, symbol-to-word ratio, bullet/ellipsis line
+  ratios, alphabetic-word ratio, and a required-stopword count.
+- Temperature sampling (multilingual-mixture resampling as in mBERT /
+  XLM-R / mT5): per-domain keep rate proportional to p_domain^(a-1),
+  scaled so the rarest domain keeps everything — rare domains are
+  upweighted relative to their natural share without ever repeating a
+  document.
+
+Everything is built-in pyspark.sql.functions (JVM-side, whole-stage
+codegen, no Python workers). The only non-narrow operation in the
+module is the tiny per-domain count aggregate in mixture_sample, whose
+result is broadcast — every other operator is a pure projection /
+filter that scales linearly and pushes column pruning into the scan.
+The per-row decisions are deterministic (seeded md5 identity hashing,
+same idiom as sampling.deterministic_sample), so the DuckDB oracle can
+replay every predicate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xapian_spark.pipeline.sampling import _M, _bucket
+
+# C4's "terminal punctuation" set: sentence-final marks incl. closing
+# double-quote (Raffel et al. §2.2 keep lines ending in a terminal
+# punctuation mark).
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+# Gopher A1.1 required stopwords: a document must contain at least 2.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def _words(text: Column) -> Column:
+    """Whitespace-delimited words (empty strings removed) — the word
+    notion both C4 and Gopher count with (NOT the index tokenizer:
+    these filters see raw punctuation on purpose)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def _line_keep(line: Column, min_words: int) -> Column:
+    """C4 line predicate: terminal punctuation, >= min_words words, no
+    'javascript' mention."""
+    terminal = F.lit(False)
+    for p in TERMINAL_PUNCT:
+        terminal = terminal | line.endswith(p)
+    return (
+        terminal
+        & (F.size(_words(line)) >= min_words)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 3,
+             min_lines: int = 3) -> DataFrame:
+    """C4-style cleaning: per-document kept-line statistics, the
+    cleaned text (surviving lines re-joined with newlines), and the
+    document-level keep decision.
+
+    Line level (each '\\n'-separated line, trimmed): keep iff it ends
+    in terminal punctuation AND has >= min_words_per_line
+    whitespace-words AND does not mention "javascript"
+    (case-insensitive). Document level: keep iff >= min_lines lines
+    survive AND the page contains neither "lorem ipsum"
+    (case-insensitive) nor '{'.
+
+    Returns (doc_id, n_lines, n_kept_lines, clean_text, keep) for
+    EVERY input document — callers filter on `keep`; returning the
+    flags makes the reject reasons auditable (and the operator
+    oracle-replayable row-for-row). Pure narrow projection: no
+    shuffle, no UDF, scales linearly in input bytes.
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"),
+                        lambda ln: F.trim(ln))
+    kept = F.filter(lines, lambda ln: _line_keep(ln, min_words_per_line))
+    lowered = F.lower(F.col(text_col))
+    doc_keep = (
+        (F.size(kept) >= min_lines)
+        & ~lowered.contains("lorem ipsum")
+        & ~lowered.contains("{")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        doc_keep.alias("keep"),
+    )
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring —
+    (len(text) - len(replace(text, needle, ''))) / len(needle); the
+    same leftmost-non-overlapping semantics in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle),
+                                             F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 50,
+                   max_words: int = 100_000) -> DataFrame:
+    """Gopher quality-filter metrics and rule flags (Rae et al. 2021,
+    A1.1), one row per input document:
+
+    - n_words in [min_words, max_words]  (paper: 50..100,000)
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...' occurrences / word) <= 0.1
+    - <= 90% of lines starting with a bullet ('-', '*', or U+2022)
+    - <= 30% of lines ending with an ellipsis ('...')
+    - >= 80% of words containing at least one alphabetic character
+    - >= 2 distinct stopwords from GOPHER_STOPWORDS present
+
+    Returns the rounded metrics, one boolean per rule, and the overall
+    `keep` conjunction. All built-in expressions — narrow, no shuffle.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double")
+        / safe_n
+    )
+    symbol_ratio = (
+        (_count_occurrences(text, "#")
+         + _count_occurrences(text, "...")).cast("double") / safe_n
+    )
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(
+            lines,
+            lambda ln: ln.startswith("-") | ln.startswith("*")
+            | ln.startswith("•"),
+        )).cast("double") / safe_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+        .cast("double") / safe_lines
+    )
+    alpha_word_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / safe_n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stopwords = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+        stop_arr,
+    ))
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_symbol = symbol_ratio <= 0.1
+    r_bullet = bullet_frac <= 0.9
+    r_ellipsis = ellipsis_frac <= 0.3
+    r_alpha = alpha_word_frac >= 0.8
+    r_stop = n_stopwords >= 2
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        n_stopwords.alias("n_stopwords"),
+        r_words.alias("ok_words"),
+        r_mean.alias("ok_mean_len"),
+        r_symbol.alias("ok_symbol"),
+        r_bullet.alias("ok_bullet"),
+        r_ellipsis.alias("ok_ellipsis"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_mean & r_symbol & r_bullet & r_ellipsis & r_alpha
+         & r_stop).alias("keep"),
+    )
+
+
+def mixture_rates(docs: DataFrame, domain_col: str = "lang",
+                  alpha: float = 0.5) -> DataFrame:
+    """Per-domain keep rates for temperature-based mixture sampling:
+    rate_d = (count_d / total)^(alpha-1), normalized so the RAREST
+    domain's rate is 1.0 — i.e. rate_d = (min_count / count_d)^(1-alpha).
+    alpha=1 reproduces the natural distribution (all rates 1);
+    alpha->0 flattens toward uniform. Tiny output (one row per
+    domain); the aggregate is the only shuffle in the module and its
+    input is just the domain column.
+
+    alpha=0.5 keeps rate_d = sqrt(min_count/count_d) — chosen as the
+    driver-query default because sqrt is correctly rounded IEEE-754 in
+    every engine, so the DuckDB oracle reproduces the rates
+    bit-for-bit (pow is only ~1-ulp-accurate and could disagree)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    with_min = counts.withColumn(
+        "min_docs", F.min("n_docs").over(_unbounded_window()))
+    ratio = F.col("min_docs").cast("double") / F.col("n_docs")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    return with_min.select(
+        "domain", "n_docs",
+        rate.alias("rate"),
+    )
+
+
+def _unbounded_window():
+    from pyspark.sql import Window
+    return (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+
+
+def mixture_sample(docs: DataFrame, domain_col: str = "lang",
+                   id_col: str = "doc_id", alpha: float = 0.5,
+                   seed: int = 42) -> DataFrame:
+    """Temperature-resample a corpus by domain: keep each row iff
+    md5(seed:id) falls under its domain's mixture rate. Deterministic
+    per (seed, id) — stable across runs, partitioning, and appends,
+    like every sampler in this package. The per-domain rate table is
+    broadcast (|domains| rows), so the big side never shuffles; the
+    whole job is scan -> broadcast-hash-join -> filter.
+
+    The unbounded min window in mixture_rates runs on the POST-AGG
+    frame (|domains| rows in one task) — fine at any corpus scale
+    because the aggregate, not the window, sees the data."""
+    rates = mixture_rates(docs, domain_col, alpha)
+    joined = docs.join(
+        F.broadcast(rates.withColumnRenamed("domain", domain_col)),
+        domain_col)
+    return (
+        joined
+        .filter(_bucket(F.col(id_col), seed)
+                < F.col("rate") * F.lit(float(_M)))
+        .drop("n_docs", "min_docs")
+    )
