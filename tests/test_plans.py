@@ -226,3 +226,19 @@ def test_mixture_sample_broadcasts_rate_table(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """Encoding rides a broadcast word->pieces join: the corpus side
+    must never shuffle by word (at 100 TB the token explode dwarfs the
+    bounded vocab) and must stay out of Python."""
+    from xapian_spark.pipeline.bpe import (encode_with_vocab, train_bpe,
+                                           vocab_pieces, word_counts)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = word_counts(docs)
+    vocab = vocab_pieces(spark, wc, train_bpe(wc, 4))
+    plan = _plan(encode_with_vocab(docs, vocab))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
