@@ -1175,6 +1175,16 @@ def q_mixture_sample(spark, sf_dir):
                       F.round("rate", 6).alias("rate"))
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. 2021): remove every
+    n-token span whose sequence occurred earlier in (doc_id, pos)
+    order; first occurrence survives. n=4 here so the word-soup
+    testdata actually shares spans (production n=50)."""
+    from xapian_spark.pipeline.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf_dir), n=4)
+
+
 _N_BPE_MERGES = 8
 
 
@@ -1247,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "dedup_spans": q_dedup_spans,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1267,9 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
-        "dedup_apply": q_dedup_apply,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "dedup_apply": q_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "parser_search": q_parser_search,
         "parser_wildcard": q_parser_wildcard,
@@ -2876,6 +2887,34 @@ SELECT doc_id,
         AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
         AND n_stopwords >= 2) AS keep
 FROM m
+"""
+    out["dedup_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i + 3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM toks WHERE len(toks) >= 4)),
+dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM win)
+  WHERE rn > 1),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 4)) AS cpos
+        FROM dup),
+rm AS (SELECT doc_id, list_sort(list(cpos)) AS rmp
+       FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(array_to_string(
+         list_filter(t.toks,
+                     (x, i) -> NOT list_contains(
+                         coalesce(r.rmp, []), i - 1)), ' '), '')
+         AS text,
+       len(t.toks)::INT AS n_tokens,
+       coalesce(len(r.rmp), 0)::INT AS n_removed
+FROM toks t LEFT JOIN rm r USING (doc_id)
 """
     out["bpe_train"] = _bpe_sql(_N_BPE_MERGES, "train")
     out["bpe_encode"] = _bpe_sql(_N_BPE_MERGES, "encode")

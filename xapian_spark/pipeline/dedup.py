@@ -590,3 +590,76 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         F.array_join(kept_paras, sep).alias(text_col),
         F.size(F.filter(parr, lambda p: p != "")).alias("n_paras"),
         F.size(kept_pos).alias("n_kept"))
+
+
+def dedup_spans(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n: int = 50) -> DataFrame:
+    """Exact-substring span deduplication (Lee et al. 2021 ExactSubstr
+    semantics re-expressed over n-token windows): any n-token span
+    whose token sequence occurred EARLIER in corpus order (ordered by
+    (doc_id, position) — deterministic and engine-independent) has its
+    tokens removed; the first occurrence corpus-wide survives. Unlike
+    cross_doc_span_stats (which only measures the signal), this
+    REWRITES the corpus. Production uses n=50 like the paper; spans
+    are over the pipeline's normalized [a-z0-9]+ tokens, so the
+    rewritten text is normalized (same contract as the dedup keys
+    elsewhere in this module).
+
+    Returns (doc_id, text, n_tokens, n_removed) for every input doc —
+    text is the surviving tokens space-joined; n_removed counts
+    removed token positions (union of all duplicate windows).
+
+    Overlap note: a first-occurrence window survives only where no
+    OTHER duplicate window covers its tokens — the removal set is the
+    positional union of duplicate windows, exactly like the paper's
+    duplicate byte-range clipping.
+
+    Scale shape (mirrors paragraph_dedup):
+    1. explode to (doc_id, pos, md5(gram)) windows — one row per
+       token, ~50 B each; gram text never shuffles;
+    2. groupBy hash with ALGEBRAIC min(struct(doc_id, pos)) — map-side
+       partials collapse boilerplate head keys;
+    3. every occurrence joins back to its gram's first by hash (each
+       copy must learn it is a copy — inherent to the problem; AQE
+       skew-join splits mega-repeated grams);
+    4. duplicate windows explode to covered positions (bounded by the
+       doc's own token count after distinct), regroup by the uniform
+       doc key, and each doc filters its own token array locally.
+    """
+    from xapian_spark.pipeline.textstats import (_all_ngrams, _spread,
+                                                 tokens_col)
+
+    toks = tokens_col(F.col(text_col))
+    win = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.posexplode(_all_ngrams(toks, n)).alias("pos", "g"))
+        .select("doc_id", "pos", F.md5("g").alias("h"))
+    )
+    firsts = win.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f"))
+    dups = (
+        win.join(firsts, "h")
+        .filter(~((F.col("doc_id") == F.col("f.doc_id"))
+                  & (F.col("pos") == F.col("f.pos"))))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dups.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"),
+                                 F.col("pos") + (n - 1))).alias("cpos"))
+        .distinct()
+    )
+    rm = cov.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("cpos")).alias("_rm"))
+    joined = docs.join(rm.withColumnRenamed("doc_id", id_col),
+                       id_col, "left")
+    rmp = F.coalesce("_rm", F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(rmp, i))
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, " ").alias("text"),
+        F.size(toks).alias("n_tokens"),
+        F.size(rmp).alias("n_removed"),
+    )
