@@ -172,6 +172,27 @@ def main() -> None:
     cross_doc_span_stats(docs, n=4).count()
     timings["cross_doc_spans"] = time.perf_counter() - t0
 
+    from xapian_spark.pipeline.dedup import dedup_spans
+
+    t0 = time.perf_counter()
+    dedup_spans(docs, n=4).count()
+    timings["dedup_spans"] = time.perf_counter() - t0
+
+    from xapian_spark.pipeline.bpe import train_bpe, word_counts
+
+    t0 = time.perf_counter()
+    train_bpe(word_counts(docs), n_merges=8)
+    timings["bpe_train"] = time.perf_counter() - t0
+
+    from xapian_spark.pipeline.heuristics import (c4_clean, gopher_quality,
+                                                  mixture_sample)
+
+    t0 = time.perf_counter()
+    c4_clean(docs).count()
+    gopher_quality(docs).count()
+    mixture_sample(docs, domain_col="lang").count()
+    timings["curation_heuristics"] = time.perf_counter() - t0
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.orderBy("vec_id").head()["embedding"]
     t0 = time.perf_counter()
