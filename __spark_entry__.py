@@ -1205,13 +1205,12 @@ def q_bpe_encode(spark, sf_dir):
     """Corpus encoded under the trained BPE vocab: per-doc word and
     piece counts via a broadcast word->pieces join — the corpus side
     never shuffles by word and never enters Python."""
-    from xapian_spark.pipeline.bpe import (encode_with_vocab, train_bpe,
-                                           vocab_pieces, word_counts)
+    from xapian_spark.pipeline.bpe import (encode_with_vocab,
+                                           train_bpe_vocab, word_counts)
 
     docs = _docs(spark, sf_dir)
-    wc = word_counts(docs)
-    merges = train_bpe(wc, _N_BPE_MERGES)
-    return encode_with_vocab(docs, vocab_pieces(spark, wc, merges))
+    _, vocab = train_bpe_vocab(spark, word_counts(docs), _N_BPE_MERGES)
+    return encode_with_vocab(docs, vocab)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1397,11 +1396,13 @@ p{k} AS (
 m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
 s{k} AS (
   SELECT word, cnt,
-         list_reduce(string_split(sym, ' '),
-           (a, x) -> CASE WHEN x = m.r
-                          AND (a = m.l OR ends_with(a, ' ' || m.l))
-                     THEN a || x ELSE a || ' ' || x END) AS sym
-  FROM s{k - 1}, m{k} m)""")
+         CASE WHEN m.l IS NULL THEN sym ELSE
+           list_reduce(string_split(sym, ' '),
+             (a, x) -> CASE WHEN x = m.r
+                            AND (a = m.l OR ends_with(a, ' ' || m.l))
+                       THEN a || x ELSE a || ' ' || x END)
+         END AS sym
+  FROM s{k - 1} LEFT JOIN m{k} m ON true)""")
     prelude = f"""
 WITH w0 AS (
   SELECT word, count(*) AS cnt
@@ -2809,14 +2810,14 @@ kept AS (
          list_filter(ls, x ->
            (ends_with(x, '.') OR ends_with(x, '!')
             OR ends_with(x, '?') OR ends_with(x, '"'))
-           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+           AND len(list_filter(regexp_split_to_array(x, '[ \t\n\r\f]+'),
                                w -> w <> '')) >= 3
            AND NOT contains(lower(x), 'javascript')) AS k
   FROM lined)
 SELECT doc_id,
        len(ls)::INT AS n_lines,
        len(k)::INT AS n_kept_lines,
-       array_to_string(k, chr(10)) AS clean_text,
+       coalesce(array_to_string(k, chr(10)), '') AS clean_text,
        (len(k) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
         AND NOT contains(text, '{')) AS keep
 FROM kept
@@ -2838,7 +2839,7 @@ WITH aug AS (
   FROM documents),
 feat AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'),
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
                      w -> w <> '') AS words,
          list_filter(list_transform(string_split(text, chr(10)),
                                     x -> trim(x)),

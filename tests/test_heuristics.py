@@ -77,6 +77,12 @@ def test_c4_brute_force_mirror(spark):
         assert (r.n_kept_lines, r.keep) == (n_kept, keep), r.doc_id
 
 
+def test_c4_no_kept_lines_gives_empty_text(spark):
+    out = c4_clean(_df(spark, [(1, "no terminal punctuation\nshort.")]),
+                   min_lines=1).collect()[0]
+    assert (out.n_kept_lines, out.clean_text, out.keep) == (0, "", False)
+
+
 # ------------------------------------------------------------- Gopher
 
 GOOD = ("the quick brown fox jumps over the lazy dog and keeps " * 6
@@ -104,10 +110,11 @@ def test_gopher_rules_fire_individually(spark):
     assert not got[1].ok_words
     assert not got[2].ok_mean_len          # mean word len > 10
     assert not got[3].ok_symbol
-    assert not got[4].ok_bullet or got[4].bullet_frac > 0.5
+    assert not got[4].ok_bullet            # 10 of 11 lines bulleted
+    assert not got[5].ok_ellipsis          # 40 of 41 lines end in ...
     assert not got[6].ok_alpha
     assert not got[7].ok_stopwords
-    for i in (1, 2, 3, 6, 7):
+    for i in (1, 2, 3, 4, 5, 6, 7):
         assert not got[i].keep
 
 

@@ -71,20 +71,20 @@ def _merge_word(symbols: Tuple[str, ...], left: str,
     return tuple(out)
 
 
-def train_bpe(wc: DataFrame, n_merges: int,
-              max_words: int = 1_000_000) -> List[Merge]:
-    """Learn `n_merges` BPE merges from a (word, count) table.
-
-    Pulls the top `max_words` rows (count desc, word asc — a bounded
-    TakeOrdered, never a full collect) and runs the Sennrich merge
-    loop driver-side. Returns [(left, right, count)] in merge order.
-    """
-    if n_merges < 0:
-        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+def _top_words(wc: DataFrame, max_words: int) -> dict:
+    """The bounded driver-side word table: top `max_words` by
+    (count desc, word asc) — a TakeOrdered, never a full collect —
+    keyed by the word's initial character-symbol tuple."""
     rows = (wc.orderBy(F.col("count").desc(), F.col("word"))
             .limit(max_words).collect())
-    words = {tuple(r["word"]): int(r["count"]) for r in rows
-             if r["word"]}
+    return {tuple(r["word"]): int(r["count"]) for r in rows
+            if r["word"]}
+
+
+def _merge_loop(words: dict, n_merges: int) -> Tuple[List[Merge], dict]:
+    """The Sennrich loop: returns (merges, final symbolization) —
+    callers wanting the trained vocab reuse the loop-exit state
+    instead of re-encoding every word."""
     merges: List[Merge] = []
     for _ in range(n_merges):
         pairs: dict = {}
@@ -101,7 +101,37 @@ def train_bpe(wc: DataFrame, n_merges: int,
              if left in s and right in s else s): c
             for s, c in words.items()
         }
+    return merges, words
+
+
+def train_bpe(wc: DataFrame, n_merges: int,
+              max_words: int = 1_000_000) -> List[Merge]:
+    """Learn `n_merges` BPE merges from a (word, count) table.
+
+    Pulls the top `max_words` rows driver-side (see _top_words) and
+    runs the Sennrich merge loop there. Returns [(left, right, count)]
+    in merge order. Stops early when no pair is left to merge."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    merges, _ = _merge_loop(_top_words(wc, max_words), n_merges)
     return merges
+
+
+def train_bpe_vocab(spark: SparkSession, wc: DataFrame, n_merges: int,
+                    max_words: int = 1_000_000
+                    ) -> Tuple[List[Merge], DataFrame]:
+    """Train AND return the encode table in one pass: (merges, vocab)
+    where vocab = (word, pieces, n_pieces). ONE corpus aggregation and
+    ONE driver collect — the vocab is the merge loop's exit state, so
+    nothing is re-collected or re-encoded (train_bpe + vocab_pieces
+    separately would run the word-count job and the TakeOrdered
+    twice)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    merges, words = _merge_loop(_top_words(wc, max_words), n_merges)
+    data = [("".join(syms), list(syms), len(syms))
+            for syms in words]
+    return merges, _vocab_df(spark, data)
 
 
 def merges_df(spark: SparkSession, merges: Sequence[Merge]) -> DataFrame:
@@ -135,28 +165,31 @@ def apply_merges(word: str, merges: Sequence[Merge]) -> Tuple[str, ...]:
     return syms
 
 
-def vocab_pieces(spark: SparkSession, wc: DataFrame,
-                 merges: Sequence[Merge],
-                 max_words: int = 1_000_000) -> DataFrame:
-    """(word, pieces, n_pieces) for the top `max_words` trained words —
-    the broadcast-side encode table. Driver-side encode of the bounded
-    vocab, shipped back via Arrow."""
+def _vocab_df(spark: SparkSession, data: list) -> DataFrame:
     import pandas as pd
 
-    rows = (wc.orderBy(F.col("count").desc(), F.col("word"))
-            .limit(max_words).collect())
-    data = []
-    for r in rows:
-        if not r["word"]:
-            continue
-        pieces = list(apply_merges(r["word"], merges))
-        data.append((r["word"], pieces, len(pieces)))
     pdf = pd.DataFrame(data, columns=["word", "pieces", "n_pieces"])
     if pdf.empty:
         return spark.createDataFrame(
             [], "word string, pieces array<string>, n_pieces int")
     return spark.createDataFrame(pdf).select(
         "word", "pieces", F.col("n_pieces").cast("int"))
+
+
+def vocab_pieces(spark: SparkSession, wc: DataFrame,
+                 merges: Sequence[Merge],
+                 max_words: int = 1_000_000) -> DataFrame:
+    """(word, pieces, n_pieces) for the top `max_words` words under an
+    EXISTING merge list (e.g. one loaded from a previous training run)
+    — re-encodes each word driver-side. When training and encoding the
+    same corpus, prefer train_bpe_vocab, which reuses the merge loop's
+    exit state instead of collecting and encoding twice."""
+    data = []
+    for syms in _top_words(wc, max_words):
+        word = "".join(syms)
+        pieces = list(apply_merges(word, merges))
+        data.append((word, pieces, len(pieces)))
+    return _vocab_df(spark, data)
 
 
 def encode_with_vocab(docs: DataFrame, vocab: DataFrame,

@@ -47,11 +47,17 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 
 
+# Explicit whitespace class instead of \s: Java regex counts \x0B as
+# whitespace, RE2 (the DuckDB oracle engine) does not — an explicit
+# class keeps the split engine-identical.
+WHITESPACE_RE = "[ \\t\\n\\r\\f]+"
+
+
 def _words(text: Column) -> Column:
     """Whitespace-delimited words (empty strings removed) — the word
     notion both C4 and Gopher count with (NOT the index tokenizer:
     these filters see raw punctuation on purpose)."""
-    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(text, WHITESPACE_RE), lambda w: w != "")
 
 
 def _line_keep(line: Column, min_words: int) -> Column:
