@@ -1185,6 +1185,16 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing accounting: per-doc shard,
+    stream offset, and the training-sequence range it touches
+    (seq_len=32, 8 hash shards). The oracle replays the seeded-hash
+    shard and the per-shard window cumsum exactly."""
+    from xapian_spark.pipeline.curate import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=32, n_shards=8)
+
+
 _N_BPE_MERGES = 8
 
 
@@ -1257,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "dedup_spans": q_dedup_spans,
+        "pack_sequences": q_pack_sequences,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1276,9 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_phrase": q_segment_phrase,
         "neardup_clusters": q_neardup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_exact": q_dedup_exact,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "parser_search": q_parser_search,
@@ -2916,6 +2927,21 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+         (('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))
+          ::BIGINT % 8)::INT AS shard
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_offset,
+       ((sum(n_tokens) OVER w - n_tokens) // 32)::BIGINT AS start_seq,
+       (greatest(sum(n_tokens) OVER w - 1,
+                 sum(n_tokens) OVER w - n_tokens) // 32)::BIGINT
+         AS end_seq
+FROM t
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
 """
     out["bpe_train"] = _bpe_sql(_N_BPE_MERGES, "train")
     out["bpe_encode"] = _bpe_sql(_N_BPE_MERGES, "encode")

@@ -90,3 +90,59 @@ def curation_report(docs: DataFrame, eval_docs: DataFrame | None = None,
                                 id_col, kwargs.get("seed", 42))
     report["after_sample"] = pool.count()
     return report
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_shards: int = 256, seed: int = 0) -> DataFrame:
+    """GPT-style concat-and-chunk packing accounting: documents are
+    concatenated in (shard, doc_id) order into one token stream per
+    shard, and the stream is cut into fixed `seq_len`-token training
+    sequences (documents cross sequence boundaries, as in GPT-2/3
+    pretraining). Returns, per document:
+
+        (doc_id, shard, n_tokens, start_offset, start_seq, end_seq)
+
+    where start_offset is the document's position in its shard's token
+    stream and [start_seq, end_seq] the range of training sequences it
+    touches — everything a loader needs to materialize sequence k of
+    shard s without scanning the rest of the corpus. Tokens are the
+    pipeline's normalized [a-z0-9]+ words; swap in BPE piece counts by
+    packing `encode_with_vocab` output instead.
+
+    Determinism and scale: shard = seeded hash of the doc id (stable
+    across runs and cluster sizes, same idiom as export_shards); the
+    running offset is a per-shard window cumsum — ONE shuffle by
+    shard, and each shard sorts locally by doc_id. Size n_shards so a
+    shard's doc keys fit one task (at fixed n_shards the per-shard
+    sort grows with corpus size; production picks n_shards ~
+    corpus_tokens / 10^9). Zero-token docs get an empty range
+    (end_seq = start_seq - 1 convention is avoided: they report
+    start_seq = end_seq = the sequence at their offset, n_tokens = 0).
+    """
+    from pyspark.sql import Window
+
+    from xapian_spark.pipeline.sampling import _bucket
+    from xapian_spark.pipeline.textstats import tokens_col
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    n_tok = F.size(tokens_col(F.col(text_col))).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (_bucket(F.col(id_col), seed) % n_shards).cast("int")
+        .alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    end = F.sum("n_tokens").over(w)               # inclusive cumsum
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        (end - F.col("n_tokens")).alias("start_offset"),
+        F.floor((end - F.col("n_tokens")) / seq_len).cast("long")
+        .alias("start_seq"),
+        F.floor(F.greatest(end - 1, end - F.col("n_tokens")) / seq_len)
+        .cast("long").alias("end_seq"),
+    )
