@@ -242,3 +242,30 @@ def test_bpe_encode_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_spans_no_python_no_cartesian(spark):
+    """Span dedup is joins + aggregations over md5 windows: no Python
+    workers, no cartesian product, and the gram text itself never
+    shuffles (only 32-hex hashes and int positions cross the wire)."""
+    from xapian_spark.pipeline.dedup import dedup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_spans(docs, n=4))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing is one shuffle keyed by the hash shard feeding a
+    per-shard window cumsum — no global (empty-key) window, which
+    would serialize the corpus through one task."""
+    from xapian_spark.pipeline.curate import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, seq_len=32, n_shards=8))
+    assert "BatchEvalPython" not in plan
+    # the window partitions by shard, never by the empty key
+    assert "Window [" in plan and "partitionspec=[]" not in plan.lower()
