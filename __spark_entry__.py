@@ -1185,6 +1185,38 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_line_stats(spark, sf_dir):
+    """Line-duplication stats (FineWeb/Gopher line-granularity rules).
+    The testdata has no newlines, so both engines derive the SAME line
+    structure first: 3-word chunks, '.'-terminated on even positions
+    (so punct_line_frac is non-trivial), joined by newline."""
+    from xapian_spark.pipeline.heuristics import line_stats
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / 3).cast("int")
+    text2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+                F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")))),
+        "\n")
+    return line_stats(d.select("doc_id", text2.alias("text")))
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (Jaccard-threshold) train/test decontamination: eval set
+    = every 7th doc (same split as the exact-overlap query), exact
+    3-gram-shingle Jaccard via broadcast of the eval side."""
+    from xapian_spark.pipeline.dedup import decontaminate_fuzzy
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate_fuzzy(tr, ev, n=3, threshold=0.1)
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk packing accounting: per-doc shard,
     stream offset, and the training-sequence range it touches
@@ -1268,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "dedup_spans": q_dedup_spans,
         "pack_sequences": q_pack_sequences,
+        "line_stats": q_line_stats,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1285,10 +1319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
         "segment_phrase": q_segment_phrase,
-        "neardup_clusters": q_neardup_clusters,
-        "dedup_jaccard": q_dedup_jaccard,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
         "stratified_sample": q_stratified_sample,
@@ -2927,6 +2961,58 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["line_stats"] = """
+WITH words AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, array_length(ws) + 1)) AS ord
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents)),
+paras AS (
+  SELECT doc_id, (ord - 1) // 3 AS pos,
+         string_agg(w, ' ' ORDER BY ord)
+           || CASE WHEN ((ord - 1) // 3) % 2 = 0
+              THEN '.' ELSE '' END AS para
+  FROM words GROUP BY doc_id, (ord - 1) // 3),
+lines AS (
+  SELECT doc_id, trim(para) AS para FROM paras
+  WHERE trim(para) <> ''),
+tot AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT para) AS nd,
+         sum(length(para)) AS chars,
+         sum(CASE WHEN ends_with(para, '.') OR ends_with(para, '!')
+                  OR ends_with(para, '?') OR ends_with(para, '"')
+             THEN 1 ELSE 0 END) AS punct
+  FROM lines GROUP BY doc_id),
+dc AS (
+  SELECT doc_id, sum(length(para)) AS dchars
+  FROM (SELECT DISTINCT doc_id, para FROM lines) GROUP BY doc_id)
+SELECT t.doc_id, t.n::INT AS n_lines, t.nd::INT AS n_distinct_lines,
+       round((t.n - t.nd)::DOUBLE / greatest(t.n, 1), 6)
+         AS dup_line_frac,
+       round((t.chars - d.dchars)::DOUBLE / greatest(t.chars, 1), 6)
+         AS dup_line_char_frac,
+       round(t.punct::DOUBLE / greatest(t.n, 1), 6) AS punct_line_frac
+FROM tot t JOIN dc d USING (doc_id)
+"""
+    out["decontaminate_fuzzy"] = f"""{_SHINGLES},
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh
+       WHERE doc_id % 7 = 0),
+evsize AS (SELECT eval_doc_id, count(*)::INT AS eval_set_size
+           FROM ev GROUP BY 1),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+inter AS (
+  SELECT t.doc_id, e.eval_doc_id, count(*)::BIGINT AS intersection
+  FROM tr t JOIN ev e USING (shingle) GROUP BY 1, 2)
+SELECT i.doc_id, i.eval_doc_id, i.intersection,
+       round(i.intersection::DOUBLE
+             / (s.set_size + es.eval_set_size - i.intersection), 6)
+         AS jaccard
+FROM inter i
+JOIN ssize s USING (doc_id)
+JOIN evsize es USING (eval_doc_id)
+WHERE round(i.intersection::DOUBLE
+      / (s.set_size + es.eval_set_size - i.intersection), 6) >= 0.1
 """
     out["pack_sequences"] = f"""
 WITH t AS (

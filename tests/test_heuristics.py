@@ -180,3 +180,49 @@ def test_mixture_sample_deterministic_and_skew_corrected(spark):
     kept3 = {r.doc_id for r in
              mixture_sample(df, "lang", seed=7).collect()}
     assert kept3 != kept1
+
+
+# ---------------------------------------------------------- line stats
+
+def test_line_stats_hand_case(spark):
+    from xapian_spark.pipeline.heuristics import line_stats
+
+    text = ("Repeated banner line.\n"
+            "Repeated banner line.\n"
+            "unique middle content\n"
+            "\n"
+            "Repeated banner line.\n"
+            "final line ends well!")
+    row = line_stats(_df(spark, [(1, text)])).collect()[0]
+    assert (row.n_lines, row.n_distinct_lines) == (5, 3)
+    assert row.dup_line_frac == round(2 / 5, 6)
+    # chars: banner=21*3, unique=21, final=21 -> total 105; distinct 63
+    assert row.dup_line_char_frac == round((105 - 63) / 105, 6)
+    assert row.punct_line_frac == round(4 / 5, 6)   # banners + final
+
+
+def test_line_stats_mirror(spark):
+    from xapian_spark.pipeline.heuristics import line_stats
+
+    rows = [(i, "\n".join(f"line {j % (i + 1)} text."
+                          for j in range(6))) for i in range(8)]
+    got = {r.doc_id: r for r in line_stats(_df(spark, rows)).collect()}
+    for i, text in rows:
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        d = list(dict.fromkeys(lines))
+        chars = sum(map(len, lines))
+        dchars = sum(map(len, d))
+        r = got[i]
+        assert (r.n_lines, r.n_distinct_lines) == (len(lines), len(d))
+        assert r.dup_line_frac == round(
+            (len(lines) - len(d)) / max(len(lines), 1), 6)
+        assert r.dup_line_char_frac == round(
+            (chars - dchars) / max(chars, 1), 6)
+
+
+def test_line_stats_empty_doc(spark):
+    from xapian_spark.pipeline.heuristics import line_stats
+
+    row = line_stats(_df(spark, [(1, "")])).collect()[0]
+    assert (row.n_lines, row.dup_line_frac, row.punct_line_frac) \
+        == (0, 0.0, 0.0)

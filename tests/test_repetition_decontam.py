@@ -89,3 +89,33 @@ def test_decontaminate_clean_corpus_empty(spark):
     train = _df(spark, [(1, "one two three four five")])
     ev = _df(spark, [(9, "six seven eight nine ten")])
     assert decontaminate(train, ev, n=4).count() == 0
+
+
+def test_decontaminate_fuzzy_threshold_and_apply(spark):
+    from xapian_spark.pipeline.dedup import (decontaminate_fuzzy,
+                                             decontaminate_fuzzy_apply)
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),   # near-copy of ev
+         (3, "totally different words entirely here now")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+    got = {(r.doc_id, r.eval_doc_id): r.jaccard
+           for r in decontaminate_fuzzy(train, ev, n=3,
+                                        threshold=0.4).collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    # doc 2 shares 3 of its 4 shingles with ev's 4: J = 3/5 = 0.6
+    assert got[(2, 100)] == 0.6
+    assert (3, 100) not in got
+    kept = {r.doc_id for r in
+            decontaminate_fuzzy_apply(train, ev, n=3,
+                                      threshold=0.4).collect()}
+    assert kept == {3}
+    # higher threshold keeps the paraphrase
+    kept2 = {r.doc_id for r in
+             decontaminate_fuzzy_apply(train, ev, n=3,
+                                       threshold=0.9).collect()}
+    assert kept2 == {2, 3}

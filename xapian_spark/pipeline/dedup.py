@@ -443,6 +443,59 @@ def decontaminate_apply(train: DataFrame, eval_docs: DataFrame,
         flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
 
 
+def decontaminate_fuzzy(train: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Fuzzy train/test decontamination (the Dolma/FineWeb-style
+    complement to the exact n-gram rule): flag a training document
+    when its n-gram shingle set's JACCARD similarity with any eval
+    document reaches `threshold` — catching lightly-paraphrased or
+    partially-overlapping eval leaks that share no single long n-gram
+    (the `decontaminate` rule's blind spot; that rule's long-n
+    exactness is in turn what a low-Jaccard single-quote leak needs,
+    so production runs both).
+
+    Returns one row per (train doc, eval doc) pair over threshold:
+    (doc_id, eval_doc_id, intersection, jaccard).
+
+    Scale shape: the eval side is tiny next to a 100 TB train corpus,
+    so its shingles arrive by BROADCAST — exact Jaccard without LSH,
+    with no shuffle of train data: train docs sharing no shingle with
+    any eval doc never leave their scan task, and the groupBy only
+    shuffles matched (train, eval) shingle hits, rare by
+    construction. (For train-vs-train near-dup at scale, where neither
+    side broadcasts, use minhash_dedup_pairs.)"""
+    tr = shingle_df(train, text_col, id_col, n)
+    ev = (shingle_df(eval_docs, text_col, id_col, n)
+          .select(F.col("doc_id").alias("eval_doc_id"),
+                  F.col("set_size").alias("eval_set_size"), "shingle"))
+    inter = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id", "set_size", "eval_set_size")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jac = F.col("intersection").cast("double") / (
+        F.col("set_size") + F.col("eval_set_size")
+        - F.col("intersection"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_doc_id", "intersection", "jaccard")
+    )
+
+
+def decontaminate_fuzzy_apply(train: DataFrame, eval_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              threshold: float = 0.5) -> DataFrame:
+    """The apply step: train corpus minus fuzzily-contaminated docs."""
+    flagged = decontaminate_fuzzy(train, eval_docs, text_col, id_col,
+                                  n, threshold)
+    return train.join(
+        flagged.select(F.col("doc_id").alias(id_col)).distinct(),
+        id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
                          b_col: str = "doc_id_b",
                          max_iter: int = 20) -> DataFrame:

@@ -63,11 +63,8 @@ def _words(text: Column) -> Column:
 def _line_keep(line: Column, min_words: int) -> Column:
     """C4 line predicate: terminal punctuation, >= min_words words, no
     'javascript' mention."""
-    terminal = F.lit(False)
-    for p in TERMINAL_PUNCT:
-        terminal = terminal | line.endswith(p)
     return (
-        terminal
+        _ends_terminal(line)
         & (F.size(_words(line)) >= min_words)
         & ~F.lower(line).contains("javascript")
     )
@@ -268,3 +265,56 @@ def mixture_sample(docs: DataFrame, domain_col: str = "lang",
                 < F.col("rate") * F.lit(float(_M)))
         .drop("n_docs", "min_docs")
     )
+
+
+def line_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document line-duplication and line-shape statistics — the
+    line-granularity repetition rules FineWeb/Gopher filter on
+    (repetition_stats covers the n-gram granularity):
+
+    - n_lines / n_distinct_lines: non-empty trimmed lines and their
+      distinct count;
+    - dup_line_frac: fraction of line occurrences beyond the first of
+      each distinct line (Gopher drops docs > 0.30);
+    - dup_line_char_frac: character mass of those duplicate
+      occurrences over all line characters (Gopher drops > 0.20);
+    - punct_line_frac: fraction of lines ending in terminal
+      punctuation (FineWeb keeps docs >= 0.12).
+
+    Pure narrow higher-order-array expressions: no shuffle, no Python
+    — scan-bound at any corpus size, and replayed exactly by the
+    DuckDB oracle."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    dlines = F.array_distinct(lines)
+    n = F.size(lines)
+    nd = F.size(dlines)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    chars = F.aggregate(lines, F.lit(0).cast("long"),
+                        lambda acc, ln: acc + F.length(ln))
+    dchars = F.aggregate(dlines, F.lit(0).cast("long"),
+                         lambda acc, ln: acc + F.length(ln))
+    punct = F.size(F.filter(lines, lambda ln: _ends_terminal(ln)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_lines"),
+        nd.alias("n_distinct_lines"),
+        F.round((n - nd).cast("double") / safe_n, 6)
+        .alias("dup_line_frac"),
+        F.round((chars - dchars).cast("double")
+                / F.greatest(chars, F.lit(1)), 6)
+        .alias("dup_line_char_frac"),
+        F.round(punct.cast("double") / safe_n, 6)
+        .alias("punct_line_frac"),
+    )
+
+
+def _ends_terminal(line: Column) -> Column:
+    cond = F.lit(False)
+    for p in TERMINAL_PUNCT:
+        cond = cond | line.endswith(p)
+    return cond
