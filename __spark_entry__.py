@@ -1185,6 +1185,24 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering: hard host blocklist (broadcast
+    anti-join on the canonical host) + soft banned-word URL score. A
+    banned path word is injected on doc_id%11; two source hosts are
+    blocklisted. The oracle states the surviving set in closed form."""
+    from xapian_spark.pipeline.urls import url_filter
+
+    pages = _url_pages(spark, sf_dir)
+    pages = pages.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("url"), F.lit("/casino")))
+        .otherwise(F.col("url")))
+    out = url_filter(
+        pages, blocked_hosts=["src0.example.com", "src1.example.com"])
+    return out.select("doc_id", "host", "url_word_hits")
+
+
 def q_line_stats(spark, sf_dir):
     """Line-duplication stats (FineWeb/Gopher line-granularity rules).
     The testdata has no newlines, so both engines derive the SAME line
@@ -1302,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "line_stats": q_line_stats,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "url_filter": q_url_filter,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1318,9 +1337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
-        "segment_phrase": q_segment_phrase,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "segment_phrase": q_segment_phrase,
         "neardup_clusters": q_neardup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
@@ -2961,6 +2980,12 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["url_filter"] = """
+SELECT doc_id, source || '.example.com' AS host,
+       0::BIGINT AS url_word_hits
+FROM documents
+WHERE doc_id % 11 <> 0 AND source NOT IN ('src0', 'src1')
 """
     out["line_stats"] = """
 WITH words AS (

@@ -178,3 +178,34 @@ def test_url_dedup_single_shuffle(spark):
     plan = url_dedup(_pages(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_url_filter_blocklist_and_words(spark):
+    from xapian_spark.pipeline.urls import url_filter
+
+    rows = [
+        (1, "https://good.example.com/article"),
+        (2, "https://bad.example.com/article"),          # blocked host
+        (3, "https://ok.example.com/free-casino-chips"), # banned word
+        (4, "https://ok.example.com/Casino"),            # case-insens
+        (5, "https://www.bad.example.com/x"),            # www-canonical
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = {r.doc_id: r for r in
+            url_filter(df, blocked_hosts=["bad.example.com"]).collect()}
+    assert set(kept) == {1}
+    assert kept[1].host == "good.example.com"
+    assert kept[1].url_word_hits == 0
+
+
+def test_url_filter_soft_threshold_and_df_blocklist(spark):
+    from xapian_spark.pipeline.urls import url_filter
+
+    rows = [(1, "https://a.com/casino"), (2, "https://a.com/clean"),
+            (3, "https://a.com/casino-porn")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    # allow one hit -> doc 1 (1 hit) and 2 (0) stay, 3 (2 hits) drops
+    kept = {r.doc_id for r in url_filter(df, max_word_hits=1).collect()}
+    assert kept == {1, 2}
+    bl = spark.createDataFrame([("a.com",)], ["host"])
+    assert url_filter(df, blocked_hosts=bl).count() == 0

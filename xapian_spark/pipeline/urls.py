@@ -184,3 +184,60 @@ def host_stats(df: DataFrame, url_col: str = "url",
         n_canon.alias("n_canonical"),
         F.avg(F.length(text_col)).alias("avg_text_len"),
     )
+
+
+# Default soft-banned URL substrings for the RefinedWeb-style word
+# filter — a tiny deterministic stand-in for the production list
+# (RefinedWeb §3.1 scores URLs against a weighted vocabulary; plug the
+# real list in via the `banned_words` argument).
+DEFAULT_URL_BANNED_WORDS = ("casino", "porn", "viagra", "webcam",
+                            "xxx")
+
+
+def url_filter(df: DataFrame, blocked_hosts=None, banned_words=None,
+               max_word_hits: int = 0,
+               url_col: str = "url") -> DataFrame:
+    """RefinedWeb-style URL filtering — the cheapest curation stage,
+    run FIRST so later stages never touch blocked pages:
+
+    - hard host blocklist: drop the page when its canonical host is in
+      `blocked_hosts` (adult/fraud/malware domain lists in
+      production);
+    - soft banned-word score: count case-insensitive occurrences of
+      each `banned_words` entry in the full URL; drop when the total
+      exceeds `max_word_hits`.
+
+    Returns the surviving rows with `host` and `url_word_hits`
+    columns. The blocklist arrives by BROADCAST join (production lists
+    are millions of rows — still broadcast-sized); the word scan is a
+    narrow per-row expression. Nothing about the page body is read:
+    with parquet column pruning, this stage scans only the URL column.
+    """
+    if banned_words is None:
+        banned_words = DEFAULT_URL_BANNED_WORDS
+    low = F.lower(F.col(url_col))
+    hits = F.lit(0).cast("long")
+    for w in banned_words:
+        hits = hits + (
+            (F.length(low) - F.length(F.replace(low, F.lit(w.lower()),
+                                                F.lit(""))))
+            / F.lit(len(w))
+        ).cast("long")
+    out = df.withColumn("host", host_expr(url_col)) \
+            .withColumn("url_word_hits", hits)
+    if blocked_hosts is not None:
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(blocked_hosts, _DF):
+            bl = blocked_hosts.select(
+                F.col(blocked_hosts.columns[0]).alias("host"))
+        else:
+            # pandas -> Arrow LocalRelation: a parallelized driver
+            # list would pay defaultParallelism Python-worker tasks
+            # per action (see the tiny-write note in BENCH.md)
+            import pandas as pd
+
+            bl = df.sparkSession.createDataFrame(
+                pd.DataFrame({"host": list(blocked_hosts)}))
+        out = out.join(F.broadcast(bl), "host", "left_anti")
+    return out.filter(F.col("url_word_hits") <= max_word_hits)
