@@ -2866,7 +2866,7 @@ WITH aug AS (
   FROM documents),
 lined AS (
   SELECT doc_id, text,
-         list_transform(string_split(text, chr(10)),
+         list_transform(regexp_split_to_array(text, '\r?\n'),
                         x -> trim(x)) AS ls
   FROM aug),
 kept AS (
@@ -2905,7 +2905,8 @@ feat AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
                      w -> w <> '') AS words,
-         list_filter(list_transform(string_split(text, chr(10)),
+         list_filter(list_transform(regexp_split_to_array(text,
+                                                          '\r?\n'),
                                     x -> trim(x)),
                      x -> x <> '') AS lines
   FROM aug),
@@ -3052,7 +3053,8 @@ SELECT doc_id, shard, n_tokens,
                  sum(n_tokens) OVER w - n_tokens) // 32)::BIGINT
          AS end_seq
 FROM t
-WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
     out["bpe_train"] = _bpe_sql(_N_BPE_MERGES, "train")
     out["bpe_encode"] = _bpe_sql(_N_BPE_MERGES, "encode")

@@ -226,3 +226,33 @@ def test_line_stats_empty_doc(spark):
     row = line_stats(_df(spark, [(1, "")])).collect()[0]
     assert (row.n_lines, row.dup_line_frac, row.punct_line_frac) \
         == (0, 0.0, 0.0)
+
+
+# ------------------------------------------------------- review fixes
+
+def test_c4_and_line_stats_handle_crlf(spark):
+    from xapian_spark.pipeline.heuristics import line_stats
+
+    text = ("This is a good crlf sentence.\r\n"
+            "Another good crlf sentence here!\r\n"
+            "And a third good line.")
+    out = c4_clean(_df(spark, [(1, text)]), min_lines=3).collect()[0]
+    assert out.n_kept_lines == 3 and out.keep
+    ls = line_stats(_df(spark, [(1, text)])).collect()[0]
+    assert ls.punct_line_frac == 1.0
+
+
+def test_gopher_crlf_ellipsis(spark):
+    text = "see more...\r\n" * 5 + GOOD
+    row = gopher_quality(_df(spark, [(1, text)])).collect()[0]
+    assert not row.ok_ellipsis      # 5 of 6 lines end in ...
+
+
+def test_mixture_null_domains_dropped_not_counted(spark):
+    rows = [(i, "en") for i in range(40)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {r.domain: r.rate for r in
+             mixture_rates(df, "lang").collect()}
+    assert rates == {"en": 1.0}     # NULL never wins the min
+    kept = mixture_sample(df, "lang").collect()
+    assert {r.doc_id for r in kept} == set(range(40))

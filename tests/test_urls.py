@@ -209,3 +209,11 @@ def test_url_filter_soft_threshold_and_df_blocklist(spark):
     assert kept == {1, 2}
     bl = spark.createDataFrame([("a.com",)], ["host"])
     assert url_filter(df, blocked_hosts=bl).count() == 0
+
+
+def test_url_filter_empty_blocklist(spark):
+    from xapian_spark.pipeline.urls import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x")], ["doc_id", "url"])
+    assert url_filter(df, blocked_hosts=[]).count() == 1

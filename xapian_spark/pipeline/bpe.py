@@ -200,9 +200,11 @@ def encode_with_vocab(docs: DataFrame, vocab: DataFrame,
     explodes to tokens and BROADCAST-joins the word->pieces table —
     no corpus shuffle besides the final per-doc sum, no Python in the
     corpus path. Words missing from the vocab (possible when the
-    trainer truncated at max_words) fall back to character count,
-    which is exactly what training would have produced for a word no
-    merge ever touched."""
+    trainer truncated at max_words) fall back to CHARACTER count — an
+    upper bound: exact for words no learned merge touches, an
+    overcount for a truncated-tail word the merges would have
+    compressed (encode such tails exactly by unioning them into the
+    vocab via vocab_pieces first)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("word"),

@@ -136,7 +136,14 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         .alias("shard"),
         n_tok.alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    # ROWS frame, not the default RANGE: RANGE treats order-by ties as
+    # peers, so duplicate doc ids would each absorb the other's tokens
+    # into their own running sum (overlapping offsets). Ids are
+    # expected unique; with ROWS a duplicate still gets a
+    # non-overlapping (if arbitrary-ordered) slot instead of a
+    # corrupted one.
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     end = F.sum("n_tokens").over(w)               # inclusive cumsum
     return base.select(
         "doc_id", "shard", "n_tokens",

@@ -708,11 +708,28 @@ def dedup_spans(docs: DataFrame, text_col: str = "text",
         F.array_sort(F.collect_list("cpos")).alias("_rm"))
     joined = docs.join(rm.withColumnRenamed("doc_id", id_col),
                        id_col, "left")
-    rmp = F.coalesce("_rm", F.array().cast("array<int>"))
-    kept = F.filter(toks, lambda t, i: ~F.array_contains(rmp, i))
-    return joined.select(
+    # kept positions via array_except (hash-based, ~O(n)) rather than
+    # filtering tokens with array_contains (a linear scan per token —
+    # O(n_tokens * n_removed), quadratic on long boilerplate docs);
+    # array_except preserves the left array's order, and element_at on
+    # the MATERIALIZED token array is O(1). The two-step projection
+    # matters: like shingle_df, the token array must be computed once
+    # per row, not re-inlined into every element_at call.
+    pre = joined.select(
         F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.coalesce("_rm", F.array().cast("array<int>")).alias("_rmp"),
+    )
+    tcol = F.col("_toks")
+    all_pos = F.when(
+        F.size(tcol) > 0,
+        F.sequence(F.lit(0), F.size(tcol) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, F.col("_rmp"))
+    kept = F.transform(kept_pos, lambda p: F.element_at(tcol, p + 1))
+    return pre.select(
+        "doc_id",
         F.array_join(kept, " ").alias("text"),
-        F.size(toks).alias("n_tokens"),
-        F.size(rmp).alias("n_removed"),
+        F.size(tcol).alias("n_tokens"),
+        F.size(F.col("_rmp")).alias("n_removed"),
     )

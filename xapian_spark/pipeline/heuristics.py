@@ -52,6 +52,17 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
 # class keeps the split engine-identical.
 WHITESPACE_RE = "[ \\t\\n\\r\\f]+"
 
+# Line splitting accepts CRLF: real web text is heavily \r\n, and a
+# trailing \r would defeat every endswith-based line rule (trim strips
+# only spaces). Same pattern in the DuckDB oracles.
+LINE_SPLIT_RE = "\\r?\\n"
+
+
+def _lines(text: Column) -> Column:
+    """Trimmed lines split on \\n or \\r\\n."""
+    return F.transform(F.split(text, LINE_SPLIT_RE),
+                       lambda ln: F.trim(ln))
+
 
 def _words(text: Column) -> Column:
     """Whitespace-delimited words (empty strings removed) — the word
@@ -90,8 +101,7 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
     oracle-replayable row-for-row). Pure narrow projection: no
     shuffle, no UDF, scales linearly in input bytes.
     """
-    lines = F.transform(F.split(F.col(text_col), "\n"),
-                        lambda ln: F.trim(ln))
+    lines = _lines(F.col(text_col))
     kept = F.filter(lines, lambda ln: _line_keep(ln, min_words_per_line))
     lowered = F.lower(F.col(text_col))
     doc_keep = (
@@ -149,10 +159,7 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         (_count_occurrences(text, "#")
          + _count_occurrences(text, "...")).cast("double") / safe_n
     )
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
-        lambda ln: ln != "",
-    )
+    lines = F.filter(_lines(text), lambda ln: ln != "")
     safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(
@@ -220,8 +227,12 @@ def mixture_rates(docs: DataFrame, domain_col: str = "lang",
     bit-for-bit (pow is only ~1-ulp-accurate and could disagree)."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
-    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).alias("n_docs"))
+    # NULL domains are excluded: an inner join in mixture_sample could
+    # never keep them anyway, and letting a NULL group win the min
+    # would silently deflate every real domain's rate.
+    counts = (docs.filter(F.col(domain_col).isNotNull())
+              .groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
     with_min = counts.withColumn(
         "min_docs", F.min("n_docs").over(_unbounded_window()))
     ratio = F.col("min_docs").cast("double") / F.col("n_docs")
@@ -254,7 +265,10 @@ def mixture_sample(docs: DataFrame, domain_col: str = "lang",
 
     The unbounded min window in mixture_rates runs on the POST-AGG
     frame (|domains| rows in one task) — fine at any corpus scale
-    because the aggregate, not the window, sees the data."""
+    because the aggregate, not the window, sees the data.
+
+    Rows whose domain is NULL are dropped (they have no rate; handle
+    unknown domains upstream, e.g. lang_id's 'und' bucket)."""
     rates = mixture_rates(docs, domain_col, alpha)
     joined = docs.join(
         F.broadcast(rates.withColumnRenamed("domain", domain_col)),
@@ -285,11 +299,7 @@ def line_stats(docs: DataFrame, text_col: str = "text",
     Pure narrow higher-order-array expressions: no shuffle, no Python
     — scan-bound at any corpus size, and replayed exactly by the
     DuckDB oracle."""
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"),
-                    lambda ln: F.trim(ln)),
-        lambda ln: ln != "",
-    )
+    lines = F.filter(_lines(F.col(text_col)), lambda ln: ln != "")
     dlines = F.array_distinct(lines)
     n = F.size(lines)
     nd = F.size(dlines)

@@ -213,16 +213,14 @@ def url_filter(df: DataFrame, blocked_hosts=None, banned_words=None,
     narrow per-row expression. Nothing about the page body is read:
     with parquet column pruning, this stage scans only the URL column.
     """
+    from xapian_spark.pipeline.heuristics import _count_occurrences
+
     if banned_words is None:
         banned_words = DEFAULT_URL_BANNED_WORDS
     low = F.lower(F.col(url_col))
     hits = F.lit(0).cast("long")
     for w in banned_words:
-        hits = hits + (
-            (F.length(low) - F.length(F.replace(low, F.lit(w.lower()),
-                                                F.lit(""))))
-            / F.lit(len(w))
-        ).cast("long")
+        hits = hits + _count_occurrences(low, w.lower())
     out = df.withColumn("host", host_expr(url_col)) \
             .withColumn("url_word_hits", hits)
     if blocked_hosts is not None:
@@ -234,10 +232,14 @@ def url_filter(df: DataFrame, blocked_hosts=None, banned_words=None,
         else:
             # pandas -> Arrow LocalRelation: a parallelized driver
             # list would pay defaultParallelism Python-worker tasks
-            # per action (see the tiny-write note in BENCH.md)
+            # per action (see the tiny-write note in BENCH.md).
+            # Explicit schema: an empty blocklist (present-but-empty
+            # file) must filter nothing, not fail schema inference.
             import pandas as pd
 
             bl = df.sparkSession.createDataFrame(
-                pd.DataFrame({"host": list(blocked_hosts)}))
+                pd.DataFrame({"host": list(blocked_hosts)},
+                             dtype="object"),
+                schema="host string")
         out = out.join(F.broadcast(bl), "host", "left_anti")
     return out.filter(F.col("url_word_hits") <= max_word_hits)
