@@ -1185,6 +1185,15 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM quality score (one order up from unigram toward
+    CCNet's KenLM): per-doc bits per bigram under add-one smoothed
+    self-scored conditionals."""
+    from xapian_spark.pipeline.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_url_filter(spark, sf_dir):
     """RefinedWeb-style URL filtering: hard host blocklist (broadcast
     anti-join on the canonical host) + soft banned-word URL score. A
@@ -1321,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "url_filter": q_url_filter,
+        "bigram_lm": q_bigram_lm,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1336,9 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
-        "segment_manifest": q_segment_manifest,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "segment_manifest": q_segment_manifest,
         "segment_phrase": q_segment_phrase,
         "neardup_clusters": q_neardup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2981,6 +2991,27 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["bigram_lm"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, ls[i] AS w1, ls[i + 1] AS w2
+  FROM (SELECT doc_id, toks AS ls, unnest(range(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 2)),
+m AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS cw FROM m GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vocab FROM m),
+d AS (SELECT doc_id, w1, w2, count(*) AS tf2 FROM bg GROUP BY 1, 2, 3),
+s AS (
+  SELECT d.doc_id, sum(d.tf2) AS nb,
+         sum(d.tf2 * -log2((m.c2 + 1)::DOUBLE
+                           / (ctx.cw + v.vocab)::DOUBLE)) AS bits
+  FROM d JOIN m USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+  GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+       round(coalesce(s.bits / s.nb, 0.0), 6) AS bits_per_bigram
+FROM documents t LEFT JOIN s USING (doc_id)
 """
     out["url_filter"] = """
 SELECT doc_id, source || '.example.com' AS host,

@@ -73,3 +73,63 @@ def test_weighted_mean_mixed_doc(spark):
     expect = (3 * -math.log2(3 / 4) + 2.0) / 4
     assert r["n_tokens"] == 4
     assert r["bits_per_token"] == pytest.approx(expect, abs=1e-6)
+
+
+# ----------------------------------------------------------- bigram LM
+
+def test_bigram_model_counts(spark):
+    from xapian_spark.pipeline.textstats import bigram_model
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    got = {(r.w1, r.w2): r.c2 for r in bigram_model(docs).collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_bigram_lm_self_scored_hand_computed(spark):
+    import math
+
+    from xapian_spark.pipeline.textstats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"])
+    # model: (a,b):3 (b,a):1 (b,c):1; ctx: a->3, b->2; V=3 (b,a,c)
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    exp1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    exp2 = -(math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert got[1].n_bigrams == 3
+    assert math.isclose(got[1].bits_per_bigram, round(exp1, 6))
+    assert math.isclose(got[2].bits_per_bigram, round(exp2, 6))
+    assert (got[3].n_bigrams, got[3].bits_per_bigram) == (0, 0.0)
+
+
+def test_bigram_lm_external_model_context_oov(spark):
+    from xapian_spark.pipeline.textstats import (bigram_lm_scores,
+                                                 bigram_model)
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    m = bigram_model(train)
+    score = spark.createDataFrame(
+        [(1, "a b z q"), (2, "q r s")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           bigram_lm_scores(score, model=m).collect()}
+    # doc 1: bigrams (a,b) ctx known, (b,z) ctx b known smoothed,
+    # (z,q) ctx z OOV -> excluded; n_bigrams counts the scored ones
+    assert got[1].n_bigrams == 2
+    # doc 2: every context OOV -> zero-filled
+    assert (got[2].n_bigrams, got[2].bits_per_bigram) == (0, 0.0)
+
+
+def test_bigram_word_salad_scores_higher(spark):
+    from xapian_spark.pipeline.textstats import bigram_lm_scores
+
+    fluent = "the cat sat on the mat " * 10
+    salad = "mat the on cat the sat on mat cat sat the on"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, salad)], ["doc_id", "text"])
+    got = {r.doc_id: r.bits_per_bigram for r in
+           bigram_lm_scores(docs).collect()}
+    assert got[2] > got[1]

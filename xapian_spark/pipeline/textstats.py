@@ -320,6 +320,92 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
         ("n_tokens", 0, "long"), ("bits_per_token", 0.0, None)])
 
 
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram frequency table (w1, w2, c2) — the training pass
+    of the bigram LM filter (train once on a reference corpus,
+    persist, score any corpus against it — the CCNet deployment
+    shape)."""
+    toks = tokens_col(F.col(text_col))
+    base = _spread(docs).select(toks.alias("_toks"))
+    ln = F.size(F.col("_toks")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(ln, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(ln, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     model: DataFrame | None = None) -> DataFrame:
+    """Bigram language-model quality signal — one order up from
+    unigram_lm_scores toward CCNet's KenLM 5-gram (Wenzek et al. 2019
+    §4.3): per-document mean negative log2-probability over its bigram
+    occurrences under add-one (Laplace) smoothed conditionals
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,*) + V)
+
+    where c(w1,*) is the count of bigram occurrences starting with w1
+    and V the model's distinct-second-word vocabulary. Captures local
+    fluency the unigram signal cannot (word-salad with common words
+    scores high here, low there).
+
+    Returns (doc_id, n_bigrams, bits_per_bigram); docs with fewer than
+    2 tokens get 0 / 0.0. `model` is a (w1, w2, c2) frame from
+    bigram_model(); None self-scores. Under an external model, bigrams
+    whose CONTEXT w1 is absent are excluded (like unigram OOV); a
+    known context with an unseen continuation is smoothed, not
+    excluded.
+
+    Scale shape mirrors unigram_lm_scores: train pass (one
+    bigram-keyed groupBy), score pass ((doc_id, w1, w2) pre-agg →
+    model join). The context table and 1-row vocab total derive from
+    the model, not the corpus; joins key on (w1, w2)/(w1) with exactly
+    one model row per key, so skew is document-side head bigrams only
+    (AQE splits them)."""
+    spread = _spread(docs)
+    m = model if model is not None else bigram_model(spread, text_col)
+    ctx = m.groupBy("w1").agg(F.sum("c2").alias("cw"))
+    vocab = m.agg(F.countDistinct("w2").cast("long").alias("vocab"))
+
+    toks = tokens_col(F.col(text_col))
+    base = spread.select(F.col(id_col).alias("doc_id"),
+                         toks.alias("_toks"))
+    ln = F.size(F.col("_toks")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(ln, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(ln, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    d = (base.select("doc_id", F.explode(pairs).alias("p"))
+         .groupBy("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2"))
+         .agg(F.count(F.lit(1)).alias("tf2")))
+    scored = (
+        d.join(ctx, "w1")
+        .join(m, ["w1", "w2"], "left")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf2").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf2") * -F.log2(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("cw") + F.col("vocab")).cast("double")))
+                / F.sum("tf2"), 6).alias("bits_per_bigram"),
+        )
+    )
+    return _zero_fill(docs, id_col, scored, [
+        ("n_bigrams", 0, "long"), ("bits_per_bigram", 0.0, None)])
+
+
 def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Cross-document repeated-span statistics — the signal behind
