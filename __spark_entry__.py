@@ -1185,6 +1185,14 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 trigrams with doc reach (boilerplate
+    discovery). Deterministic (count desc, gram asc) order."""
+    from xapian_spark.pipeline.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=20)
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram LM quality score (one order up from unigram toward
     CCNet's KenLM): per-doc bits per bigram under add-one smoothed
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "url_filter": q_url_filter,
         "bigram_lm": q_bigram_lm,
+        "top_ngrams": q_top_ngrams,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1345,9 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering/spelling), then the remaining distinct operators
         "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
-        "streaming_commit": q_streaming_commit,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
         "segment_phrase": q_segment_phrase,
         "neardup_clusters": q_neardup_clusters,
@@ -2991,6 +3000,19 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["top_ngrams"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i + 2], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM toks WHERE len(toks) >= 3)),
+agg AS (
+  SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS nd
+  FROM g GROUP BY gram)
+SELECT (row_number() OVER (ORDER BY cnt DESC, gram))::INT AS rank,
+       gram, cnt AS "count", nd::BIGINT AS n_docs
+FROM agg ORDER BY cnt DESC, gram LIMIT 20
 """
     out["bigram_lm"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -133,3 +133,24 @@ def test_bigram_word_salad_scores_higher(spark):
     got = {r.doc_id: r.bits_per_bigram for r in
            bigram_lm_scores(docs).collect()}
     assert got[2] > got[1]
+
+
+# ---------------------------------------------------------- top_ngrams
+
+def test_top_ngrams_order_and_reach(spark):
+    import pytest
+
+    from xapian_spark.pipeline.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c x y"), (3, "x y z")],
+        ["doc_id", "text"])
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    assert [(r["rank"], r.gram, r["count"], r.n_docs)
+            for r in rows] == [
+        (1, "a b", 3, 2),      # 2 in doc1 + 1 in doc2
+        (2, "b c", 3, 2),      # count tie with 'a b' -> gram asc
+        (3, "x y", 2, 2),
+    ]
+    with pytest.raises(ValueError):
+        top_ngrams(docs, n=0)

@@ -320,6 +320,43 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
         ("n_tokens", 0, "long"), ("bits_per_token", 0.0, None)])
 
 
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """The corpus's k most frequent word n-grams with document reach —
+    the boilerplate-discovery / blocklist-seeding primitive (the
+    n-grams topping this list at web scale are cookie banners and nav
+    chrome; feed them to line or span filters). Deterministic order:
+    count desc, then gram asc on ties.
+
+    Returns (rank, gram, count, n_docs). One (doc_id, gram) pre-
+    aggregation (map-side combine collapses within-doc repeats), one
+    gram-keyed groupBy with algebraic count/sum, then a TakeOrdered
+    top-k — no global sort, nothing driver-side beyond k rows."""
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+    grams = (
+        _spread(docs)
+        .select(F.col("doc_id"),
+                F.explode(_all_ngrams(tokens_col(F.col(text_col)), n))
+                .alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("gram")
+        .agg(F.sum("c").alias("count"),
+             F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    top = (grams.orderBy(F.col("count").desc(), F.col("gram"))
+           .limit(k))
+    # the rank window runs over at most k rows — not a global sort
+    from pyspark.sql import Window
+
+    return top.select(
+        F.row_number().over(
+            Window.orderBy(F.col("count").desc(), F.col("gram")))
+        .alias("rank"),
+        "gram", "count", "n_docs")
+
+
 def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus bigram frequency table (w1, w2, c2) — the training pass
     of the bigram LM filter (train once on a reference corpus,
