@@ -269,3 +269,23 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert "BatchEvalPython" not in plan
     # the window partitions by shard, never by the empty key
     assert "Window [" in plan and "partitionspec=[]" not in plan.lower()
+
+
+def test_top_ngrams_is_take_ordered(spark):
+    """Top-k n-grams must plan as TakeOrderedAndProject — a global
+    sort of the gram table at web scale would be the bottleneck."""
+    from xapian_spark.pipeline.textstats import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(top_ngrams(docs, n=3, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_no_python(spark):
+    from xapian_spark.pipeline.textstats import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bigram_lm_scores(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
