@@ -16,9 +16,12 @@ Stage order (cheapest-first so each stage touches fewer rows):
                            reads only the url column)        [--url-col]
     2. C4 line cleaning   (rewrites text, drops junk pages)
     3. Gopher quality     (document-shape rules)
-    4. quality gate + exact dedup + decontamination + sample + PII
+    4. exact-substring span removal                           [--span-n]
+       (NOTE: rewrites text as normalized lowercase tokens —
+       see dedup_spans; runs before PII redaction so the
+       redaction markers survive)
+    5. quality gate + exact dedup + decontamination + sample + PII
                           (the curate() chain)
-    5. exact-substring span removal                           [--span-n]
     6. temperature mixture resampling                 [--mixture-domain]
     7. deterministic shard export + packing manifest
 
@@ -49,7 +52,9 @@ def main(argv=None) -> None:
     ap.add_argument("--skip-c4", action="store_true")
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument("--span-n", type=int, default=0,
-                    help="exact-substring span length (0 = off; paper 50)")
+                    help="exact-substring span length (0 = off; paper 50)."
+                         " NOTE: rewrites text as normalized lowercase"
+                         " tokens (dedup_spans contract)")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--mixture-domain", default="",
                     help="column for temperature resampling (off if empty)")
@@ -58,8 +63,20 @@ def main(argv=None) -> None:
     ap.add_argument("--seq-len", type=int, default=0,
                     help="emit a packing manifest at this sequence length")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--stage-stats", action="store_true",
+                    help="count survivors after every stage (persists"
+                         " each stage frame; without it only the input"
+                         " and output are counted — per-stage counts"
+                         " would otherwise re-execute the whole"
+                         " upstream pipeline per stage)")
 
     args = ap.parse_args(argv)
+    if args.n_shards < 1:
+        raise SystemExit(f"--n-shards must be >= 1, got {args.n_shards}")
+    if args.seq_len < 0:
+        raise SystemExit(f"--seq-len must be >= 0, got {args.seq_len}")
+    if args.span_n < 0:
+        raise SystemExit(f"--span-n must be >= 0, got {args.span_n}")
 
     from pyspark.sql import functions as F
     from pyspark.sql import SparkSession
@@ -76,6 +93,20 @@ def main(argv=None) -> None:
     docs = read_table(spark, args.input)
     stats = {"input": docs.count()}
     text_col, id_col = args.text_col, args.id_col
+    prev = [None]
+
+    def checkpoint(frame, stage):
+        """Opt-in per-stage accounting: persist the stage frame so the
+        count does not re-execute the upstream pipeline, then release
+        the previous stage's cache."""
+        if not args.stage_stats:
+            return frame
+        frame = frame.persist()
+        stats[stage] = frame.count()
+        if prev[0] is not None:
+            prev[0].unpersist()
+        prev[0] = frame
+        return frame
 
     if args.url_col:
         blocked = None
@@ -85,7 +116,7 @@ def main(argv=None) -> None:
         docs = url_filter(docs, blocked_hosts=blocked,
                           url_col=args.url_col) \
             .drop("host", "url_word_hits")
-        stats["after_url_filter"] = docs.count()
+        docs = checkpoint(docs, "after_url_filter")
 
     if not args.skip_c4:
         cleaned = c4_clean(docs, text_col, id_col)
@@ -94,26 +125,31 @@ def main(argv=None) -> None:
                       .select(F.col("doc_id").alias(id_col),
                               F.col("clean_text").alias(text_col)),
                       id_col))
-        stats["after_c4"] = docs.count()
+        docs = checkpoint(docs, "after_c4")
 
     if not args.skip_gopher:
         keep = gopher_quality(docs, text_col, id_col).filter("keep") \
             .select(F.col("doc_id").alias(id_col))
         docs = docs.join(keep, id_col)
-        stats["after_gopher"] = docs.count()
+        docs = checkpoint(docs, "after_gopher")
 
-    eval_docs = read_table(spark, args.eval) if args.eval else None
-    docs = curate(docs, eval_docs, text_col=text_col, id_col=id_col,
-                  min_quality=args.min_quality,
-                  sample_fraction=args.sample_fraction, seed=args.seed)
-    stats["after_curate"] = docs.count()
-
+    # span removal BEFORE curate(): dedup_spans rewrites text as its
+    # normalized lowercase tokens (see its docstring), so it must not
+    # run after PII redaction (curate's last stage) — this order keeps
+    # the redaction pass last and its markers intact.
     if args.span_n:
         spans = dedup_spans(docs, text_col, id_col, n=args.span_n)
         docs = (docs.drop(text_col)
                 .join(spans.select(F.col("doc_id").alias(id_col),
                                    F.col("text").alias(text_col)),
                       id_col))
+        docs = checkpoint(docs, "after_span_dedup")
+
+    eval_docs = read_table(spark, args.eval) if args.eval else None
+    docs = curate(docs, eval_docs, text_col=text_col, id_col=id_col,
+                  min_quality=args.min_quality,
+                  sample_fraction=args.sample_fraction, seed=args.seed)
+    docs = checkpoint(docs, "after_curate")
 
     if args.mixture_domain:
         from xapian_spark.pipeline.heuristics import mixture_sample
@@ -121,8 +157,11 @@ def main(argv=None) -> None:
         docs = mixture_sample(docs, domain_col=args.mixture_domain,
                               id_col=id_col, alpha=args.mixture_alpha,
                               seed=args.seed).drop("rate")
-        stats["after_mixture"] = docs.count()
 
+    # one materialization the exported corpus and packing manifest
+    # both reuse (and the authoritative output count)
+    docs = docs.persist()
+    stats["output"] = docs.count()
     export_shards(docs, f"{args.output}/shards", args.n_shards,
                   id_col=id_col, seed=args.seed)
     if args.seq_len:
@@ -130,8 +169,6 @@ def main(argv=None) -> None:
                        n_shards=args.n_shards, seed=args.seed) \
             .write.mode("overwrite") \
             .parquet(f"{args.output}/packing_manifest")
-    stats["output"] = stats.get("after_mixture",
-                                stats["after_curate"])
     print(json.dumps(stats))
     spark.stop()
 

@@ -321,7 +321,8 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
 
 
 def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
     """The corpus's k most frequent word n-grams with document reach —
     the boilerplate-discovery / blocklist-seeding primitive (the
     n-grams topping this list at web scale are cookie banners and nav
@@ -336,7 +337,7 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100,
         raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
     grams = (
         _spread(docs)
-        .select(F.col("doc_id"),
+        .select(F.col(id_col).alias("doc_id"),
                 F.explode(_all_ngrams(tokens_col(F.col(text_col)), n))
                 .alias("gram"))
         .groupBy("doc_id", "gram")
@@ -357,6 +358,19 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100,
         "gram", "count", "n_docs")
 
 
+def _bigram_pairs(toks: Column) -> Column:
+    """Adjacent (w1, w2) struct pairs of a MATERIALIZED token-array
+    column — shared by bigram_model and bigram_lm_scores so the
+    model-building and scoring passes can never diverge (the same
+    single-definition rule as _all_ngrams)."""
+    ln = F.size(toks) - 1
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(ln, F.lit(0))),
+        F.slice(toks, 2, F.greatest(ln, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus bigram frequency table (w1, w2, c2) — the training pass
     of the bigram LM filter (train once on a reference corpus,
@@ -364,14 +378,8 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shape)."""
     toks = tokens_col(F.col(text_col))
     base = _spread(docs).select(toks.alias("_toks"))
-    ln = F.size(F.col("_toks")) - 1
-    pairs = F.zip_with(
-        F.slice(F.col("_toks"), 1, F.greatest(ln, F.lit(0))),
-        F.slice(F.col("_toks"), 2, F.greatest(ln, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     return (
-        base.select(F.explode(pairs).alias("p"))
+        base.select(F.explode(_bigram_pairs(F.col("_toks"))).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -414,13 +422,8 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     toks = tokens_col(F.col(text_col))
     base = spread.select(F.col(id_col).alias("doc_id"),
                          toks.alias("_toks"))
-    ln = F.size(F.col("_toks")) - 1
-    pairs = F.zip_with(
-        F.slice(F.col("_toks"), 1, F.greatest(ln, F.lit(0))),
-        F.slice(F.col("_toks"), 2, F.greatest(ln, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    d = (base.select("doc_id", F.explode(pairs).alias("p"))
+    d = (base.select("doc_id",
+                     F.explode(_bigram_pairs(F.col("_toks"))).alias("p"))
          .groupBy("doc_id", F.col("p.w1").alias("w1"),
                   F.col("p.w2").alias("w2"))
          .agg(F.count(F.lit(1)).alias("tf2")))
