@@ -1185,6 +1185,14 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf-idf; ranking compares
+    the rounded score so both engines order identically."""
+    from xapian_spark.pipeline.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 trigrams with doc reach (boilerplate
     discovery). Deterministic (count desc, gram asc) order."""
@@ -1340,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "bigram_lm": q_bigram_lm,
         "top_ngrams": q_top_ngrams,
+        "tfidf_keywords": q_tfidf_keywords,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1353,9 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) code paths changed this round (delete/compact/build/
         # clustering/spelling), then the remaining distinct operators
         "delete_wand": q_delete_wand,
-        "compact_wand": q_compact_wand,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
         "segment_phrase": q_segment_phrase,
@@ -3000,6 +3009,26 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["tfidf_keywords"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+  GROUP BY 1, 2),
+dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfv.df,
+         round(tf.tf::DOUBLE * ln(n.nd / dfv.df), 6) AS score
+  FROM tf JOIN dfv USING (tok) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) AS rk
+  FROM s)
+SELECT doc_id, rk::INT AS rank, tok, tf::BIGINT AS tf,
+       df::BIGINT AS df, score
+FROM r WHERE rk <= 3
 """
     out["top_ngrams"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -154,3 +154,41 @@ def test_top_ngrams_order_and_reach(spark):
     ]
     with pytest.raises(ValueError):
         top_ngrams(docs, n=0)
+
+
+# ------------------------------------------------------ tfidf keywords
+
+def test_tfidf_keywords_hand_case(spark):
+    import math
+
+    import pytest
+
+    from xapian_spark.pipeline.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry common")], ["doc_id", "text"])
+    got = {}
+    for r in tfidf_keywords(docs, k=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r["rank"], r.tok, r.tf, r.df, r.score))
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[1][0] == (1, "apple", 2, 1, round(2 * math.log(3), 6))
+    assert got[1][1] == (2, "banana", 1, 2, round(math.log(1.5), 6))
+    # doc 3: cherry tf=2 df=2 -> 2*ln(1.5); common df=3 -> score 0
+    assert got[3][0][1] == "cherry"
+    assert got[3][1] == (2, "common", 1, 3, 0.0)
+    with pytest.raises(ValueError):
+        tfidf_keywords(docs, k=0)
+
+
+def test_tfidf_tie_breaks_to_smaller_token(spark):
+    from xapian_spark.pipeline.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "other words")], ["doc_id", "text"])
+    rows = [r for r in tfidf_keywords(docs, k=2).collect()
+            if r.doc_id == 1]
+    assert [r.tok for r in sorted(rows, key=lambda r: r["rank"])] \
+        == ["alpha", "zeta"]

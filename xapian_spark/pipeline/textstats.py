@@ -358,6 +358,45 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100,
         "gram", "count", "n_docs")
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (score = tf * ln(N/df)) — the classic keyword-extraction /
+    document-tagging primitive. Deterministic: ranking compares the
+    6-decimal-ROUNDED score (so the DuckDB oracle ranks identically —
+    raw doubles could differ by an ulp across engines), ties break to
+    the lexicographically smaller term.
+
+    Returns (doc_id, rank, tok, tf, df, score). Scale shape: one
+    (doc, tok) pre-aggregation, one tok-keyed df aggregate joined
+    back (one row per vocab term — skew only from document-side head
+    terms), a 1-row broadcast N, and a per-DOCUMENT rank window
+    (partitioned by the uniform doc key — never a global window)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    spread = _spread(docs)
+    tf = _doc_tf(spread, text_col, id_col)
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = spread.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok"))
+    return (
+        tf.join(df_t, "tok")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf",
+                F.col("df").cast("long").alias("df"), "score")
+    )
+
+
 def _bigram_pairs(toks: Column) -> Column:
     """Adjacent (w1, w2) struct pairs of a MATERIALIZED token-array
     column — shared by bigram_model and bigram_lm_scores so the
