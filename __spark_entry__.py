@@ -1185,6 +1185,16 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: sign-bit cells (raw
+    component signs — engine-exact, unlike projection sums), keep-first
+    within cell at rounded-cosine >= 0.4."""
+    from xapian_spark.pipeline.similarity import semdedup, sign_cells
+
+    emb = _embeddings(spark, sf_dir)
+    return semdedup(emb, threshold=0.4, cells=sign_cells(emb, bits=3))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf-idf; ranking compares
     the rounded score so both engines order identically."""
@@ -1349,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "top_ngrams": q_top_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
+        "semdedup": q_semdedup,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1361,9 +1372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_batch": q_wand_batch,
         # (c) code paths changed this round (delete/compact/build/
         # clustering/spelling), then the remaining distinct operators
-        "delete_wand": q_delete_wand,
         # ---- 50-entry artifact window ends here ----
         # (everything below has a green CORRECTNESS_r02 driver row)
+        "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
@@ -3009,6 +3020,28 @@ SELECT t.doc_id,
        len(t.toks)::INT AS n_tokens,
        coalesce(len(r.rmp), 0)::INT AS n_removed
 FROM toks t LEFT JOIN rm r USING (doc_id)
+"""
+    out["semdedup"] = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END))::INT
+           AS cell
+  FROM embeddings),
+d AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(
+    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+              for i in range(1, len(a.embedding) + 1)])
+    / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                      for i in range(1, len(a.embedding) + 1)]))
+       * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                        for i in range(1, len(b.embedding) + 1)]))),
+    6) >= 0.4)
+SELECT e.vec_id, e.cell, (d.vec_id IS NULL) AS keep
+FROM e LEFT JOIN d ON e.vec_id = d.vec_id
 """
     out["tfidf_keywords"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -149,3 +149,83 @@ def test_ivf_trained_centroids(spark):
         hits += len(ex & ap)
         total += 10
     assert hits / total >= 0.9, hits / total
+
+
+# ------------------------------------------------------------ semdedup
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_sign_cells_exact_bits(spark):
+    from xapian_spark.pipeline.similarity import sign_cells
+
+    rows = [(1, [1.0, -2.0, 3.0]), (2, [-0.5, 0.0, -1.0]),
+            (3, [1.0, 1.0, 1.0])]
+    got = {r.vec_id: r.cell for r in
+           sign_cells(_emb_df(spark, rows), bits=3).collect()}
+    # bit i set iff component i >= 0 (0.0 counts as >= 0)
+    assert got == {1: 0b101, 2: 0b010, 3: 0b111}
+
+
+def test_semdedup_keep_first_within_cell(spark):
+    from xapian_spark.pipeline.similarity import semdedup, sign_cells
+
+    rows = [
+        (1, [1.0, 2.0, 0.5]),
+        (2, [2.0, 4.0, 1.0]),       # parallel to 1 (cos=1), same cell
+        (3, [1.0, 2.0, -0.5]),      # different sign cell -> kept
+        (4, [-1.0, -2.0, -0.5]),    # alone in its cell
+    ]
+    df = _emb_df(spark, rows)
+    got = {r.vec_id: (r.cell, r.keep) for r in
+           semdedup(df, threshold=0.95,
+                    cells=sign_cells(df, bits=3)).collect()}
+    assert got[1][1] and not got[2][1]     # first kept, dup dropped
+    assert got[3][1] and got[4][1]
+    assert got[1][0] == got[2][0] != got[3][0]
+
+
+def test_semdedup_threshold_and_custom_cells(spark):
+    from xapian_spark.pipeline.similarity import semdedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = _emb_df(spark, rows)
+    one_cell = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "vec_id long, cell int")
+    strict = {r.vec_id: r.keep for r in
+              semdedup(df, 0.999, cells=one_cell).collect()}
+    assert strict == {1: True, 2: True, 3: True}
+    loose = {r.vec_id: r.keep for r in
+             semdedup(df, 0.9, cells=one_cell).collect()}
+    assert loose == {1: True, 2: False, 3: True}
+
+
+def test_semdedup_mirror_brute_force(spark):
+    import math
+
+    from xapian_spark.pipeline.similarity import semdedup, sign_cells
+
+    rows = [(i, [math.cos(i * 0.37), math.sin(i * 0.37),
+                 (i % 5 - 2) / 3.0]) for i in range(30)]
+    rows = [(i, [float(x) for x in v]) for i, v in rows]
+    df = _emb_df(spark, rows)
+    got = {r.vec_id: r.keep for r in
+           semdedup(df, 0.97, cells=sign_cells(df, bits=3)).collect()}
+
+    import numpy as np
+    vecs = {i: np.array(v, dtype=np.float32) for i, v in rows}
+    cell = {i: sum(1 << b for b in range(3) if vecs[i][b] >= 0)
+            for i in vecs}
+    want = {}
+    for i in sorted(vecs):
+        dup = any(
+            j < i and cell[j] == cell[i]
+            and round(float(np.dot(vecs[i].astype(np.float64),
+                                   vecs[j].astype(np.float64))
+                      / (np.linalg.norm(vecs[i].astype(np.float64))
+                         * np.linalg.norm(vecs[j].astype(np.float64)))),
+                      6) >= 0.97
+            for j in vecs)
+        want[i] = not dup
+    assert got == want

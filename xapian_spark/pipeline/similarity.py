@@ -275,3 +275,64 @@ def ivf_topk(embeddings: DataFrame, query_vec: Sequence[float],
         probe_ids, embeddings[id_col] == probe_ids["vec_id"],
         "left_semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def sign_cells(embeddings: DataFrame, bits: int = 8,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell) from the RAW sign bits of the first `bits`
+    embedding components. No arithmetic touches the floats, so the
+    assignment is bit-identical in every engine (a projection/dot
+    SUM's sign can differ by an ulp across engines — the reason
+    embed_neardup_lsh is rows-only); this is the oracle-exact cell
+    function for semdedup. 2^bits cells."""
+    if not 1 <= bits <= 30:
+        raise ValueError(f"bits must be in [1,30], got {bits}")
+    cell = F.lit(0)
+    for i in range(bits):
+        cell = cell + F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0,
+            F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), cell.cast("int").alias("cell"))
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95,
+             cells: DataFrame = None, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, and within each cluster keep only one
+    representative of every semantic-duplicate group — here the
+    deterministic keep-first rule: drop a vector iff some
+    cluster-mate with a LOWER id has cosine >= threshold with it
+    (compared on the 6-decimal-rounded cosine, the engine-stable
+    form). Returns (vec_id, cell, keep) for every input row.
+
+    `cells` is any (vec_id, cell) assignment: ivf_assign over trained
+    k-means centroids is the paper's production path (cells stay
+    small, so the within-cell pairwise compare is cheap); sign_cells
+    is the engine-exact default used by the driver oracle. Pairwise
+    work is sum over cells of |cell|^2 — the whole point of the
+    clustering is bounding that; pick n_cells/bits so cells fit a
+    task. The pair join shuffles only (id, vector) keyed by cell —
+    one row each side per vector."""
+    if cells is None:
+        cells = sign_cells(embeddings, 8, vec_col, id_col)
+    e = (embeddings.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("_v"))
+         .join(cells, "vec_id"))
+    a = e.select(F.col("vec_id").alias("a_id"),
+                 F.col("_v").alias("va"), "cell")
+    b = e.select(F.col("vec_id").alias("b_id"),
+                 F.col("_v").alias("vb"), "cell")
+    cos = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+    dups = (a.join(b, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(cos >= threshold)
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+            .withColumn("_dup", F.lit(True)))
+    return (cells.join(dups, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("_dup").isNull().alias("keep")))
