@@ -229,3 +229,28 @@ def test_semdedup_mirror_brute_force(spark):
             for j in vecs)
         want[i] = not dup
     assert got == want
+
+
+def test_semdedup_replicated_and_missing_cells(spark):
+    from xapian_spark.pipeline.similarity import semdedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [0.0, 1.0])]
+    df = _emb_df(spark, rows)
+    # vec 1 replicated into cells 0 and 1; vec 2 only in cell 1 (still
+    # meets vec 1 there); vec 3 absent from the assignment entirely
+    cells = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 1)], "vec_id long, cell int")
+    got = {r.vec_id: (r.cell, r.keep) for r in
+           semdedup(df, 0.9, cells=cells).collect()}
+    assert len(got) == 3                      # one row per input row
+    assert got[1] == (0, True)                # min cell reported
+    assert got[2] == (1, False)               # caught in the shared cell
+    assert got[3] == (None, True)             # unassigned -> survives
+
+
+def test_sign_cells_short_vector_zero_bits(spark):
+    from xapian_spark.pipeline.similarity import sign_cells
+
+    df = _emb_df(spark, [(1, [1.0, 1.0])])
+    got = sign_cells(df, bits=4).collect()[0]
+    assert got.cell == 0b0011                 # missing dims -> 0 bits

@@ -290,9 +290,13 @@ def sign_cells(embeddings: DataFrame, bits: int = 8,
         raise ValueError(f"bits must be in [1,30], got {bits}")
     cell = F.lit(0)
     for i in range(bits):
-        cell = cell + F.when(
-            F.element_at(F.col(vec_col), i + 1) >= 0,
-            F.lit(1 << i)).otherwise(F.lit(0))
+        # vectors shorter than `bits` get 0 for the missing bits — an
+        # explicit contract (and ANSI-mode-safe: element_at past the
+        # end would throw under spark.sql.ansi.enabled)
+        comp = F.when(F.size(F.col(vec_col)) > i,
+                      F.element_at(F.col(vec_col), i + 1)) \
+            .otherwise(F.lit(-1.0))
+        cell = cell + F.when(comp >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return embeddings.select(
         F.col(id_col).alias("vec_id"), cell.cast("int").alias("cell"))
 
@@ -312,11 +316,15 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     `cells` is any (vec_id, cell) assignment: ivf_assign over trained
     k-means centroids is the paper's production path (cells stay
     small, so the within-cell pairwise compare is cheap); sign_cells
-    is the engine-exact default used by the driver oracle. Pairwise
-    work is sum over cells of |cell|^2 — the whole point of the
-    clustering is bounding that; pick n_cells/bits so cells fit a
+    is the engine-exact default used by the driver oracle. A vector
+    assigned to SEVERAL cells (ivf_assign replicas > 1) is compared
+    in every one of them but still yields exactly ONE output row
+    (reported cell = its smallest); a vector missing from `cells`
+    entirely is compared nowhere and comes back (vec_id, NULL, true).
+    Pairwise work is sum over cells of |cell|^2 — the whole point of
+    the clustering is bounding that; pick n_cells/bits so cells fit a
     task. The pair join shuffles only (id, vector) keyed by cell —
-    one row each side per vector."""
+    one row each side per (vector, cell) assignment."""
     if cells is None:
         cells = sign_cells(embeddings, 8, vec_col, id_col)
     e = (embeddings.select(F.col(id_col).alias("vec_id"),
@@ -333,6 +341,12 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
             .withColumn("_dup", F.lit(True)))
-    return (cells.join(dups, "vec_id", "left")
+    # exactly one output row per INPUT embedding row, whatever shape
+    # `cells` has (replicated assignments collapse to min cell;
+    # unassigned vectors keep NULL cell and survive)
+    cell_of = cells.groupBy("vec_id").agg(F.min("cell").alias("cell"))
+    return (embeddings.select(F.col(id_col).alias("vec_id"))
+            .join(cell_of, "vec_id", "left")
+            .join(dups, "vec_id", "left")
             .select("vec_id", "cell",
                     F.col("_dup").isNull().alias("keep")))
