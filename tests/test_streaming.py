@@ -168,3 +168,28 @@ def test_streaming_dedup_batch_oracle(spark):
          streaming_dedup_first(docs).collect()}
     b = {r["doc_id"] for r in deduplicate_exact(docs).collect()}
     assert a == b
+
+
+def test_streaming_curation_filter(spark, tmp_path):
+    """The narrow curation filters run unchanged as a Structured
+    Streaming job: C4 line cleaning + the Column-form Gopher rule over
+    a file-source stream, batch-equivalent output."""
+    from xapian_spark.streaming.stats import streaming_curation_filter
+
+    src = str(tmp_path / "in")
+    good = ("The first fine sentence of the page ends here and that "
+            "is that with more of the words we have to offer today.\n"
+            "Another full sentence with the same easy shape of words "
+            "and that extra bit to clear the bar!")
+    rows = [(1, good), (2, "no terminal punctuation at all"),
+            (3, "Short.")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    q = streaming_curation_filter(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        schema="doc_id long, text string")
+    q.awaitTermination(120)
+    out = {r.doc_id: r.text for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {1}
+    assert "\n" in out[1]          # cleaned text, both lines kept

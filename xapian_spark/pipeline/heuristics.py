@@ -129,6 +129,57 @@ def _count_occurrences(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
+def _gopher_metrics(text: Column) -> dict:
+    """The Gopher A1.1 metric expressions over a text column — ONE
+    definition shared by gopher_quality (reports metrics + flags) and
+    gopher_keep_col (just the conjunction), so the rule formulas
+    cannot diverge."""
+    words = _words(text)
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.filter(_lines(text), lambda ln: ln != "")
+    safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return {
+        "n_words": n_words,
+        "mean_len": (
+            F.aggregate(words, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w)).cast("double")
+            / safe_n),
+        "symbol_ratio": (
+            (_count_occurrences(text, "#")
+             + _count_occurrences(text, "...")).cast("double") / safe_n),
+        "bullet_frac": (
+            F.size(F.filter(
+                lines,
+                lambda ln: ln.startswith("-") | ln.startswith("*")
+                | ln.startswith("\u2022"),
+            )).cast("double") / safe_lines),
+        "ellipsis_frac": (
+            F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+            .cast("double") / safe_lines),
+        "alpha_word_frac": (
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            .cast("double") / safe_n),
+        "n_stopwords": F.size(F.array_intersect(
+            F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+            stop_arr)),
+    }
+
+
+def _gopher_rules(m: dict, min_words: int, max_words: int) -> dict:
+    return {
+        "ok_words": (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words),
+        "ok_mean_len": (m["mean_len"] >= 3.0) & (m["mean_len"] <= 10.0),
+        "ok_symbol": m["symbol_ratio"] <= 0.1,
+        "ok_bullet": m["bullet_frac"] <= 0.9,
+        "ok_ellipsis": m["ellipsis_frac"] <= 0.3,
+        "ok_alpha": m["alpha_word_frac"] >= 0.8,
+        "ok_stopwords": m["n_stopwords"] >= 2,
+    }
+
+
 def gopher_quality(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", min_words: int = 50,
                    max_words: int = 100_000) -> DataFrame:
@@ -145,70 +196,49 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
 
     Returns the rounded metrics, one boolean per rule, and the overall
     `keep` conjunction. All built-in expressions — narrow, no shuffle.
+    For just the keep decision as a filterable Column (e.g. on a
+    streaming frame, where joining the metrics frame back would be a
+    stream-stream join), use gopher_keep_col.
     """
     text = F.col(text_col)
-    words = _words(text)
-    n_words = F.size(words)
-    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_len = (
-        F.aggregate(words, F.lit(0).cast("long"),
-                    lambda acc, w: acc + F.length(w)).cast("double")
-        / safe_n
-    )
-    symbol_ratio = (
-        (_count_occurrences(text, "#")
-         + _count_occurrences(text, "...")).cast("double") / safe_n
-    )
-    lines = F.filter(_lines(text), lambda ln: ln != "")
-    safe_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_frac = (
-        F.size(F.filter(
-            lines,
-            lambda ln: ln.startswith("-") | ln.startswith("*")
-            | ln.startswith("•"),
-        )).cast("double") / safe_lines
-    )
-    ellipsis_frac = (
-        F.size(F.filter(lines, lambda ln: ln.endswith("...")))
-        .cast("double") / safe_lines
-    )
-    alpha_word_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-        .cast("double") / safe_n
-    )
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stopwords = F.size(F.array_intersect(
-        F.array_distinct(F.transform(words, lambda w: F.lower(w))),
-        stop_arr,
-    ))
-
-    r_words = (n_words >= min_words) & (n_words <= max_words)
-    r_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
-    r_symbol = symbol_ratio <= 0.1
-    r_bullet = bullet_frac <= 0.9
-    r_ellipsis = ellipsis_frac <= 0.3
-    r_alpha = alpha_word_frac >= 0.8
-    r_stop = n_stopwords >= 2
-
+    m = _gopher_metrics(text)
+    r = _gopher_rules(m, min_words, max_words)
+    keep = r["ok_words"] & r["ok_mean_len"] & r["ok_symbol"] \
+        & r["ok_bullet"] & r["ok_ellipsis"] & r["ok_alpha"] \
+        & r["ok_stopwords"]
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
-        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
-        n_stopwords.alias("n_stopwords"),
-        r_words.alias("ok_words"),
-        r_mean.alias("ok_mean_len"),
-        r_symbol.alias("ok_symbol"),
-        r_bullet.alias("ok_bullet"),
-        r_ellipsis.alias("ok_ellipsis"),
-        r_alpha.alias("ok_alpha"),
-        r_stop.alias("ok_stopwords"),
-        (r_words & r_mean & r_symbol & r_bullet & r_ellipsis & r_alpha
-         & r_stop).alias("keep"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_len"], 6).alias("mean_word_len"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["bullet_frac"], 6).alias("bullet_frac"),
+        F.round(m["ellipsis_frac"], 6).alias("ellipsis_frac"),
+        F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        m["n_stopwords"].alias("n_stopwords"),
+        r["ok_words"].alias("ok_words"),
+        r["ok_mean_len"].alias("ok_mean_len"),
+        r["ok_symbol"].alias("ok_symbol"),
+        r["ok_bullet"].alias("ok_bullet"),
+        r["ok_ellipsis"].alias("ok_ellipsis"),
+        r["ok_alpha"].alias("ok_alpha"),
+        r["ok_stopwords"].alias("ok_stopwords"),
+        keep.alias("keep"),
     )
+
+
+def gopher_keep_col(text: Column, min_words: int = 50,
+                    max_words: int = 100_000) -> Column:
+    """The Gopher `keep` conjunction as a single boolean Column over a
+    text column — the same rules gopher_quality reports (one shared
+    definition, _gopher_metrics/_gopher_rules), composable into any
+    projection/filter including Structured Streaming frames, which
+    cannot join the metrics frame back without a stateful
+    stream-stream join."""
+    r = _gopher_rules(_gopher_metrics(text), min_words, max_words)
+    out = F.lit(True)
+    for c in r.values():
+        out = out & c
+    return out
 
 
 def mixture_rates(docs: DataFrame, domain_col: str = "lang",

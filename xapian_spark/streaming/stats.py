@@ -63,3 +63,41 @@ def run_to_memory(spark, source_dir: str, schema: str, query_name: str,
     )
     q.awaitTermination()
     return q
+
+
+def streaming_curation_filter(spark, source_dir: str, out_dir: str,
+                              checkpoint: str, schema: str,
+                              min_quality_keep: bool = True,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """The narrow curation filters as a Structured Streaming job:
+    C4 line cleaning + Gopher quality over a file-source readStream,
+    writing surviving (cleaned) docs to parquet. Works unchanged on a
+    stream because every expression involved is a stateless per-row
+    projection — the same operators batch pipelines use (dedup and
+    mixture sampling, which need corpus-wide state, belong in the
+    batch layer or streaming/dedup.py's keyed-state path).
+
+    Returns the StreamingQuery (availableNow trigger — drains the
+    backlog and stops; drop the trigger for a continuous run)."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.pipeline.heuristics import c4_clean, gopher_keep_col
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    cleaned = c4_clean(stream, text_col, id_col, min_lines=1)
+    keep = cleaned.filter("keep").select(
+        F.col("doc_id").alias(id_col),
+        F.col("clean_text").alias(text_col))
+    if min_quality_keep:
+        # Column-form Gopher rule: a metrics-frame join back onto the
+        # stream would be a stateful stream-stream join
+        keep = keep.filter(
+            gopher_keep_col(F.col(text_col), min_words=5))
+    return (keep.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
