@@ -170,10 +170,14 @@ def test_streaming_dedup_batch_oracle(spark):
     assert a == b
 
 
-def test_streaming_curation_filter(spark, tmp_path):
+def test_streaming_curation_filter_batch_equivalent(spark, tmp_path):
     """The narrow curation filters run unchanged as a Structured
-    Streaming job: C4 line cleaning + the Column-form Gopher rule over
-    a file-source stream, batch-equivalent output."""
+    Streaming job: the streaming output is compared row-for-row
+    against the SAME operators run in batch with the SAME thresholds
+    (a true equivalence check, like the streaming-dedup oracle)."""
+    from pyspark.sql import functions as F
+
+    from xapian_spark.pipeline.heuristics import c4_clean, gopher_keep_col
     from xapian_spark.streaming.stats import streaming_curation_filter
 
     src = str(tmp_path / "in")
@@ -182,14 +186,18 @@ def test_streaming_curation_filter(spark, tmp_path):
             "Another full sentence with the same easy shape of words "
             "and that extra bit to clear the bar!")
     rows = [(1, good), (2, "no terminal punctuation at all"),
-            (3, "Short.")]
-    spark.createDataFrame(rows, "doc_id long, text string") \
-        .write.parquet(src)
+            (3, "Short."), (4, good.replace("sentence", "phrase"))]
+    batch_in = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_in.write.parquet(src)
     q = streaming_curation_filter(
         spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
-        schema="doc_id long, text string")
-    q.awaitTermination(120)
-    out = {r.doc_id: r.text for r in
+        schema="doc_id long, text string", min_words=20, min_lines=2)
+    assert q.awaitTermination(300), "stream did not drain in time"
+    got = {(r.doc_id, r.text) for r in
            spark.read.parquet(str(tmp_path / "out")).collect()}
-    assert set(out) == {1}
-    assert "\n" in out[1]          # cleaned text, both lines kept
+
+    batch = (c4_clean(batch_in, min_lines=2).filter("keep")
+             .select("doc_id", F.col("clean_text").alias("text"))
+             .filter(gopher_keep_col(F.col("text"), min_words=20)))
+    want = {(r.doc_id, r.text) for r in batch.collect()}
+    assert got == want and {d for d, _ in got} == {1, 4}

@@ -203,9 +203,10 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     m = _gopher_metrics(text)
     r = _gopher_rules(m, min_words, max_words)
-    keep = r["ok_words"] & r["ok_mean_len"] & r["ok_symbol"] \
-        & r["ok_bullet"] & r["ok_ellipsis"] & r["ok_alpha"] \
-        & r["ok_stopwords"]
+    keep = F.lit(True)
+    for c in r.values():        # fold, like gopher_keep_col — a new
+        keep = keep & c         # rule tightens both paths at once
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
         m["n_words"].alias("n_words"),

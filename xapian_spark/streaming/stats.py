@@ -68,24 +68,25 @@ def run_to_memory(spark, source_dir: str, schema: str, query_name: str,
 def streaming_curation_filter(spark, source_dir: str, out_dir: str,
                               checkpoint: str, schema: str,
                               min_quality_keep: bool = True,
+                              min_words: int = 50, min_lines: int = 3,
                               text_col: str = "text",
-                              id_col: str = "doc_id"):
+                              id_col: str = "doc_id",
+                              available_now: bool = True):
     """The narrow curation filters as a Structured Streaming job:
     C4 line cleaning + Gopher quality over a file-source readStream,
     writing surviving (cleaned) docs to parquet. Works unchanged on a
     stream because every expression involved is a stateless per-row
-    projection — the same operators batch pipelines use (dedup and
-    mixture sampling, which need corpus-wide state, belong in the
-    batch layer or streaming/dedup.py's keyed-state path).
+    projection — the same operators, with the SAME default thresholds,
+    as the batch pipeline (dedup and mixture sampling, which need
+    corpus-wide state, belong in the batch layer or
+    streaming/dedup.py's keyed-state path).
 
-    Returns the StreamingQuery (availableNow trigger — drains the
-    backlog and stops; drop the trigger for a continuous run)."""
-    from pyspark.sql import functions as F
-
+    Returns the StreamingQuery: available_now=True (default) drains
+    the backlog and stops; False runs continuously."""
     from xapian_spark.pipeline.heuristics import c4_clean, gopher_keep_col
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    cleaned = c4_clean(stream, text_col, id_col, min_lines=1)
+    cleaned = c4_clean(stream, text_col, id_col, min_lines=min_lines)
     keep = cleaned.filter("keep").select(
         F.col("doc_id").alias(id_col),
         F.col("clean_text").alias(text_col))
@@ -93,11 +94,12 @@ def streaming_curation_filter(spark, source_dir: str, out_dir: str,
         # Column-form Gopher rule: a metrics-frame join back onto the
         # stream would be a stateful stream-stream join
         keep = keep.filter(
-            gopher_keep_col(F.col(text_col), min_words=5))
-    return (keep.writeStream
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start())
+            gopher_keep_col(F.col(text_col), min_words=min_words))
+    writer = (keep.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
