@@ -193,6 +193,16 @@ def main() -> None:
     mixture_sample(docs, domain_col="lang").count()
     timings["curation_heuristics"] = time.perf_counter() - t0
 
+    from xapian_spark.pipeline.textstats import (bigram_lm_scores,
+                                                 tfidf_keywords,
+                                                 top_ngrams)
+
+    t0 = time.perf_counter()
+    bigram_lm_scores(docs).count()
+    tfidf_keywords(docs, k=3).count()
+    top_ngrams(docs, n=3, k=50).count()
+    timings["corpus_analytics"] = time.perf_counter() - t0
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.orderBy("vec_id").head()["embedding"]
     t0 = time.perf_counter()
