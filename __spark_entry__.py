@@ -1185,6 +1185,15 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=4)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity partition at tercile
+    fractions; exact rank-based thresholds (selection, never
+    interpolation — engine-replayable)."""
+    from xapian_spark.pipeline.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup over the embeddings table: sign-bit cells (raw
     component signs — engine-exact, unlike projection sums), keep-first
@@ -1363,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
         "semdedup": q_semdedup,
+        "ccnet_buckets": q_ccnet_buckets,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
@@ -1373,10 +1383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "bm25_batch": q_bm25_batch,
         "wand_batch": q_wand_batch,
-        # (c) code paths changed this round (delete/compact/build/
-        # clustering/spelling), then the remaining distinct operators
         # ---- 50-entry artifact window ends here ----
-        # (everything below has a green CORRECTNESS_r02 driver row)
+        # (c) code paths changed this round (delete/compact/build/
+        # clustering/spelling) — green r02 rows + local sweep coverage;
+        # then the remaining distinct operators
         "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
@@ -2693,6 +2703,36 @@ SELECT d.doc_id,
        coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
        round(coalesce(sc.bpt, 0.0), 6) AS bits_per_token
 FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+    out["ccnet_buckets"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tfa AS (SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        GROUP BY 1, 2),
+freq AS (SELECT tok, sum(tf) AS cf FROM tfa GROUP BY 1),
+tot AS (SELECT sum(cf) AS total FROM freq),
+sc0 AS (SELECT doc_id, sum(tf) AS n_tokens,
+               sum(tf * -log2(cf::DOUBLE / total)) / sum(tf) AS bpt
+        FROM tfa JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY 1),
+sc AS (SELECT d.doc_id,
+              coalesce(sc0.n_tokens, 0)::BIGINT AS n_tokens,
+              round(coalesce(sc0.bpt, 0.0), 6) AS bits_per_token
+       FROM documents d LEFT JOIN sc0 USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (ORDER BY bits_per_token,
+                                        doc_id) - 1 AS rn,
+                  count(*) OVER () AS n
+           FROM sc),
+th AS (SELECT max(CASE WHEN rn = ((n - 1) // 3) THEN bits_per_token
+              END) AS t1,
+              max(CASE WHEN rn = (2 * (n - 1) // 3)
+                  THEN bits_per_token END) AS t2
+       FROM ranked)
+SELECT r.doc_id, r.n_tokens, r.bits_per_token,
+       CASE WHEN r.bits_per_token <= th.t1 THEN 'head'
+            WHEN r.bits_per_token <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked r CROSS JOIN th
 """
     out["fingerprints"] = """
 SELECT doc_id,

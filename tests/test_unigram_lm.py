@@ -192,3 +192,38 @@ def test_tfidf_tie_breaks_to_smaller_token(spark):
             if r.doc_id == 1]
     assert [r.tok for r in sorted(rows, key=lambda r: r["rank"])] \
         == ["alpha", "zeta"]
+
+
+# --------------------------------------------------------- ccnet split
+
+def test_ccnet_buckets_rank_thresholds(spark):
+    import pytest
+
+    from xapian_spark.pipeline.textstats import ccnet_buckets
+
+    # 6 docs with strictly increasing rarity -> increasing bpt
+    rows = [(1, "a a a a"), (2, "a a a b"), (3, "a a b b"),
+            (4, "a b b c"), (5, "b c d e"), (6, "e f g h")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    # ranks floor(1/3*5)=1, floor(2/3*5)=3 -> thresholds at sorted
+    # positions 1 and 3; <=: docs at ranks 0,1 head; 2,3 middle; rest tail
+    order = [r.doc_id for r in sorted(
+        ccnet_buckets(docs).collect(),
+        key=lambda r: (r.bits_per_token, r.doc_id))]
+    assert [got[d] for d in order] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    with pytest.raises(ValueError):
+        ccnet_buckets(docs, fractions=(0.9, 0.1))
+
+
+def test_ccnet_buckets_explicit_thresholds(spark):
+    from xapian_spark.pipeline.textstats import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "z q w x")], ["doc_id", "text"])
+    # corpus: a:4, z/q/w/x:1 each (total 8) -> doc1 bpt = 1.0,
+    # doc2 bpt = -log2(1/8) = 3.0
+    got = {r.doc_id: r.bucket for r in
+           ccnet_buckets(docs, thresholds=[1.0, 2.5]).collect()}
+    assert got == {1: "head", 2: "tail"}

@@ -485,6 +485,59 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
         ("n_bigrams", 0, "long"), ("bits_per_bigram", 0.0, None)])
 
 
+def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
+                  text_col: str = "text", id_col: str = "doc_id",
+                  model: DataFrame | None = None,
+                  thresholds=None) -> DataFrame:
+    """CCNet's perplexity partition (Wenzek et al. 2019 §4.3): score
+    every document with the LM filter and split the corpus into
+    head / middle / tail at the given quantile fractions — head is the
+    lowest-perplexity (most fluent) slice, the part CCNet keeps for
+    pretraining.
+
+    `thresholds` (two bits_per_token cutoffs) is the production
+    interface: compute them once on a bounded sample (CCNet itself
+    derives them from held-out Wikipedia, approx_percentile works
+    too) and bucketing is a pure broadcast-free CASE filter. When
+    None, EXACT thresholds are derived rank-based — the score of the
+    row at rank floor(f*(n-1)) in (bits_per_token, doc_id) order — a
+    global sort acceptable for corpora that fit a sort (the exactness
+    makes the operator engine-replayable; selection by rank, never
+    interpolation, so no float-arithmetic divergence).
+
+    Returns (doc_id, n_tokens, bits_per_token, bucket)."""
+    if len(fractions) != 2 or not (0 < fractions[0] <= fractions[1] < 1):
+        raise ValueError(f"fractions must be two increasing values in"
+                         f" (0,1), got {fractions}")
+    scores = unigram_lm_scores(docs, text_col, id_col, model)
+    if thresholds is None:
+        from pyspark.sql import Window
+
+        import math
+
+        n = scores.count()
+        # +1e-9 before floor: float 2/3*(n-1) lands just BELOW the
+        # integer when (n-1) divides by 3 (2/3*3 = 1.9999...98), and
+        # the rank must match integer-arithmetic replays (2*(n-1)//3)
+        ranks = [math.floor(f * (n - 1) + 1e-9) for f in fractions]
+        w = Window.orderBy("bits_per_token", "doc_id")
+        rows = (scores.withColumn("_rn", F.row_number().over(w) - 1)
+                .filter(F.col("_rn").isin(list(set(ranks))))
+                .select("_rn", "bits_per_token").collect())
+        by_rank = {r["_rn"]: r["bits_per_token"] for r in rows}
+        thresholds = [by_rank[r] for r in ranks]
+    if len(thresholds) != 2 or thresholds[0] > thresholds[1]:
+        raise ValueError(f"need two ordered thresholds,"
+                         f" got {thresholds}")
+    bucket = (
+        F.when(F.col("bits_per_token") <= thresholds[0], "head")
+        .when(F.col("bits_per_token") <= thresholds[1], "middle")
+        .otherwise("tail")
+    )
+    return scores.select("doc_id", "n_tokens", "bits_per_token",
+                         bucket.alias("bucket"))
+
+
 def cross_doc_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Cross-document repeated-span statistics — the signal behind
