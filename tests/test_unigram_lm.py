@@ -227,3 +227,13 @@ def test_ccnet_buckets_explicit_thresholds(spark):
     got = {r.doc_id: r.bucket for r in
            ccnet_buckets(docs, thresholds=[1.0, 2.5]).collect()}
     assert got == {1: "head", 2: "tail"}
+
+
+def test_ccnet_buckets_empty_corpus(spark):
+    from xapian_spark.pipeline.textstats import ccnet_buckets
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = ccnet_buckets(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "bits_per_token",
+                           "bucket"]

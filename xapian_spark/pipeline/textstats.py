@@ -511,11 +511,20 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
                          f" (0,1), got {fractions}")
     scores = unigram_lm_scores(docs, text_col, id_col, model)
     if thresholds is None:
-        from pyspark.sql import Window
-
         import math
 
+        from pyspark.sql import Window
+
+        # one materialization of the two-shuffle scoring DAG, shared
+        # by the count, the threshold selection, and the returned
+        # frame (persist would pin executor storage for the session;
+        # localCheckpoint cuts lineage and is released with the frame)
+        scores = scores.localCheckpoint(eager=True)
         n = scores.count()
+        if n == 0:
+            return scores.select("doc_id", "n_tokens",
+                                 "bits_per_token",
+                                 F.lit("head").alias("bucket"))
         # +1e-9 before floor: float 2/3*(n-1) lands just BELOW the
         # integer when (n-1) divides by 3 (2/3*3 = 1.9999...98), and
         # the rank must match integer-arithmetic replays (2*(n-1)//3)
