@@ -1533,7 +1533,7 @@ s0 AS (
     if mode == "train":
         union = " UNION ALL ".join(
             f'SELECT {k} AS rank, l AS "left", r AS "right",'
-            f' c AS "count" FROM m{k}'
+            f' c::BIGINT AS "count" FROM m{k}'
             for k in range(1, n_merges + 1))
         return f"{prelude}\nSELECT * FROM ({union}) ORDER BY rank"
     return f"""{prelude},

@@ -43,3 +43,12 @@ def test_convergence_stops_early(spark):
     comp = {r["node"]: r["component"]
             for r in connected_components(pairs, max_iter=50).collect()}
     assert comp == {1: 1, 2: 1, 3: 3, 4: 3}
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    import pytest
+
+    from xapian_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)

@@ -91,3 +91,17 @@ def test_plan_jvm_side_and_algebraic_min(spark):
     # not a window rank — that's the skew-safety property
     assert "partial_min" in plan or "partial min" in plan.lower()
     assert "Window" not in plan
+
+def test_long_boilerplate_doc(spark):
+    """100k-line page: the kept-paragraph rebuild must be linear in
+    kept positions (transform + element_at), not an array_contains
+    scan per paragraph — this case is ~10^10 comparisons quadratic."""
+    n = 100_000
+    # doc 1 owns the boilerplate line; doc 2 is n copies of it with
+    # one unique line buried in the middle
+    big = "\n".join(["spam"] * (n // 2) + ["needle"] + ["spam"] * (n // 2))
+    docs = _df(spark, [(1, "spam"), (2, big)])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text"] == "spam"
+    assert out[2]["text"] == "needle"
+    assert out[2]["n_paras"] == n + 1 and out[2]["n_kept"] == 1

@@ -289,3 +289,29 @@ def test_bigram_lm_no_python(spark):
     plan = _plan(bigram_lm_scores(docs))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ccnet_default_path_has_no_global_window(spark):
+    """ccnet_buckets(thresholds=None) derives EXACT rank thresholds
+    via grid binary search with count-probe aggregates — the plan of
+    the returned frame (and every probe job) must never contain a
+    Window, whose empty partitionspec would pull the whole scored
+    corpus into one task."""
+    from xapian_spark.pipeline.textstats import ccnet_buckets
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_buckets(docs)
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # and the thresholds it picked are the true rank-based ones
+    rows = sorted(out.collect(),
+                  key=lambda r: (r.bits_per_token, r.doc_id))
+    n = len(rows)
+    r1, r2 = (n - 1) // 3, 2 * (n - 1) // 3
+    t1, t2 = rows[r1].bits_per_token, rows[r2].bits_per_token
+    for i, r in enumerate(rows):
+        want = ("head" if r.bits_per_token <= t1
+                else "middle" if r.bits_per_token <= t2 else "tail")
+        assert r.bucket == want, (i, r)

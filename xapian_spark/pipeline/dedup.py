@@ -506,13 +506,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
     minimum label in its closed neighborhood; converges in O(graph
     diameter) rounds (near-dup graphs are shallow — chains longer than
     a handful of hops are vanishingly rare at usual thresholds), with
-    an exact fixpoint test so typical inputs stop after 2-3 rounds.
+    an exact fixpoint test so typical inputs stop after 2-3 rounds
+    (max_iter must be >= 1 — 0 rounds would skip both the propagation
+    AND the non-convergence raise, silently returning every node as
+    its own component).
     Each round materializes via localCheckpoint(eager=True), which
     both caches the round's labels AND truncates the logical plan —
     persist alone keeps the full lineage tree, which doubles per round
     and blows up analysis time/memory past ~6 rounds (the classic
     iterative-algorithm trap at web scale). Labels-only state: shuffle
     volume per round is O(nodes + edges), never all-pairs."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (pairs.select(F.col(a_col).alias("u"),
                           F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
@@ -602,6 +607,12 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     original order.  This removes boilerplate (headers, nav bars,
     cookie banners) that exact whole-doc dedup misses.
 
+    Empty strings between consecutive separators are NOT paragraphs:
+    they are dropped at split time and never reinserted, so blank
+    lines collapse in the rebuilt text ("a\\n\\nb" -> "a\\nb") even
+    when both neighbors survive — the output is the separator-join of
+    surviving non-empty paragraphs, nothing else.
+
     Returns (id_col, text_col, n_paras, n_kept); documents whose every
     paragraph was seen earlier are dropped unless keep_empty_docs, in
     which case they stay with empty text.
@@ -634,15 +645,25 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
                         .alias("_kept_pos")))
     joined = docs.join(kept_by_doc, id_col,
                        "left" if keep_empty_docs else "inner")
-    kept_pos = F.coalesce("_kept_pos",
-                          F.array().cast("array<int>"))
-    kept_paras = F.filter(
-        parr, lambda p, i: F.array_contains(kept_pos, i))
-    return joined.select(
+    # materialize the paragraph array once per row (dedup_spans'
+    # _toks trick), then select kept paragraphs by POSITION — a
+    # transform over the sorted kept-position list is O(n_kept)
+    # element_at lookups, not the O(n_paras * n_kept) of an
+    # array_contains filter over every paragraph (quadratic on a
+    # 100k-line boilerplate page)
+    pre = joined.select(
+        F.col(id_col),
+        parr.alias("_paras"),
+        F.coalesce("_kept_pos", F.array().cast("array<int>"))
+        .alias("_kp"))
+    pcol = F.col("_paras")
+    kept_paras = F.transform(
+        F.col("_kp"), lambda p: F.element_at(pcol, p + 1))
+    return pre.select(
         id_col,
         F.array_join(kept_paras, sep).alias(text_col),
-        F.size(F.filter(parr, lambda p: p != "")).alias("n_paras"),
-        F.size(kept_pos).alias("n_kept"))
+        F.size(F.filter(pcol, lambda p: p != "")).alias("n_paras"),
+        F.size(F.col("_kp")).alias("n_kept"))
 
 
 def dedup_spans(docs: DataFrame, text_col: str = "text",

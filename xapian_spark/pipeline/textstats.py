@@ -500,10 +500,14 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
     derives them from held-out Wikipedia, approx_percentile works
     too) and bucketing is a pure broadcast-free CASE filter. When
     None, EXACT thresholds are derived rank-based — the score of the
-    row at rank floor(f*(n-1)) in (bits_per_token, doc_id) order — a
-    global sort acceptable for corpora that fit a sort (the exactness
-    makes the operator engine-replayable; selection by rank, never
-    interpolation, so no float-arithmetic divergence).
+    row at rank floor(f*(n-1)) in (bits_per_token, doc_id) order —
+    by a DISTRIBUTED selection: bits_per_token is rounded to 6
+    decimals upstream, so the rank-r value is found by binary search
+    over the 1e-6 grid with one full-parallel count-probe aggregate
+    per step (both ranks probed in the same job), O(log(range))
+    passes over the localCheckpointed scores and never a global sort
+    or single-task window. Selection is by rank, never
+    interpolation, so the value is engine-replayable bit-for-bit.
 
     Returns (doc_id, n_tokens, bits_per_token, bucket)."""
     if len(fractions) != 2 or not (0 < fractions[0] <= fractions[1] < 1):
@@ -513,14 +517,16 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
     if thresholds is None:
         import math
 
-        from pyspark.sql import Window
-
         # one materialization of the two-shuffle scoring DAG, shared
-        # by the count, the threshold selection, and the returned
-        # frame (persist would pin executor storage for the session;
+        # by the stats pass, the probe passes, and the returned frame
+        # (persist would pin executor storage for the session;
         # localCheckpoint cuts lineage and is released with the frame)
         scores = scores.localCheckpoint(eager=True)
-        n = scores.count()
+        st = scores.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bits_per_token").alias("lo"),
+            F.max("bits_per_token").alias("hi")).collect()[0]
+        n = st["n"]
         if n == 0:
             return scores.select("doc_id", "n_tokens",
                                  "bits_per_token",
@@ -529,12 +535,33 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
         # integer when (n-1) divides by 3 (2/3*3 = 1.9999...98), and
         # the rank must match integer-arithmetic replays (2*(n-1)//3)
         ranks = [math.floor(f * (n - 1) + 1e-9) for f in fractions]
-        w = Window.orderBy("bits_per_token", "doc_id")
-        rows = (scores.withColumn("_rn", F.row_number().over(w) - 1)
-                .filter(F.col("_rn").isin(list(set(ranks))))
-                .select("_rn", "bits_per_token").collect())
-        by_rank = {r["_rn"]: r["bits_per_token"] for r in rows}
-        thresholds = [by_rank[r] for r in ranks]
+        # The rank-r value (doc_id only tiebreaks EQUAL scores, so it
+        # never changes the selected VALUE) is the smallest present
+        # score s with count(score <= s) >= r+1. Scores live on the
+        # 1e-6 grid (round(x, 6) upstream; k/1e6 in Python is the
+        # same nearest-double, so grid comparisons are exact), so
+        # binary-search integer micro-units. Invariant per rank:
+        # count(<= klo/1e6) < r+1 <= count(<= khi/1e6); at
+        # termination khi is a present score (rows exist in
+        # (klo, khi] and the grid has no point between).
+        k_min = round(st["lo"] * 1e6)
+        k_max = round(st["hi"] * 1e6)
+        brackets = [[k_min - 1, k_max] for _ in ranks]
+        while any(hi - lo > 1 for lo, hi in brackets):
+            mids = [(lo + hi) // 2 if hi - lo > 1 else hi
+                    for lo, hi in brackets]
+            probes = scores.agg(*[
+                F.sum((F.col("bits_per_token") <= F.lit(k / 1e6))
+                      .cast("long")).alias(f"c{i}")
+                for i, k in enumerate(mids)]).collect()[0]
+            for i, (r, k) in enumerate(zip(ranks, mids)):
+                if brackets[i][1] - brackets[i][0] <= 1:
+                    continue
+                if probes[f"c{i}"] >= r + 1:
+                    brackets[i][1] = k
+                else:
+                    brackets[i][0] = k
+        thresholds = [hi / 1e6 for _, hi in brackets]
     if len(thresholds) != 2 or thresholds[0] > thresholds[1]:
         raise ValueError(f"need two ordered thresholds,"
                          f" got {thresholds}")
