@@ -845,6 +845,37 @@ def q_letor_features(spark, sf_dir):
           for i in (3, 6, 9, 12, 15, 18)])
 
 
+def q_letor_rank(spark, sf_dir):
+    """ListNet end-to-end (xapian-letor/listnet.cc:148-200): extract
+    the 19 features for 'batch scan', ROUND them to 6 decimals (so the
+    SQL replay trains on identical inputs — the quality_classifier
+    trick), train 5 full-batch gradient steps (lr=0.1) on the
+    deterministic graded labels doc_id % 3 (one ranklist), then score
+    every matching doc with the learned linear model. The oracle
+    replays the identical unrolled iterations in DuckDB over the 6
+    non-degenerate feature columns (title features are 0 with no
+    'S'-prefix terms and the body features duplicate the whole-doc
+    ones, so the 19-dot collapses to 2*Σ v_k f_k with v tracking the
+    shared body/whole weights; f19 is 0 with no weight_df)."""
+    import numpy as np
+
+    from xapian_spark.query.letor import (N_FEATURES, extract_features,
+                                          listnet_train, rank_with_model)
+
+    feats = extract_features(_index(spark, sf_dir), ["batch", "scan"])
+    feats = feats.select(
+        "doc_id", *[F.round(f"f{i}", 6).alias(f"f{i}")
+                    for i in range(1, N_FEATURES + 1)])
+    pdf = feats.orderBy("doc_id").toPandas()
+    X = pdf[[f"f{i}" for i in range(1, N_FEATURES + 1)]] \
+        .to_numpy(dtype=np.float64)
+    labels = (pdf["doc_id"] % 3).to_numpy(dtype=np.float64)
+    params = listnet_train([(X, labels)], learning_rate=0.1,
+                           iterations=5)
+    return rank_with_model(feats, params, maxitems=20).select(
+        "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_geo_nearest(spark, sf_dir):
     """LatLongDistanceKeyMaker: 10 nearest docs to Paris."""
     from xapian_spark.query.geospatial import distance_key_sort
@@ -910,6 +941,64 @@ def q_stream_dedup(spark, sf_dir):
     from xapian_spark.streaming.dedup import streaming_dedup_first
 
     return streaming_dedup_first(_docs(spark, sf_dir))
+
+
+def _c4_aug(spark, sf_dir):
+    """The deterministic multi-line page table q_c4_clean builds (the
+    testdata text has no newlines/punctuation) — shared by the batch
+    and streaming curation queries so both replay one oracle CTE."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(".\n"),
+            F.substring("text", 61, 40), F.lit("\n"),
+            F.when(did % 4 == 0,
+                   F.lit("Please enable javascript to view this page.\n"))
+            .otherwise(F.lit("")),
+            F.lit("The final line of this page ends properly!"),
+            F.when(did % 13 == 0, F.lit("\nvar cfg = {debug: false};"))
+            .otherwise(F.lit("")),
+            F.when(did % 17 == 0, F.lit("\nLorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_stream_curation(spark, sf_dir):
+    """Streaming curation end-to-end (streaming/stats.py:68): the same
+    augmented multi-line pages as q_c4_clean are written to a tmp
+    parquet source dir, drained through streaming_curation_filter
+    (readStream → C4 line cleaning → Gopher keep → parquet sink,
+    availableNow trigger, real checkpoint), and the sink read back.
+    The oracle replays the identical two batch stages in SQL — the
+    streaming operators ARE the batch column expressions (stateless
+    projections), so survivors must match row-for-row."""
+    import shutil
+    import tempfile
+
+    from xapian_spark.streaming.stats import streaming_curation_filter
+
+    base = tempfile.mkdtemp(prefix="stream_curate_")
+    try:
+        src = f"{base}/src"
+        outp = f"{base}/out"
+        _c4_aug(spark, sf_dir).write.parquet(src)
+        q = streaming_curation_filter(
+            spark, src, outp, f"{base}/ckpt",
+            schema="doc_id bigint, text string",
+            min_words=10, min_lines=2)
+        q.awaitTermination()
+        rows = [(r["doc_id"], r["text"])
+                for r in spark.read.parquet(outp).collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id bigint, text string")
 
 
 def q_parser_spelling(spark, sf_dir):
@@ -1110,24 +1199,7 @@ def q_c4_clean(spark, sf_dir):
     contamination on doc_id%17 / doc_id%13."""
     from xapian_spark.pipeline.heuristics import c4_clean
 
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    aug = d.select(
-        "doc_id",
-        F.concat(
-            F.substring("text", 1, 60), F.lit(".\n"),
-            F.substring("text", 61, 40), F.lit("\n"),
-            F.when(did % 4 == 0,
-                   F.lit("Please enable javascript to view this page.\n"))
-            .otherwise(F.lit("")),
-            F.lit("The final line of this page ends properly!"),
-            F.when(did % 13 == 0, F.lit("\nvar cfg = {debug: false};"))
-            .otherwise(F.lit("")),
-            F.when(did % 17 == 0, F.lit("\nLorem ipsum dolor sit amet."))
-            .otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return c4_clean(aug, min_lines=2)
+    return c4_clean(_c4_aug(spark, sf_dir), min_lines=2)
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -1319,85 +1391,52 @@ def q_bpe_encode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact records the
-    # FIRST 50 entries. Priority: NEVER-driver-verified beats
-    # everything — (a) the 26 pipeline/geo/letor/media entries the
-    # round-2 artifact missed, then (b) 24 of the 25 queries new in
-    # round 3 (26 + 24 = 50 fills the window exactly; wand_batch is
-    # the one demoted — its entire kernel is the repo's
-    # best-driver-covered code via the two-round-green bm25_wand_*
-    # rows, so it loses the tiebreak against queries with novel
-    # logic). Below the marker: wand_batch, then (c) core entries
-    # whose code paths changed this round but which hold green
-    # CORRECTNESS_r02 rows (covered by tests/test_round3_fixes.py and
-    # the local tools/check_oracle.py sweep), then the long-stable
-    # two-round-green rows.
+    # FIRST 50 entries.
+    #
+    # ROTATION POLICY (standing, documented since round 4): every
+    # entry gets a driver row at least every other round. Window
+    # priority each round: (1) entries with NO driver row in any
+    # round (new queries, or never-windowed ones like wand_batch
+    # through r03); (2) entries whose engine code or oracle changed
+    # this round; (3) the entries whose last green row is OLDEST
+    # (two rounds back), oldest first. Everything below the marker
+    # holds a green row from the immediately previous round and is
+    # re-verified locally by tools/check_oracle.py each round.
+    #
+    # Round-4 window: wand_batch (never recorded) + letor_rank /
+    # stream_curation (new) + the 7 entries whose code/oracle changed
+    # in round 4 (bpe_train oracle cast, ccnet_buckets distributed
+    # selection, paragraph_dedup rebuild, embed_neardup_lsh value
+    # oracle, media_decode_shape palette fixture, bm25_batch
+    # ops_by_id, neardup_clusters max_iter guard) + 40 of the 49
+    # entries whose last row is CORRECTNESS_r02. The 9 r02 entries
+    # that didn't fit (dedup_apply, bm25_single_term, bm25_or,
+    # bm25_and, bm25_wqf, term_stats, doccount, allterms_prefix,
+    # matchall — the ones most transitively covered by windowed rows:
+    # curate replays dedup-apply, bm25_batch/wand rows replay the
+    # single-term/or/and/wqf scoring, and the stats queries are
+    # metadata-only) head the round-5 window.
     return {
-        # (a) no round-2 driver row — highest artifact priority
-        "bpe_token_count": q_bpe_token_count,
-        "minhash_signatures": q_minhash_sig,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        "unigram_lm": q_unigram_lm,
-        "pii_redact": q_pii,
-        "importance_weights": q_importance_weights,
-        "cross_doc_spans": q_cross_doc_spans,
-        "quality_classifier": q_quality_classifier,
-        "curate": q_curate,
-        "letor_features": q_letor_features,
-        "geo_nearest": q_geo_nearest,
-        "geo_posting_source": q_geo_posting_source,
-        "ivf_topk": q_ivf_topk,
-        "media_stats": q_media_stats,
-        "media_decode_shape": q_media_decode_shape,
-        "cosine_topk": q_cosine_topk,
-        "embed_neardup": q_embed_neardup,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        # (b) new this round
-        "c4_clean": q_c4_clean,
-        "gopher_quality": q_gopher_quality,
-        "mixture_sample": q_mixture_sample,
+        # (1) never driver-recorded
+        "wand_batch": q_wand_batch,
+        "letor_rank": q_letor_rank,
+        "stream_curation": q_stream_curation,
+        # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "dedup_spans": q_dedup_spans,
-        "pack_sequences": q_pack_sequences,
-        "line_stats": q_line_stats,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "url_filter": q_url_filter,
-        "bigram_lm": q_bigram_lm,
-        "top_ngrams": q_top_ngrams,
-        "tfidf_keywords": q_tfidf_keywords,
-        "semdedup": q_semdedup,
         "ccnet_buckets": q_ccnet_buckets,
         "paragraph_dedup": q_paragraph_dedup,
-        "url_canonical": q_url_canonical,
-        "url_dedup": q_url_dedup,
-        "url_term": q_url_term,
-        "host_stats": q_host_stats,
-        "parser_spelling": q_parser_spelling,
-        "posting_value_weight": q_posting_value_weight,
-        "stream_dedup": q_stream_dedup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "media_decode_shape": q_media_decode_shape,
         "bm25_batch": q_bm25_batch,
-        # ---- 50-entry artifact window ends here ----
-        "wand_batch": q_wand_batch,
-        # (c) code paths changed this round (delete/compact/build/
-        # clustering/spelling) — green r02 rows + local sweep coverage;
-        # then the remaining distinct operators
+        "neardup_clusters": q_neardup_clusters,
+        # (3) last green row is r02 — oldest first
         "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
         "streaming_commit": q_streaming_commit,
         "segment_manifest": q_segment_manifest,
         "segment_phrase": q_segment_phrase,
-        "neardup_clusters": q_neardup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
-        "dedup_apply": q_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "parser_search": q_parser_search,
         "parser_wildcard": q_parser_wildcard,
@@ -1422,23 +1461,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
-        "matchall": q_matchall,
-        "term_stats": q_term_stats,
-        "doccount": q_doccount,
-        "allterms_prefix": q_allterms_prefix,
-        "bm25_single_term": q_bm25_single,
-        "bm25_or": q_bm25_or,
-        "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
-        "bm25_wqf": q_bm25_wqf,
         "bm25_phrase": q_bm25_phrase,
         "bm25_near": q_bm25_near,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_wand_and": q_bm25_wand_and,
+        # ---- 50-entry artifact window ends here ----
+        # r02-green entries that didn't fit (first in the r05 window)
+        "dedup_apply": q_dedup_apply,
+        "bm25_single_term": q_bm25_single,
+        "bm25_or": q_bm25_or,
+        "bm25_and": q_bm25_and,
+        "bm25_wqf": q_bm25_wqf,
+        "term_stats": q_term_stats,
+        "doccount": q_doccount,
+        "allterms_prefix": q_allterms_prefix,
+        "matchall": q_matchall,
+        # r03-green entries (rotate back in round 5)
+        "bpe_token_count": q_bpe_token_count,
+        "minhash_signatures": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "unigram_lm": q_unigram_lm,
+        "pii_redact": q_pii,
+        "importance_weights": q_importance_weights,
+        "cross_doc_spans": q_cross_doc_spans,
+        "quality_classifier": q_quality_classifier,
+        "curate": q_curate,
+        "letor_features": q_letor_features,
+        "geo_nearest": q_geo_nearest,
+        "geo_posting_source": q_geo_posting_source,
+        "ivf_topk": q_ivf_topk,
+        "media_stats": q_media_stats,
+        "cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "mixture_sample": q_mixture_sample,
+        "bpe_encode": q_bpe_encode,
+        "dedup_spans": q_dedup_spans,
+        "pack_sequences": q_pack_sequences,
+        "line_stats": q_line_stats,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "url_filter": q_url_filter,
+        "bigram_lm": q_bigram_lm,
+        "top_ngrams": q_top_ngrams,
+        "tfidf_keywords": q_tfidf_keywords,
+        "semdedup": q_semdedup,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
+        "url_term": q_url_term,
+        "host_stats": q_host_stats,
+        "parser_spelling": q_parser_spelling,
+        "posting_value_weight": q_posting_value_weight,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -2809,6 +2896,7 @@ SELECT doc_id, round(f3, 6) AS f3, round(f6, 6) AS f6,
        round(f15, 6) AS f15, round(f18, 6) AS f18
 FROM perdoc CROSS JOIN consts c
 """
+    out["letor_rank"] = _letor_rank_sql()
     _GEO = """
 WITH geo AS (
   SELECT doc_id,
@@ -2936,7 +3024,9 @@ SELECT k.doc_id, string_agg(k.para, chr(10) ORDER BY k.pos) AS text,
 FROM kept k JOIN totals t USING (doc_id)
 GROUP BY k.doc_id
 """
-    out["c4_clean"] = r"""
+    # aug..c4: the shared C4 replay (aug mirrors _c4_aug) — used by
+    # the c4_clean oracle directly and by stream_curation as stage 1
+    _c4_cte = r"""
 WITH aug AS (
   SELECT doc_id,
          substring(text, 1, 60) || '.' || chr(10) ||
@@ -2964,14 +3054,60 @@ kept AS (
            AND len(list_filter(regexp_split_to_array(x, '[ \t\n\r\f]+'),
                                w -> w <> '')) >= 3
            AND NOT contains(lower(x), 'javascript')) AS k
-  FROM lined)
-SELECT doc_id,
-       len(ls)::INT AS n_lines,
-       len(k)::INT AS n_kept_lines,
-       coalesce(array_to_string(k, chr(10)), '') AS clean_text,
-       (len(k) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(text, '{')) AS keep
-FROM kept
+  FROM lined),
+c4 AS (
+  SELECT doc_id,
+         len(ls)::INT AS n_lines,
+         len(k)::INT AS n_kept_lines,
+         coalesce(array_to_string(k, chr(10)), '') AS clean_text,
+         (len(k) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')) AS keep
+  FROM kept)
+"""
+    out["c4_clean"] = _c4_cte + """
+SELECT doc_id, n_lines, n_kept_lines, clean_text, keep FROM c4
+"""
+    # stage 2 of stream_curation: the Gopher keep conjunction (same
+    # metric definitions as the gopher_quality oracle below) over the
+    # C4 survivors' clean text, min_words=10
+    out["stream_curation"] = _c4_cte + r""",
+surv AS (SELECT doc_id, clean_text AS text FROM c4 WHERE keep),
+gfeat AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     w -> w <> '') AS words,
+         list_filter(list_transform(regexp_split_to_array(text,
+                                                          '\r?\n'),
+                                    x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM surv),
+gm AS (
+  SELECT doc_id, text,
+         len(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE
+           / greatest(len(words), 1) AS mean_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+         )::DOUBLE / greatest(len(words), 1) AS symbol_ratio,
+         len(list_filter(lines, x ->
+             starts_with(x, '-') OR starts_with(x, '*')
+             OR starts_with(x, chr(8226))))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           ::DOUBLE / greatest(len(words), 1) AS alpha_word_frac,
+         len(list_intersect(
+               list_distinct(list_transform(words, w -> lower(w))),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                'with'])) AS n_stopwords
+  FROM gfeat)
+SELECT doc_id, text FROM gm
+WHERE n_words >= 10 AND n_words <= 100000
+  AND mean_len >= 3.0 AND mean_len <= 10.0
+  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+  AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+  AND n_stopwords >= 2
 """
     out["gopher_quality"] = r"""
 WITH aug AS (
@@ -3225,6 +3361,134 @@ FROM documents d JOIN r USING (lang)
 WHERE ('0x' || substring(md5('42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
       < r.rate * 4294967296.0
 """
-    # minhash_pairs, simhash_neardup, embed_neardup_lsh: approximate /
-    # candidate-generation operators — rows-only check (no oracle).
+    out["embed_neardup_lsh"] = _lsh_neardup_sql()
     return out
+
+
+def _letor_rank_sql(n_iters: int = 5, lr: float = 0.1,
+                    k: int = 20) -> str:
+    """Unrolled ListNet replay for q_letor_rank: the same rounded
+    feature CTEs as the letor_features oracle, labels doc_id % 3, then
+    n_iters full-batch top-one-softmax gradient steps over the 6
+    shared body/whole weights (dot = 2*Σ v·f — see q_letor_rank's
+    docstring for why the 19-feature dot collapses), final score
+    rounded to 6, top-k by (score desc, doc_id)."""
+    ks = (3, 6, 9, 12, 15, 18)
+    # each step references it{k-1} (and feat2) exactly ONCE — multiple
+    # references make DuckDB inline the whole upstream tree per use,
+    # which goes exponential over 5 chained steps; the softmax total
+    # is a sum() OVER () window instead of a second aggregate CTE
+    dot = "2*(" + " + ".join(f"v{j} * f{j}" for j in ks) + ")"
+    steps = ["it0 AS (SELECT " + ", ".join(f"0.0 v{j}" for j in ks)
+             + ")"]
+    for s in range(1, n_iters + 1):
+        grads = ",\n         ".join(
+            f"any_value(v{j}) - {lr} * sum((pp - pt) * f{j}) AS v{j}"
+            for j in ks)
+        steps.append(f"""
+it{s} AS (
+  SELECT {grads}
+  FROM (
+    SELECT t.*, exp({dot}) / sum(exp({dot})) OVER () AS pp
+    FROM (SELECT f.*, i.* FROM feat2 f CROSS JOIN it{s - 1} i) t
+  ))""")
+    return f"""{_BM25_PRELUDE}
+, qs AS (
+  SELECT term, tf, cf,
+         log10(greatest(g.n // (1 + tf), 1e-300)) AS idf
+  FROM tstats CROSS JOIN gstats g WHERE term IN ('batch', 'scan')
+),
+consts AS (
+  SELECT sum(log10(1 + idf)) AS f9,
+         sum(log10(1 + (SELECT avlen FROM gstats)
+                       * (SELECT n FROM gstats) / (1 + cf))) AS f12
+  FROM qs
+),
+perdoc AS (
+  SELECT p.doc_id,
+         sum(log10(1 + p.wdf)) AS f3,
+         sum(log10(1 + p.wdf / d.doclen::DOUBLE)) AS f6,
+         sum(log10(1 + p.wdf * q.idf / (1 + d.doclen::DOUBLE)))
+           AS f15,
+         sum(log10(1 + p.wdf * ((SELECT avlen FROM gstats)
+                                * (SELECT n FROM gstats))
+                   / (1 + d.doclen::DOUBLE * q.cf))) AS f18
+  FROM postings p JOIN doclens d USING (doc_id)
+  JOIN qs q USING (term)
+  GROUP BY p.doc_id
+),
+feat AS (
+  SELECT doc_id,
+         round(f3, 6) AS f3, round(f6, 6) AS f6,
+         round((SELECT f9 FROM consts), 6) AS f9,
+         round((SELECT f12 FROM consts), 6) AS f12,
+         round(f15, 6) AS f15, round(f18, 6) AS f18,
+         (doc_id % 3)::DOUBLE AS y
+  FROM perdoc
+),
+feat2 AS (
+  SELECT *, exp(y) / sum(exp(y)) OVER () AS pt FROM feat),
+{",".join(steps)}
+SELECT doc_id, round(s, 6) AS score
+FROM (SELECT f.doc_id, {dot} AS s
+      FROM feat2 f CROSS JOIN it{n_iters} i) z
+ORDER BY s DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_EMB_DIM = 64  # every sf's embeddings.parquet (TESTDATA.md)
+
+
+def _lsh_neardup_sql(n_planes: int = 16, bands: int = 8,
+                     threshold: float = 0.4, seed: int = 42) -> str:
+    """Full value replay of lsh_neardup_pairs (similarity.py:96): the
+    16 md5-derived hyperplanes are computed HERE by the same
+    _hyperplanes function and embedded as exact repr() literals (repr
+    round-trips doubles, and DuckDB parses a decimal literal to the
+    same nearest double), the sign-bit signature uses the identical
+    float32->double cast and left-to-right list_sum fold as the
+    engine's zip_with/aggregate dot (the proven _cos_sql policy, so
+    the sign test compares bit-identical doubles), band keys are the
+    same shift/mod split, and candidates verify with _cos_sql cosine
+    rounded to 6 before the threshold — exactly the engine's filter
+    on the rounded column."""
+    from xapian_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, n_planes, seed)
+    ppb = n_planes // bands
+    rows = ",\n    ".join(
+        f"({p}, [{', '.join(repr(c) for c in comp)}])"
+        for p, comp in enumerate(planes))
+    dot = ("list_sum([e.embedding[i]::DOUBLE * pl.pv[i]\n"
+           "           for i in range(1, len(e.embedding) + 1)])")
+    return f"""
+WITH planes(p, pv) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN {dot} >= 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, band,
+         (bucket >> (band * {ppb})) % {1 << ppb} AS key
+  FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+pc AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+    {_cos_sql("ea", "embedding", "eb", "embedding")} AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, round(cosine, 6) AS cosine
+FROM pc WHERE round(cosine, 6) >= {threshold}
+"""

@@ -105,6 +105,15 @@ def main() -> None:
 
     term_dict = sorted(t for t in (enq._full_term_dict() or {})
                        if t.startswith("Z"))
+    if not term_dict:
+        # _full_term_dict returns {} past TERM_DICT_CACHE_MAX — fall
+        # back to the top Z-prefixed terms from the term_stats table
+        # so the batch line still runs (and never divides by zero)
+        term_dict = [r["term"] for r in
+                     idx.term_stats.filter(F.col("term").startswith("Z"))
+                     .orderBy(F.col("tf").desc(), "term")
+                     .limit(300).collect()]
+    assert term_dict, "no Z-prefixed terms in the index"
     batch_qs, batch_ops = [], {}
     for i in range(100):
         ts = [term_dict[(i * 3 + j) % len(term_dict)]

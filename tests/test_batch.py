@@ -157,3 +157,28 @@ def test_wand_batch_matches_flat_batch(seg_index, simpledata_index):
     for q in by_q:
         by_q[q].sort()
     assert by_q == {q: rows for q, rows in flat.items() if rows}
+
+
+def test_batch_dataframe_input_ops_by_id(simpledata_index, spark):
+    """ops_by_id must apply to DataFrame query inputs too (it used to
+    be silently ignored there): per-query AND override, default for
+    unlisted queries, bad op rejected."""
+    qt = spark.createDataFrame(
+        [("a", "paragraph"), ("a", "word"),
+         ("m", "paragraph"), ("m", "zzzznotaterm"),
+         ("d", "paragraph")],
+        "query_id string, term string")
+    res = bm25_batch(simpledata_index, qt, k=10,
+                     ops_by_id={"a": "and", "m": "and"}).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for q in by_q:
+        by_q[q].sort()
+    enq = Enquire(simpledata_index)
+    assert by_q["a"] == _single(enq, ["paragraph", "word"], "and", 10)
+    assert "m" not in by_q  # AND with an unindexed term matches nothing
+    assert by_q["d"] == _single(enq, ["paragraph"], "or", 10)
+    with pytest.raises(ValueError, match="unsupported batch op"):
+        bm25_batch(simpledata_index, qt, ops_by_id={"a": "xor"})

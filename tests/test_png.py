@@ -108,18 +108,68 @@ def test_decode_images_real_path(spark):
 
 def test_decode_images_real_pixels_roundtrip(spark):
     # the decoded pixel bytes equal the exact pixels that were encoded
+    # (truecolor rows) / the PLTE lookup of the encoded indices
+    # (palette rows, i % 3 == 2)
     import hashlib
 
     from xapian_spark.pipeline.multimodal import (
-        _fake_pixels, decode_images, synthetic_png_media,
+        _PNG_TEST_PALETTE, _fake_pixels, decode_images,
+        synthetic_png_media,
     )
 
-    media = synthetic_png_media(spark, 4)
+    media = synthetic_png_media(spark, 6)
     rows = {r["media_id"]: bytes(r["pixels"])
             for r in decode_images(media, fake=False).collect()}
-    for i in range(4):
+    for i in range(6):
         w = 8 + (i % 4) * 4
         h = 8 + (i % 3) * 4
-        expect = _fake_pixels(
-            hashlib.md5(f"7:png:{i}".encode()).digest(), w, h)
+        if i % 3 == 2:
+            idx = _fake_pixels(
+                hashlib.md5(f"7:pngp:{i}".encode()).digest(),
+                w, h)[: w * h]
+            expect = b"".join(
+                _PNG_TEST_PALETTE[3 * b:3 * b + 3] for b in idx)
+        else:
+            expect = _fake_pixels(
+                hashlib.md5(f"7:png:{i}".encode()).digest(), w, h)
         assert rows[i] == expect
+
+
+def test_palette_roundtrip_and_validation():
+    import pytest
+
+    from xapian_spark.pipeline.png import (
+        decode_png, decode_png_rgb, encode_png_palette, read_ihdr,
+    )
+
+    w, h = 5, 3
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    idx = bytes([0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2])
+    blob = encode_png_palette(w, h, idx, pal)
+    assert read_ihdr(blob) == (w, h, 3)  # reports DECODED channels
+    got = decode_png(blob)
+    expect = b"".join(pal[3 * b:3 * b + 3] for b in idx)
+    assert got == (w, h, 3, expect)
+    assert decode_png_rgb(blob) == (w, h, expect)
+    # out-of-range index rejected at encode time
+    with pytest.raises(ValueError):
+        encode_png_palette(2, 1, bytes([0, 9]), pal)
+    # and at decode time (craft: encode with big palette, shrink PLTE)
+    big = encode_png_palette(2, 1, bytes([0, 5]),
+                             bytes(range(18)))  # 6 entries
+    plte_at = big.index(b"PLTE")
+    import struct as _s
+    import zlib as _z
+    # rebuild with a 2-entry PLTE, leaving the index stream at 5
+    body = bytes(range(6))
+    chunk = (_s.pack(">I", len(body)) + b"PLTE" + body
+             + _s.pack(">I", _z.crc32(b"PLTE" + body) & 0xFFFFFFFF))
+    (old_len,) = _s.unpack(">I", big[plte_at - 4:plte_at])
+    tail = plte_at + 8 + old_len  # len+type+body+crc from plte_at-4
+    hacked = big[:plte_at - 4] + chunk + big[tail:]
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(hacked)
+    # palette image without PLTE
+    noplte = big[:plte_at - 4] + big[tail:]
+    with pytest.raises(ValueError, match="without PLTE"):
+        decode_png(noplte)

@@ -211,11 +211,19 @@ def frame_sample(videos: DataFrame, every_ms: int = 1000,
         .mapInPandas(gen, schema)
 
 
+_PNG_TEST_PALETTE = bytes(
+    c for j in range(256) for c in (j, (j * 7) % 256, (j * 13) % 256))
+
+
 def synthetic_png_media(spark, n: int, seed: int = 7) -> DataFrame:
     """IMAGE_SCHEMA rows whose `data` blobs are REAL PNG files (written
     by the pure-Python encoder, pipeline/png.py) — the fixture that
-    exercises decode_images' real path end-to-end without PIL."""
-    from xapian_spark.pipeline.png import encode_png
+    exercises decode_images' real path end-to-end without PIL. Every
+    third row (i % 3 == 2) is a palette-indexed PNG (color type 3,
+    PLTE = _PNG_TEST_PALETTE), the dominant web shape the truecolor
+    rows don't cover; its decoded RGB is the palette lookup of the
+    md5-keyed index stream, same w*h*3 output shape."""
+    from xapian_spark.pipeline.png import encode_png, encode_png_palette
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -226,13 +234,21 @@ def synthetic_png_media(spark, n: int, seed: int = 7) -> DataFrame:
                 i = int(i)
                 w = 8 + (i % 4) * 4
                 h = 8 + (i % 3) * 4
-                px = _fake_pixels(
-                    hashlib.md5(f"{seed}:png:{i}".encode()).digest(),
-                    w, h)
+                if i % 3 == 2:
+                    idx = _fake_pixels(
+                        hashlib.md5(f"{seed}:pngp:{i}".encode())
+                        .digest(), w, h)[: w * h]
+                    blob = encode_png_palette(w, h, idx,
+                                              _PNG_TEST_PALETTE)
+                else:
+                    px = _fake_pixels(
+                        hashlib.md5(f"{seed}:png:{i}".encode())
+                        .digest(), w, h)
+                    blob = encode_png(w, h, px, 3)
                 rows.append({
                     "media_id": i, "uri": f"s3://fake/img{i}.png",
                     "mime": "image/png", "width": w, "height": h,
-                    "data": encode_png(w, h, px, 3),
+                    "data": blob,
                 })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_SCHEMA.fields])

@@ -3,10 +3,13 @@
 Gives `decode_images` a REAL decode path in environments without
 PIL/libpng: full chunk parse, zlib inflate, and all five PNG scanline
 filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), for 8-bit
-greyscale / grey+alpha / RGB / RGBA, non-interlaced. Interlaced
-(Adam7), 16-bit, and palette images raise ValueError — a real corpus
+greyscale / grey+alpha / RGB / RGBA / palette-indexed (PLTE, a
+dominant web shape) images, non-interlaced. Interlaced (Adam7),
+16-bit, and sub-8-bit palette images raise ValueError — a real corpus
 pipeline routes those to a full decoder; this covers the dominant
-web-PNG shapes and proves the plumbing end-to-end.
+web-PNG shapes and proves the plumbing end-to-end. Palette images
+decode straight to RGB via the PLTE lookup (tRNS alpha is dropped,
+matching the convert('RGB') contract).
 
 The encoder writes the same subset (filter 0 scanlines) and exists so
 tests can build genuine PNG fixtures and round-trip them without any
@@ -20,8 +23,10 @@ import zlib
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
-# color type → samples per pixel (8-bit depth only)
+# color type → samples per pixel (8-bit depth only); palette (3) is
+# one index sample per pixel on the wire, three RGB channels decoded
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_FILTER_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def is_png(data: bytes) -> bool:
@@ -53,10 +58,10 @@ def read_ihdr(data: bytes):
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in _CHANNELS or interlace \
-                    or comp or filt:
+            if depth != 8 or color not in _FILTER_CHANNELS \
+                    or interlace or comp or filt:
                 raise ValueError("PNG: unsupported image parameters")
-            return width, height, _CHANNELS[color]
+            return width, height, 3 if color == 3 else _CHANNELS[color]
         break  # IHDR must be first
     raise ValueError("PNG: no IHDR")
 
@@ -77,6 +82,8 @@ def decode_png(data: bytes):
         raise ValueError("not a PNG (bad magic)")
     width = height = None
     channels = 0
+    color = -1
+    palette = None
     idat = bytearray()
     for ctype, body in _chunks(bytes(data)):
         if ctype == b"IHDR":
@@ -84,17 +91,23 @@ def decode_png(data: bytes):
                 struct.unpack(">IIBBBBB", body)
             if depth != 8:
                 raise ValueError(f"PNG: unsupported bit depth {depth}")
-            if color not in _CHANNELS:
+            if color not in _FILTER_CHANNELS:
                 raise ValueError(f"PNG: unsupported color type {color}")
             if interlace:
                 raise ValueError("PNG: interlaced images unsupported")
             if comp or filt:
                 raise ValueError("PNG: nonstandard compression/filter")
-            channels = _CHANNELS[color]
+            channels = _FILTER_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(body) == 0 or len(body) % 3 or len(body) > 768:
+                raise ValueError("PNG: malformed PLTE")
+            palette = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None:
         raise ValueError("PNG: no IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("PNG: palette image without PLTE")
     stride = width * channels
     expected = (stride + 1) * height
     # bounded inflate: never expand past the size the IHDR dimensions
@@ -129,6 +142,15 @@ def decode_png(data: bytes):
             raise ValueError(f"PNG: bad filter type {ftype}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
+    if color == 3:
+        # map indices through PLTE post-unfilter -> RGB
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError("PNG: palette index out of range")
+            rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 
@@ -171,5 +193,27 @@ def encode_png(width: int, height: int, pixels: bytes,
         raw.extend(pixels[y * stride:(y + 1) * stride])
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_palette(width: int, height: int, indices: bytes,
+                       palette: bytes) -> bytes:
+    """(w, h, one index byte per pixel, RGB-triple palette) → indexed
+    PNG (color type 3, 8-bit, PLTE, filter 0 scanlines) — the fixture
+    builder for the palette decode path."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    if len(palette) == 0 or len(palette) % 3 or len(palette) > 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw.extend(indices[y * width:(y + 1) * width])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", bytes(palette))
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))

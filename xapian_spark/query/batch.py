@@ -71,8 +71,27 @@ def _queries_df(spark: SparkSession,
         n = qt.groupBy("query_id").agg(
             F.countDistinct("term").cast("int").alias("n_terms"))
         qt = qt.join(n, "query_id")
-        return qt.withColumn(
-            "is_and", F.lit(op_default == "and"))
+        if not ops_by_id:
+            return qt.withColumn(
+                "is_and", F.lit(op_default == "and"))
+        # per-query override for DataFrame inputs: join a small
+        # (query_id, is_and) frame built from ops_by_id (broadcast —
+        # it is driver-sized by construction); unlisted queries fall
+        # back to op_default
+        import pandas as pd
+
+        for qid, op in ops_by_id.items():
+            if op not in ("or", "and"):
+                raise ValueError(
+                    f"unsupported batch op {op!r} for {qid!r}")
+        ov = spark.createDataFrame(pd.DataFrame(
+            [(qid, op == "and") for qid, op in ops_by_id.items()],
+            columns=["query_id", "_is_and_ov"]))
+        return (qt.join(F.broadcast(ov), "query_id", "left")
+                .withColumn("is_and",
+                            F.coalesce(F.col("_is_and_ov"),
+                                       F.lit(op_default == "and")))
+                .drop("_is_and_ov"))
 
     import pandas as pd
 
