@@ -822,6 +822,26 @@ def q_media_decode_shape(spark, sf_dir):
         F.length("pixels").alias("pixel_bytes"))
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode over real JPEG blobs: the fixture
+    writes genuine baseline JPEGs (pure-Python encoder, grayscale /
+    4:4:4 / 4:2:0 / restart-interval variants) and decode_images
+    entropy-decodes, IDCTs, upsamples, and converts them with the
+    vendored codec (pipeline/jpeg.py) — no PIL, no fake mode.
+    width/height come from each blob's SOF0; JPEG is lossy so the
+    oracle checks the decoded SHAPE (w*h*3 RGB bytes; exact-pixel
+    goldens live in tests/test_jpeg.py where quantization is
+    analytically lossless)."""
+    from xapian_spark.pipeline.multimodal import (
+        decode_images, synthetic_jpeg_media,
+    )
+
+    media = synthetic_jpeg_media(spark, 50)
+    return decode_images(media, fake=False).select(
+        "media_id", "width", "height",
+        F.length("pixels").alias("pixel_bytes"))
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -1404,23 +1424,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified locally by tools/check_oracle.py each round.
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
-    # stream_curation (new) + the 7 entries whose code/oracle changed
-    # in round 4 (bpe_train oracle cast, ccnet_buckets distributed
-    # selection, paragraph_dedup rebuild, embed_neardup_lsh value
-    # oracle, media_decode_shape palette fixture, bm25_batch
-    # ops_by_id, neardup_clusters max_iter guard) + 40 of the 49
-    # entries whose last row is CORRECTNESS_r02. The 9 r02 entries
-    # that didn't fit (dedup_apply, bm25_single_term, bm25_or,
-    # bm25_and, bm25_wqf, term_stats, doccount, allterms_prefix,
-    # matchall — the ones most transitively covered by windowed rows:
-    # curate replays dedup-apply, bm25_batch/wand rows replay the
-    # single-term/or/and/wqf scoring, and the stats queries are
-    # metadata-only) head the round-5 window.
+    # stream_curation / media_decode_jpeg (new) + the 7 entries whose
+    # code/oracle changed in round 4 (bpe_train oracle cast,
+    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
+    # embed_neardup_lsh value oracle, media_decode_shape palette
+    # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
+    # + 39 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 10 r02 entries that didn't fit (dedup_apply, bm25_single_term,
+    # bm25_or, bm25_and, bm25_wqf, bm25_wand_and, term_stats,
+    # doccount, allterms_prefix, matchall — the ones most
+    # transitively covered by windowed rows: curate replays
+    # dedup-apply, bm25_batch/wand_batch rows replay the
+    # single-term/or/and/wqf scoring and the WAND kernel, and the
+    # stats queries are metadata-only) head the round-5 window.
     return {
         # (1) never driver-recorded
         "wand_batch": q_wand_batch,
         "letor_rank": q_letor_rank,
         "stream_curation": q_stream_curation,
+        "media_decode_jpeg": q_media_decode_jpeg,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1469,9 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_near": q_bm25_near,
         "bm25_wand_or": q_bm25_wand_or,
-        "bm25_wand_and": q_bm25_wand_and,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "bm25_wand_and": q_bm25_wand_and,
         "dedup_apply": q_dedup_apply,
         "bm25_single_term": q_bm25_single,
         "bm25_or": q_bm25_or,
@@ -2326,6 +2348,14 @@ SELECT i::BIGINT AS media_id,
        (8 + (i % 4) * 4)::INT AS width,
        (8 + (i % 3) * 4)::INT AS height,
        ((8 + (i % 4) * 4) * (8 + (i % 3) * 4) * 3)::INT AS pixel_bytes
+FROM range(50) t(i)
+"""
+    out["media_decode_jpeg"] = """
+SELECT i::BIGINT AS media_id,
+       (16 + (i % 3) * 8)::INT AS width,
+       (16 + (i % 2) * 8)::INT AS height,
+       ((16 + (i % 3) * 8) * (16 + (i % 2) * 8) * 3)::INT
+         AS pixel_bytes
 FROM range(50) t(i)
 """
     out["value_range"] = _bm25_topk(

@@ -170,12 +170,20 @@ def main() -> None:
                         threshold=0.8).count()
     timings["minhash_dedup"] = time.perf_counter() - t0
 
-    from xapian_spark.pipeline.textstats import (cross_doc_span_stats,
+    from xapian_spark.pipeline.textstats import (ccnet_buckets,
+                                                 cross_doc_span_stats,
                                                  unigram_lm_scores)
 
     t0 = time.perf_counter()
     unigram_lm_scores(docs).count()
     timings["unigram_lm"] = time.perf_counter() - t0
+
+    # default path = exact distributed rank selection (grid binary
+    # search, one count-probe job per step) — the line watches that
+    # the O(log range) probe passes stay cheap
+    t0 = time.perf_counter()
+    ccnet_buckets(docs).count()
+    timings["ccnet_buckets"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     cross_doc_span_stats(docs, n=4).count()

@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "100000"))
+MANUAL_MARKER = "<!-- MANUAL SECTIONS below: preserved by scaling_bench.py -->"
 # fixed job shape at BOTH parallelism levels (only the master differs):
 # segments >> cores so per-task work is uniform at either level
 N_SEGMENTS = 256
@@ -259,8 +260,17 @@ def main() -> None:
     all_runs = ", ".join(
         f"local[{c}] {[r['docs_per_sec'] for r in runs[c]]}"
         for c in levels)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+    # preserve everything below the manual-sections marker (the
+    # spark-submit smoke + round-over-round tables are maintained by
+    # hand; this script owns only the scaling sections above it)
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH.md")
+    manual = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        if MANUAL_MARKER in prev:
+            manual = MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
 The north rule requires indexing-throughput scaling efficiency >= 0.8
@@ -324,7 +334,8 @@ best. All runs (docs/sec): {all_runs}.
 
 Reproduce: `python tools/scaling_bench.py`
 (SCALING_BENCH_DOCS={N_DOCS}).
-""")
+
+""" + manual)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,7 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from xapian_spark.pipeline.jpeg import is_jpeg
         from xapian_spark.pipeline.png import decode_png_rgb, is_png
 
         pil = _try_import_pil()
@@ -119,6 +120,16 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                     if w * h > max_pixels:
                         continue
                     w, h, px = decode_png_rgb(bytes(data))
+                elif is_jpeg(bytes(data or b"")):
+                    from xapian_spark.pipeline.jpeg import (
+                        decode_jpeg_rgb, read_sof)
+
+                    # size guard from the SOF0 header alone — before
+                    # any entropy decode / IDCT
+                    w, h, _ch = read_sof(bytes(data))
+                    if w * h > max_pixels:
+                        continue
+                    w, h, px = decode_jpeg_rgb(bytes(data))
                 elif pil is not None:  # pragma: no cover - no PIL here
                     import io
 
@@ -129,8 +140,9 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                     px = img.convert("RGB").tobytes()
                 else:
                     raise NotImplementedError(
-                        "non-PNG image decode needs PIL; PNG decodes "
-                        "natively (pipeline/png.py), or run with "
+                        "image decode for formats beyond PNG "
+                        "(pipeline/png.py) and baseline JPEG "
+                        "(pipeline/jpeg.py) needs PIL; or run with "
                         "fake=True for the deterministic stub")
                 rows["media_id"].append(int(mid))
                 rows["width"].append(int(w))
@@ -248,6 +260,51 @@ def synthetic_png_media(spark, n: int, seed: int = 7) -> DataFrame:
                 rows.append({
                     "media_id": i, "uri": f"s3://fake/img{i}.png",
                     "mime": "image/png", "width": w, "height": h,
+                    "data": blob,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n: int, quality: int = 85) -> DataFrame:
+    """IMAGE_SCHEMA rows whose `data` blobs are REAL baseline JPEGs
+    (pure-Python encoder, pipeline/jpeg.py) over smooth deterministic
+    gradients — the fixture that exercises decode_images' JPEG path
+    end-to-end without PIL. Coverage by row: i%4==0 grayscale,
+    i%4==1 RGB 4:4:4, i%4==2 RGB 4:2:0 (subsampled chroma),
+    i%4==3 RGB 4:4:4 with restart intervals."""
+    from xapian_spark.pipeline.jpeg import encode_jpeg
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 16 + (i % 3) * 8
+                h = 16 + (i % 2) * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                r = (xx * 255) // max(w - 1, 1)
+                g = (yy * 255) // max(h - 1, 1)
+                b = ((xx + yy) * 255) // max(w + h - 2, 1)
+                if i % 4 == 0:
+                    blob = encode_jpeg(
+                        w, h, r.astype(np.uint8).tobytes(), 1,
+                        quality=quality)
+                else:
+                    px = np.stack([r, g, b], axis=-1) \
+                        .astype(np.uint8).tobytes()
+                    blob = encode_jpeg(
+                        w, h, px, 3, quality=quality,
+                        subsample=(i % 4 == 2),
+                        restart_interval=2 if i % 4 == 3 else 0)
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/img{i}.jpg",
+                    "mime": "image/jpeg", "width": w, "height": h,
                     "data": blob,
                 })
             yield pd.DataFrame(

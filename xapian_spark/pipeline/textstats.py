@@ -502,12 +502,13 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
     None, EXACT thresholds are derived rank-based — the score of the
     row at rank floor(f*(n-1)) in (bits_per_token, doc_id) order —
     by a DISTRIBUTED selection: bits_per_token is rounded to 6
-    decimals upstream, so the rank-r value is found by binary search
-    over the 1e-6 grid with one full-parallel count-probe aggregate
-    per step (both ranks probed in the same job), O(log(range))
-    passes over the localCheckpointed scores and never a global sort
-    or single-task window. Selection is by rank, never
-    interpolation, so the value is engine-replayable bit-for-bit.
+    decimals upstream, so the rank-r value is found by k-ary search
+    over the 1e-6 grid (15 interior probe points per rank per pass,
+    all probes for both ranks folded into ONE full-parallel
+    count-probe aggregate), O(log_16(range)) ≈ 6 passes over the
+    localCheckpointed scores and never a global sort or single-task
+    window. Selection is by rank, never interpolation, so the value
+    is engine-replayable bit-for-bit.
 
     Returns (doc_id, n_tokens, bits_per_token, bucket)."""
     if len(fractions) != 2 or not (0 < fractions[0] <= fractions[1] < 1):
@@ -540,27 +541,37 @@ def ccnet_buckets(docs: DataFrame, fractions=(1 / 3, 2 / 3),
         # score s with count(score <= s) >= r+1. Scores live on the
         # 1e-6 grid (round(x, 6) upstream; k/1e6 in Python is the
         # same nearest-double, so grid comparisons are exact), so
-        # binary-search integer micro-units. Invariant per rank:
+        # k-ary-search integer micro-units: each pass probes up to
+        # FAN evenly spaced interior grid points per unresolved rank
+        # — extra sum() expressions in the SAME scan are nearly free,
+        # while every extra PASS pays a full job, so fan-out beats
+        # bisection here. Invariant per rank:
         # count(<= klo/1e6) < r+1 <= count(<= khi/1e6); at
         # termination khi is a present score (rows exist in
         # (klo, khi] and the grid has no point between).
         k_min = round(st["lo"] * 1e6)
         k_max = round(st["hi"] * 1e6)
         brackets = [[k_min - 1, k_max] for _ in ranks]
+        FAN = 15
         while any(hi - lo > 1 for lo, hi in brackets):
-            mids = [(lo + hi) // 2 if hi - lo > 1 else hi
-                    for lo, hi in brackets]
-            probes = scores.agg(*[
-                F.sum((F.col("bits_per_token") <= F.lit(k / 1e6))
-                      .cast("long")).alias(f"c{i}")
-                for i, k in enumerate(mids)]).collect()[0]
-            for i, (r, k) in enumerate(zip(ranks, mids)):
-                if brackets[i][1] - brackets[i][0] <= 1:
+            probe_pts = []  # (rank_idx, grid_point)
+            for i, (lo, hi) in enumerate(brackets):
+                if hi - lo <= 1:
                     continue
-                if probes[f"c{i}"] >= r + 1:
-                    brackets[i][1] = k
+                span = hi - lo
+                pts = sorted({lo + max(1, span * j // (FAN + 1))
+                              for j in range(1, FAN + 1)})
+                probe_pts.extend(
+                    (i, p) for p in pts if lo < p < hi)
+            probes = scores.agg(*[
+                F.sum((F.col("bits_per_token") <= F.lit(p / 1e6))
+                      .cast("long")).alias(f"c{j}")
+                for j, (_i, p) in enumerate(probe_pts)]).collect()[0]
+            for j, (i, p) in enumerate(probe_pts):
+                if probes[f"c{j}"] >= ranks[i] + 1:
+                    brackets[i][1] = min(brackets[i][1], p)
                 else:
-                    brackets[i][0] = k
+                    brackets[i][0] = max(brackets[i][0], p)
         thresholds = [hi / 1e6 for _, hi in brackets]
     if len(thresholds) != 2 or thresholds[0] > thresholds[1]:
         raise ValueError(f"need two ordered thresholds,"
