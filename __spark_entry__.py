@@ -937,6 +937,81 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qv, k=10)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode over every vector with the
+    md5-deterministic codebooks (similarity.py _pq_default_codebooks
+    — pure function of (dim, m, k, seed), so the oracle embeds the
+    exact same codeword doubles as literals and replays the
+    round-6/lowest-j argmin per subspace). Production uses
+    train_pq_codebooks (k-means per subspace, pytest-verified
+    distortion/recall); the replayable codebooks are the correctness
+    anchor for the encode plumbing. Codes flattened to c0..c7 like
+    minhash_signatures' h0..h15."""
+    from xapian_spark.pipeline.similarity import (
+        _pq_default_codebooks, pq_encode,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    books = _pq_default_codebooks(64, 8, 16, seed=42)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id", *[F.col("codes")[s].alias(f"c{s}") for s in range(8)])
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ ADC top-k: the scan touches ONLY the 8-byte code column —
+    the query-to-codeword lookup table is driver-computed and inlined
+    as literals (the memory-bound ANN path; 32× smaller working set
+    than the raw float vectors). Query = vec 0's embedding, the same
+    anchor cosine_topk uses; the oracle recomputes the identical LUT
+    in SQL from vec 0's row + the codeword literals and sums the m
+    entries in the same fixed subspace order."""
+    from xapian_spark.pipeline.similarity import pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return pq_topk(emb, qv, k=10, m=8, n_codes=16, seed=42)
+
+
+def _link_edges(spark, sf_dir):
+    """Deterministic link graph over the documents table: doc i links
+    to (i*37 + 101*j + 13) mod N for j in 0..(i mod 3), self-loops
+    dropped — the synthetic stand-in for a crawl's host graph (no
+    link column in the testdata; same derivation in the oracle)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return (docs
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(F.sequence(
+                        F.lit(0), (F.col("doc_id") % 3).cast("int")))
+                    .alias("j"))
+            .select("src",
+                    ((F.col("src") * 37 + F.col("j") * 101 + 13) % n)
+                    .alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (pipeline/graph.py): int64 micro-unit
+    ranks, every step integer arithmetic — the oracle replays 8
+    unrolled iterations with the same floor divisions and matches
+    BIT-EXACTLY (no float-sum rounding dance needed, the design
+    point of the fixed-point formulation)."""
+    from xapian_spark.pipeline.graph import pagerank
+
+    pr = pagerank(_link_edges(spark, sf_dir), iters=8)
+    # rank = rank_units / 1e12 is an exact IEEE divide of an int64
+    # that fits a double — replayable without any rounding
+    return pr.select("node", "rank_units", "rank")
+
+
+def q_degree_stats(spark, sf_dir):
+    """In/out-degree link prior over the synthetic host graph."""
+    from xapian_spark.pipeline.graph import degree_stats
+
+    return degree_stats(_link_edges(spark, sf_dir))
+
+
 def q_embed_neardup(spark, sf_dir):
     from xapian_spark.pipeline.similarity import brute_force_pairs
 
@@ -1424,25 +1499,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified locally by tools/check_oracle.py each round.
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
-    # stream_curation / media_decode_jpeg (new) + the 7 entries whose
-    # code/oracle changed in round 4 (bpe_train oracle cast,
-    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
+    # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
+    # pagerank / degree_stats (new) + the 7 entries whose code/oracle
+    # changed in round 4 (bpe_train oracle cast, ccnet_buckets
+    # distributed selection, paragraph_dedup rebuild,
     # embed_neardup_lsh value oracle, media_decode_shape palette
     # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
-    # + 39 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 10 r02 entries that didn't fit (dedup_apply, bm25_single_term,
-    # bm25_or, bm25_and, bm25_wqf, bm25_wand_and, term_stats,
+    # + 35 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 14 r02 entries that didn't fit (bm25_max, bm25_phrase,
+    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
+    # bm25_single_term, bm25_or, bm25_and, bm25_wqf, term_stats,
     # doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
-    # single-term/or/and/wqf scoring and the WAND kernel, and the
-    # stats queries are metadata-only) head the round-5 window.
+    # single-term/or/and/wqf scoring and the WAND kernel,
+    # phrase_window covers the positional path, and the stats
+    # queries are metadata-only) head the round-5 window.
     return {
         # (1) never driver-recorded
         "wand_batch": q_wand_batch,
         "letor_rank": q_letor_rank,
         "stream_curation": q_stream_curation,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "pagerank": q_pagerank,
+        "degree_stats": q_degree_stats,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1487,12 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
+        # ---- 50-entry artifact window ends here ----
+        # r02-green entries that didn't fit (first in the r05 window)
         "bm25_max": q_bm25_max,
         "bm25_phrase": q_bm25_phrase,
         "bm25_near": q_bm25_near,
         "bm25_wand_or": q_bm25_wand_or,
-        # ---- 50-entry artifact window ends here ----
-        # r02-green entries that didn't fit (first in the r05 window)
         "bm25_wand_and": q_bm25_wand_and,
         "dedup_apply": q_dedup_apply,
         "bm25_single_term": q_bm25_single,
@@ -2967,6 +3049,18 @@ SELECT vec_id, round(cosine, 6) AS cosine FROM s
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
     out["ivf_topk"] = out["cosine_topk"]
+    out["pq_codes"] = _pq_codes_sql()
+    out["pq_topk"] = _pq_topk_sql()
+    out["pagerank"] = _pagerank_sql(iters=8)
+    out["degree_stats"] = f"""{_LINK_EDGES}
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(o.od, 0)::BIGINT AS out_degree,
+       COALESCE(i.ind, 0)::BIGINT AS in_degree
+FROM (SELECT src AS node, count(*) AS od FROM edges GROUP BY 1) o
+FULL JOIN (SELECT dst AS node, count(*) AS ind
+           FROM edges GROUP BY 1) i
+  ON o.node = i.node
+"""
     out["embed_neardup"] = f"""{_PAIR_COS}
 SELECT vec_id_a, vec_id_b, round(cosine, 6) AS cosine
 FROM s WHERE round(cosine, 6) >= 0.4
@@ -3468,6 +3562,132 @@ LIMIT {k}
 
 
 _EMB_DIM = 64  # every sf's embeddings.parquet (TESTDATA.md)
+
+
+# deterministic link graph over documents (q_pagerank/_link_edges):
+# doc i → (37i + 101j + 13) mod N for j in 0..(i mod 3), self-loops
+# dropped. DuckDB range(a, b) excludes b, matching F.sequence's
+# inclusive upper bound via the +1.
+_LINK_EDGES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (SELECT doc_id AS src,
+              unnest(range(0, doc_id % 3 + 1)) AS j
+       FROM documents),
+edges AS MATERIALIZED (
+  SELECT src, (src * 37 + j * 101 + 13) % (SELECT n FROM nn) AS dst
+  FROM e0
+  WHERE (src * 37 + j * 101 + 13) % (SELECT n FROM nn) <> src)"""
+
+
+def _pq_enc_sql(m: int = 8, k: int = 16, seed: int = 42) -> str:
+    """Shared encode prefix: codebooks from the SAME
+    _pq_default_codebooks as the engine, embedded as repr() literals;
+    per-(vec, subspace) squared L2 with the identical float32→double
+    cast and left-to-right list_sum fold as the engine's
+    zip_with/aggregate (the proven _cos_sql policy); argmin on
+    round(d2, 6) with lowest-j tiebreak replayed by row_number."""
+    from xapian_spark.pipeline.similarity import _pq_default_codebooks
+
+    books = _pq_default_codebooks(_EMB_DIM, m, k, seed)
+    dsub = _EMB_DIM // m
+    values = ",\n    ".join(
+        f"({s}, {j}, [{', '.join(repr(c) for c in cw)}])"
+        for s, book in enumerate(books) for j, cw in enumerate(book))
+    diff = (f"(e.embedding[cb.s * {dsub} + i]::DOUBLE - cb.cw[i])")
+    return f"""
+WITH cb AS MATERIALIZED (FROM (VALUES
+    {values}) t(s, j, cw)),
+d AS (
+  SELECT e.vec_id, cb.s, cb.j,
+         round(list_sum([{diff} * {diff}
+                         for i in range(1, {dsub + 1})]), 6) AS d2
+  FROM embeddings e CROSS JOIN cb),
+code AS MATERIALIZED (
+  SELECT vec_id, s, j
+  FROM (SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, j) AS rk
+        FROM d)
+  WHERE rk = 1)"""
+
+
+def _pq_codes_sql() -> str:
+    cols = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN j END)::INT AS c{s}"
+        for s in range(8))
+    return f"""{_pq_enc_sql()}
+SELECT vec_id,
+       {cols}
+FROM code GROUP BY vec_id
+"""
+
+
+def _pq_topk_sql(m: int = 8) -> str:
+    dsub = _EMB_DIM // m
+    qdiff = f"(q.embedding[cb.s * {dsub} + i]::DOUBLE - cb.cw[i])"
+    adc = " + ".join(f"ls[{s + 1}]" for s in range(m))
+    return f"""{_pq_enc_sql()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.s, cb.j,
+         list_sum([{qdiff} * {qdiff}
+                   for i in range(1, {dsub + 1})]) AS v
+  FROM cb CROSS JOIN q),
+a AS (
+  SELECT c.vec_id, list(l.v ORDER BY c.s) AS ls
+  FROM code c JOIN lut l ON l.s = c.s AND l.j = c.j
+  GROUP BY c.vec_id)
+SELECT vec_id, round({adc}, 6) AS adc
+FROM a
+ORDER BY adc, vec_id LIMIT 10
+"""
+
+
+def _pagerank_sql(iters: int = 8, num: int = 85, den: int = 100,
+                  scale: int = 10 ** 12) -> str:
+    """Unrolled fixed-point PageRank replay: every step is int64
+    floor division / multiplication, so the match is bit-exact by
+    construction (no float-summation-order hazard). MATERIALIZED on
+    every multiply-referenced CTE — r{{k}} feeds both the dangling
+    sum and the in-sums, and DuckDB would otherwise inline the whole
+    chain exponentially (the letor/bpe oracle lesson)."""
+    parts = [f"""{_LINK_EDGES},
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst FROM edges)),
+od AS MATERIALIZED (
+  SELECT src AS node, count(*) AS od FROM edges GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT count(*) AS n,
+         (({den - num} * {scale} // {den}) // count(*)) AS b,
+         ({scale} // count(*)) AS r_init
+  FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, (SELECT r_init FROM p) AS r FROM nodes)"""]
+    for it in range(iters):
+        parts.append(f"""
+d{it} AS (
+  SELECT COALESCE(sum(r.r), 0) AS dang
+  FROM r{it} r LEFT JOIN od o ON r.node = o.node
+  WHERE o.node IS NULL),
+i{it} AS (
+  SELECT e.dst AS node, sum(r.r // o.od) AS insum
+  FROM edges e JOIN r{it} r ON e.src = r.node
+  JOIN od o ON o.node = e.src
+  GROUP BY e.dst),
+r{it + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (SELECT b FROM p)
+         + ({num} * (COALESCE(i.insum, 0)
+                     + (SELECT dang FROM d{it}) // (SELECT n FROM p)))
+           // {den} AS r
+  FROM nodes n LEFT JOIN i{it} i ON n.node = i.node)""")
+    return ",".join(parts) + f"""
+SELECT node, r::BIGINT AS rank_units,
+       (r::DOUBLE / {float(scale)!r}) AS rank
+FROM r{iters}
+"""
 
 
 def _lsh_neardup_sql(n_planes: int = 16, bands: int = 8,

@@ -7,6 +7,10 @@
   deterministic md5-derived hyperplanes; bucket join for candidate pairs.
 - IVF-style coarse quantization: assign each vector to its nearest of K
   deterministic centroids; probe only matching cells.
+- product quantization (PQ): compress each vector to m small codes;
+  top-k scans ONLY the code column against a driver-computed lookup
+  table (asymmetric distance computation) — the memory-bound path for
+  corpora whose raw float vectors don't fit the cluster.
 
 All deterministic (hyperplanes/centroids derived from md5 of a seed).
 """
@@ -299,6 +303,200 @@ def sign_cells(embeddings: DataFrame, bits: int = 8,
         cell = cell + F.when(comp >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return embeddings.select(
         F.col(id_col).alias("vec_id"), cell.cast("int").alias("cell"))
+
+
+def _pq_default_codebooks(dim: int, m: int, k: int,
+                          seed: int = 42) -> List[List[List[float]]]:
+    """Deterministic data-independent PQ codebooks: the md5 hyperplane
+    generator reshaped to m codebooks of k unit codewords over the
+    dim/m-length subspace. Pure function of (dim, m, k, seed), so an
+    external engine (the DuckDB oracle) can embed the exact same
+    doubles as literals. Production trains better ones
+    (train_pq_codebooks); these are the replayable correctness
+    anchor."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    flat = _hyperplanes(dsub, m * k, seed + 2000)
+    return [flat[s * k:(s + 1) * k] for s in range(m)]
+
+
+def train_pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8,
+                       k: int = 16, iters: int = 10, sample: int = 4096,
+                       seed: int = 42, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> List[List[List[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    m subvectors of dim/m and run k-means PER SUBSPACE. Training uses
+    the same deterministic bounded sample as train_ivf_centroids
+    (TakeOrdered on md5(seed, id) — safe at any corpus size); Lloyd's
+    iterations run driver-side in numpy on m tiny (sample × dim/m)
+    matrices. Returns codebooks[s][j] = the j-th codeword of subspace
+    s. Deterministic: same seed + data → same codebooks."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (embeddings
+            .select(F.col(vec_col).alias("v"),
+                    F.md5(F.concat_ws("-", F.lit(seed),
+                                      F.col(id_col))).alias("r"))
+            .orderBy("r").limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    books: List[List[List[float]]] = []
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        kk = min(k, len(xs))
+        cents = xs[:kk].copy()  # md5-shuffled rows → deterministic init
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        book = [list(map(float, c)) for c in cents]
+        if len(book) < k:  # degenerate corpora: pad with md5 planes
+            book += _hyperplanes(dsub, k - len(book), seed + 3000 + s)
+        books.append(book)
+    return books
+
+
+def _pq_subspace_code(vec_col: str, s: int, dsub: int,
+                      book: List[List[float]]) -> Column:
+    """Code of subspace s: argmin_j of the squared L2 distance to
+    codeword j, distances compared after round(·, 6) with ties going
+    to the lowest j (array_min over (d, j) structs — the exact
+    ordering the oracle's row_number replays)."""
+    sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+    cands = []
+    for j, cw in enumerate(book):
+        cwl = F.array(*[F.lit(c) for c in cw])
+        d2 = F.aggregate(
+            F.zip_with(sub, cwl,
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cands.append(F.struct(F.round(d2, 6).alias("d"),
+                              F.lit(j).alias("j")))
+    return F.array_min(F.array(*cands))["j"]
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: List[List[List[float]]],
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              arrow: bool = False) -> DataFrame:
+    """(vec_id, codes array<int>): each vector compressed to m codes
+    (m·log2(k) bits — 64 float32 → 8 bytes at m=8,k=16, a 32×
+    compression). Two equivalent paths:
+
+    - arrow=False (default): pure JVM whole-stage-codegen expressions
+      (m·k zip_with folds per row). Right for m·k up to a few
+      hundred; beyond that the generated code bloats.
+    - arrow=True: one vectorized numpy kernel via mapInPandas for
+      big-m·k codebooks (dim 1024, k 256). The distance accumulates
+      subspace components LEFT-TO-RIGHT like the expression fold, so
+      both paths round identically (tests assert row-for-row
+      equality).
+
+    Distances are compared on round(·, 6) with lowest-j tiebreak on
+    both paths — the engine-replayable contract the DuckDB oracle
+    re-derives."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if not arrow:
+        codes = F.array(*[
+            _pq_subspace_code(vec_col, s, dsub, codebooks[s])
+            for s in range(m)])
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            codes.cast("array<int>").alias("codes"))
+
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, dsub)
+    schema = "vec_id long, codes array<int>"
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["_v"]), dtype=np.float64)
+            n = len(vecs)
+            xs = vecs.reshape(n, m, dsub)
+            # accumulate dsub terms left-to-right (matches F.aggregate)
+            d = np.zeros((n, m, k))
+            for i in range(dsub):
+                diff = xs[:, :, None, i] - cb[None, :, :, i]
+                d = d + diff * diff
+            codes = np.round(d, 6).argmin(axis=2)  # first min = low j
+            yield pd.DataFrame({
+                "vec_id": pdf["_id"].to_numpy(),
+                "codes": [c.astype("int32") for c in codes]})
+
+    return embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+        .mapInPandas(gen, schema)
+
+
+def pq_topk(embeddings: DataFrame, query_vec: Sequence[float],
+            k: int = 10, codebooks: List[List[List[float]]] = None,
+            m: int = 8, n_codes: int = 16, seed: int = 42,
+            refine: int = 0, vec_col: str = "embedding",
+            id_col: str = "vec_id", codes: DataFrame = None) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    the query stays un-quantized; the per-subspace distance from the
+    query subvector to every codeword is a DRIVER-computed m×k lookup
+    table, and each row's distance is m element_at's into literal
+    arrays summed in fixed subspace order — the scan touches ONLY the
+    8-byte code column, never the float vectors. At 10^12 vectors
+    that is the difference between a 4 TB and a 256 TB working set.
+
+    `codes` (from pq_encode, normally a materialized column) is
+    computed inline when not given. `refine` > 0 re-ranks the top
+    `refine` ADC candidates by exact cosine over the raw vectors (the
+    standard recall fix-up; touches only `refine` rows) and returns
+    (vec_id, adc, cosine) ordered by cosine; refine=0 returns
+    (vec_id, adc) ordered by ADC ascending, vec_id tiebreak."""
+    dim = len(query_vec)
+    books = codebooks or _pq_default_codebooks(dim, m, n_codes, seed)
+    m = len(books)
+    dsub = len(books[0][0])
+    if codes is None:
+        codes = pq_encode(embeddings, books, vec_col, id_col)
+    # driver-side LUT: lut[s][j] = ||q_sub - codeword||², accumulated
+    # left-to-right with explicit multiplies (x*x, never pow — libm
+    # pow(x, 2.0) is not guaranteed bit-equal) so a SQL replay using
+    # the same fold produces the same doubles
+    lut: List[List[float]] = []
+    for s, book in enumerate(books):
+        row = []
+        for cw in book:
+            acc = 0.0
+            for i in range(dsub):
+                diff = float(query_vec[s * dsub + i]) - cw[i]
+                acc += diff * diff
+            row.append(acc)
+        lut.append(row)
+    adc = F.lit(0.0)
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(v) for v in lut[s]])
+        adc = adc + F.element_at(
+            lut_arr, F.element_at(F.col("codes"), s + 1) + 1)
+    ranked = (codes.select("vec_id", F.round(adc, 6).alias("adc"))
+              .orderBy(F.asc("adc"), F.asc("vec_id")))
+    if not refine:
+        return ranked.limit(k)
+    cand = ranked.limit(refine)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("_v"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_similarity_col(F.col("_v"), q)
+    return (cand.join(e, "vec_id")
+            .select("vec_id", "adc", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
 
 
 def semdedup(embeddings: DataFrame, threshold: float = 0.95,
