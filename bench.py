@@ -226,6 +226,33 @@ def main() -> None:
     cosine_topk(emb, qv, k=10).collect()
     timings["cosine_topk"] = time.perf_counter() - t0
 
+    # PQ: encode once (expression path) + ADC top-k over inline codes
+    from xapian_spark.pipeline.similarity import (
+        pq_topk, train_pq_codebooks)
+
+    t0 = time.perf_counter()
+    books = train_pq_codebooks(emb, 64, m=8, k=16, sample=4096)
+    timings["pq_train"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pq_topk(emb, qv, k=10, codebooks=books, refine=100).collect()
+    timings["pq_topk_refine"] = time.perf_counter() - t0
+
+    # fixed-point PageRank over the synthetic host graph (8 iters,
+    # one edges⋈ranks shuffle + groupBy per iteration)
+    from xapian_spark.pipeline.graph import pagerank
+
+    n_docs_pr = docs.count()
+    edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3)
+                             .cast("int"))).alias("j"))
+        .select("src", ((F.col("src") * 37 + F.col("j") * 101 + 13)
+                        % n_docs_pr).alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    t0 = time.perf_counter()
+    pagerank(edges, iters=8).count()
+    timings["pagerank_8it"] = time.perf_counter() - t0
+
     # --- IVF recall (trained centroids + replicas=4 vs exact) ------------
     import numpy as np
 
