@@ -93,7 +93,7 @@ def child(cpus: int) -> None:
         spark.stop()
 
 
-def query_latency(cpus: int = 32, n_queries: int = 30) -> dict:
+def query_latency(cpus: int = 32, n_queries: int = 60) -> dict:
     """Parsed-text-query latency against the built index (p50/p95)."""
     from pyspark.sql import functions as F
 
@@ -120,7 +120,7 @@ def query_latency(cpus: int = 32, n_queries: int = 30) -> dict:
     # (measured: first query 6+ s, identical query shape 0.3 s warm) —
     # a serving deployment pays that once per executor lifetime, so it
     # is excluded from the per-query latency distribution
-    for i in range(3):
+    for i in range(6):
         qs = " ".join(words[(i * 53 + j * 131) % 2000]
                       for j in range(1 + i % 3))
         enq.get_mset(qp.parse_query(qs), 0, 10).collect()
