@@ -974,21 +974,13 @@ def q_pq_topk(spark, sf_dir):
 
 
 def _link_edges(spark, sf_dir):
-    """Deterministic link graph over the documents table: doc i links
-    to (i*37 + 101*j + 13) mod N for j in 0..(i mod 3), self-loops
-    dropped — the synthetic stand-in for a crawl's host graph (no
-    link column in the testdata; same derivation in the oracle)."""
+    """Deterministic link graph over the documents table — the
+    synthetic stand-in for a crawl's host graph (no link column in
+    the testdata; same derivation in the oracle's _LINK_EDGES)."""
+    from xapian_spark.pipeline.graph import synthetic_link_edges
+
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
-    return (docs
-            .select(F.col("doc_id").alias("src"),
-                    F.explode(F.sequence(
-                        F.lit(0), (F.col("doc_id") % 3).cast("int")))
-                    .alias("j"))
-            .select("src",
-                    ((F.col("src") * 37 + F.col("j") * 101 + 13) % n)
-                    .alias("dst"))
-            .filter(F.col("src") != F.col("dst")))
+    return synthetic_link_edges(docs, docs.count())
 
 
 def q_pagerank(spark, sf_dir):
@@ -3584,8 +3576,9 @@ def _pq_enc_sql(m: int = 8, k: int = 16, seed: int = 42) -> str:
     _pq_default_codebooks as the engine, embedded as repr() literals;
     per-(vec, subspace) squared L2 with the identical float32→double
     cast and left-to-right list_sum fold as the engine's
-    zip_with/aggregate (the proven _cos_sql policy); argmin on
-    round(d2, 6) with lowest-j tiebreak replayed by row_number."""
+    zip_with/aggregate (the proven _cos_sql policy) — the distances
+    are therefore bit-identical doubles and the argmin compares them
+    UNROUNDED with lowest-j tiebreak, replayed by row_number."""
     from xapian_spark.pipeline.similarity import _pq_default_codebooks
 
     books = _pq_default_codebooks(_EMB_DIM, m, k, seed)
@@ -3599,8 +3592,8 @@ WITH cb AS MATERIALIZED (FROM (VALUES
     {values}) t(s, j, cw)),
 d AS (
   SELECT e.vec_id, cb.s, cb.j,
-         round(list_sum([{diff} * {diff}
-                         for i in range(1, {dsub + 1})]), 6) AS d2
+         list_sum([{diff} * {diff}
+                   for i in range(1, {dsub + 1})]) AS d2
   FROM embeddings e CROSS JOIN cb),
 code AS MATERIALIZED (
   SELECT vec_id, s, j

@@ -239,16 +239,9 @@ def main() -> None:
 
     # fixed-point PageRank over the synthetic host graph (8 iters,
     # one edges⋈ranks shuffle + groupBy per iteration)
-    from xapian_spark.pipeline.graph import pagerank
+    from xapian_spark.pipeline.graph import pagerank, synthetic_link_edges
 
-    n_docs_pr = docs.count()
-    edges = (docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3)
-                             .cast("int"))).alias("j"))
-        .select("src", ((F.col("src") * 37 + F.col("j") * 101 + 13)
-                        % n_docs_pr).alias("dst"))
-        .filter(F.col("src") != F.col("dst")))
+    edges = synthetic_link_edges(docs, docs.count())
     t0 = time.perf_counter()
     pagerank(edges, iters=8).count()
     timings["pagerank_8it"] = time.perf_counter() - t0

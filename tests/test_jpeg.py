@@ -135,3 +135,19 @@ def test_decode_images_jpeg_pixels_close(spark):
         dec = np.frombuffer(rows[i], dtype=np.uint8).astype(int) \
             .reshape(h, w, 3)
         assert np.abs(dec - base).mean() < 5.0, i
+
+
+def test_non_interleaved_scan_rejected():
+    # an SOS selecting fewer components than the frame declares is
+    # spec-legal (multi-scan baseline) but unsupported — must raise,
+    # never silently decode with interleaved MCU geometry
+    from xapian_spark.pipeline.jpeg import decode_jpeg_rgb, encode_jpeg
+
+    w, h = 16, 16
+    px = bytes(range(256)) * 3
+    blob = bytearray(encode_jpeg(w, h, px[:w * h * 3], 3))
+    i = blob.find(b"\xff\xda")
+    assert i > 0
+    blob[i + 4] = 1  # Ns: 3 -> 1 (leave seglen; parser uses seglen)
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_rgb(bytes(blob))

@@ -69,24 +69,25 @@ def pagerank(edges: DataFrame, iters: int = 10,
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank_units"),
             F.lit(0.0).alias("rank"))
+    # outdeg is checkpointed too: the per-iteration dangling job would
+    # otherwise replay the caller's whole edge-derivation plan (and the
+    # groupBy) once per iteration through its lineage
     outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg"))
+        F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     # edges carrying their source's outdeg — reused every iteration
     ed = e.join(outdeg, "src").localCheckpoint(eager=True)
     base = ((damping_den - damping_num) * scale
             // damping_den) // n
     r = nodes.select("node",
                      F.lit(scale // n).cast("long").alias("r"))
-    has_out = outdeg.select(F.col("src").alias("node"),
-                            F.lit(True).alias("_has_out"))
+    srcs = outdeg.select(F.col("src").alias("node"))
     for _ in range(iters):
         contrib = (ed.join(r, ed.src == r.node)
                    .select(F.col("dst").alias("node"),
                            F.expr("r div outdeg").alias("c")))
         insum = contrib.groupBy("node").agg(
             F.sum("c").alias("insum"))
-        dang = (r.join(has_out, "node", "left")
-                .filter(F.col("_has_out").isNull())
+        dang = (r.join(srcs, "node", "left_anti")
                 .agg(F.coalesce(F.sum("r"), F.lit(0))
                      .cast("long").alias("dang")))
         r = (nodes.join(insum, "node", "left")
@@ -100,6 +101,25 @@ def pagerank(edges: DataFrame, iters: int = 10,
         r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("r").alias("rank_units"),
                     (F.col("r") / F.lit(float(scale))).alias("rank"))
+
+
+def synthetic_link_edges(docs: DataFrame, n_mod: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic link graph over a documents table: doc i links to
+    (37·i + 101·j + 13) mod n_mod for j in 0..(i mod 3), self-loops
+    dropped. The single Spark-side definition of the synthetic crawl
+    host graph — the driver query, bench.py, and the DuckDB oracle
+    (_LINK_EDGES in __spark_entry__.py) all replay this formula; keep
+    them in sync."""
+    return (docs
+            .select(F.col(id_col).alias("src"),
+                    F.explode(F.sequence(
+                        F.lit(0), (F.col(id_col) % 3).cast("int")))
+                    .alias("j"))
+            .select("src",
+                    ((F.col("src") * 37 + F.col("j") * 101 + 13)
+                     % n_mod).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
 
 
 def degree_stats(edges: DataFrame, src_col: str = "src",

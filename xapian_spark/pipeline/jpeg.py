@@ -234,6 +234,14 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # non-interleaved (multi-scan) baseline is spec-legal
+                # but not implemented — decoding a partial scan with
+                # interleaved MCU geometry would silently emit corrupt
+                # pixels, so refuse like every other unsupported shape
+                raise ValueError(
+                    f"JPEG: non-interleaved scan ({ns} of "
+                    f"{len(frame['comps'])} components) not supported")
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
@@ -576,7 +584,6 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
                         if t:
                             bw.write(bits, t)
                         run = 0
-                        last_nz = 0
                         nz = np.nonzero(block[1:])[0]
                         last_nz = (nz[-1] + 1) if len(nz) else 0
                         for k in range(1, last_nz + 1):

@@ -120,7 +120,13 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                     if w * h > max_pixels:
                         continue
                     w, h, px = decode_png_rgb(bytes(data))
-                elif is_jpeg(bytes(data or b"")):
+                elif is_jpeg(bytes(data or b"")) and pil is None:
+                    # pure-Python baseline path (no PIL available).
+                    # Variants the vendored codec rejects (progressive
+                    # SOF2, 12-bit, CMYK, …) raise honestly here; with
+                    # PIL installed they fall through to the PIL
+                    # branch below, which handles them (and decodes
+                    # baseline JPEGs orders of magnitude faster).
                     from xapian_spark.pipeline.jpeg import (
                         decode_jpeg_rgb, read_sof)
 

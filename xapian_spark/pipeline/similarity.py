@@ -366,9 +366,15 @@ def train_pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8,
 def _pq_subspace_code(vec_col: str, s: int, dsub: int,
                       book: List[List[float]]) -> Column:
     """Code of subspace s: argmin_j of the squared L2 distance to
-    codeword j, distances compared after round(·, 6) with ties going
-    to the lowest j (array_min over (d, j) structs — the exact
-    ordering the oracle's row_number replays).
+    codeword j, ties going to the lowest j (array_min over (d, j)
+    structs — the exact ordering the oracle's row_number replays).
+    Distances are compared UNROUNDED: every path (this expression,
+    the numpy kernel, the DuckDB replay) accumulates the dsub terms
+    left-to-right from the same float32→double casts and the same
+    codeword literals, so the doubles are bit-identical by
+    construction — rounding would only introduce a cross-engine
+    rounding-mode hazard (Spark round is HALF_UP, numpy's is
+    half-even).
 
     The expression is built as ONE SQL string: constructing 128
     zip_with/aggregate lambdas through the Python Column API costs a
@@ -385,7 +391,7 @@ def _pq_subspace_code(vec_col: str, s: int, dsub: int,
         d2 = (f"aggregate(zip_with({sub}, {cwl}, (x, c) -> "
               f"(cast(x as double) - c) * (cast(x as double) - c)), "
               f"cast(0.0 as double), (acc, v) -> acc + v)")
-        cands.append(f"named_struct('d', round({d2}, 6), 'j', {j})")
+        cands.append(f"named_struct('d', {d2}, 'j', {j})")
     return F.expr(f"array_min(array({', '.join(cands)})).j")
 
 
@@ -403,12 +409,12 @@ def pq_encode(embeddings: DataFrame,
     - arrow=True: one vectorized numpy kernel via mapInPandas for
       big-m·k codebooks (dim 1024, k 256). The distance accumulates
       subspace components LEFT-TO-RIGHT like the expression fold, so
-      both paths round identically (tests assert row-for-row
-      equality).
+      both paths produce bit-identical doubles (tests assert
+      row-for-row equality).
 
-    Distances are compared on round(·, 6) with lowest-j tiebreak on
-    both paths — the engine-replayable contract the DuckDB oracle
-    re-derives."""
+    Distances are compared UNROUNDED with lowest-j tiebreak on both
+    paths — bit-identical by matched fold order, the contract the
+    DuckDB oracle re-derives (see _pq_subspace_code)."""
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -436,7 +442,7 @@ def pq_encode(embeddings: DataFrame,
             for i in range(dsub):
                 diff = xs[:, :, None, i] - cb[None, :, :, i]
                 d = d + diff * diff
-            codes = np.round(d, 6).argmin(axis=2)  # first min = low j
+            codes = d.argmin(axis=2)  # first min = lowest-j tiebreak
             yield pd.DataFrame({
                 "vec_id": pdf["_id"].to_numpy(),
                 "codes": [c.astype("int32") for c in codes]})
@@ -466,9 +472,20 @@ def pq_topk(embeddings: DataFrame, query_vec: Sequence[float],
     (vec_id, adc, cosine) ordered by cosine; refine=0 returns
     (vec_id, adc) ordered by ADC ascending, vec_id tiebreak."""
     dim = len(query_vec)
+    if codes is not None and codebooks is None:
+        # a codes column is only meaningful with the codebooks it was
+        # encoded against — silently using the default books would
+        # build the LUT against the wrong codewords and return
+        # plausible-looking garbage
+        raise ValueError("codes= requires the codebooks it was "
+                         "encoded with (pass codebooks=)")
     books = codebooks or _pq_default_codebooks(dim, m, n_codes, seed)
     m = len(books)
     dsub = len(books[0][0])
+    if dim != m * dsub:
+        raise ValueError(
+            f"query_vec has {dim} dims but the codebooks cover "
+            f"{m} x {dsub} = {m * dsub}")
     if codes is None:
         codes = pq_encode(embeddings, books, vec_col, id_col)
     # driver-side LUT: lut[s][j] = ||q_sub - codeword||², accumulated
