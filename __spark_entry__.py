@@ -1004,6 +1004,27 @@ def q_degree_stats(spark, sf_dir):
     return degree_stats(_link_edges(spark, sf_dir))
 
 
+def q_image_neardup(spark, sf_dir):
+    """Cross-format perceptual near-dup detection: the fixture pairs
+    each textured PNG with a lossy JPEG RE-ENCODE of the same image
+    (vendored codecs both ways, no PIL); decode → 32×32-DCT pHash →
+    8-block pigeonhole join → exact hamming ≤ 7 verify recovers
+    exactly the (i, i+25) re-encode pairs — byte/md5 dedup finds none
+    of them. The oracle states the expected pair set in closed form
+    from the fixture's construction rule (the decontaminate-style
+    output oracle; pHash bit patterns themselves are pytest-verified,
+    dup≤4 vs non-dup≥22 hamming margins in tests/test_phash.py)."""
+    from xapian_spark.pipeline.multimodal import (
+        compute_phash, decode_images, image_neardup_pairs,
+        synthetic_dup_media,
+    )
+
+    media = synthetic_dup_media(spark, n_pairs=25)
+    ph = compute_phash(decode_images(media, fake=False))
+    return image_neardup_pairs(ph, max_hamming=7).select(
+        "media_id_a", "media_id_b")
+
+
 def q_embed_neardup(spark, sf_dir):
     from xapian_spark.pipeline.similarity import brute_force_pairs
 
@@ -1492,16 +1513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
-    # pagerank / degree_stats (new) + the 7 entries whose code/oracle
-    # changed in round 4 (bpe_train oracle cast, ccnet_buckets
-    # distributed selection, paragraph_dedup rebuild,
+    # pagerank / degree_stats / image_neardup (new) + the 7 entries
+    # whose code/oracle changed in round 4 (bpe_train oracle cast,
+    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
     # embed_neardup_lsh value oracle, media_decode_shape palette
     # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
-    # + 35 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 14 r02 entries that didn't fit (bm25_max, bm25_phrase,
-    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
-    # bm25_single_term, bm25_or, bm25_and, bm25_wqf, term_stats,
-    # doccount, allterms_prefix, matchall — the ones most
+    # + 34 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 15 r02 entries that didn't fit (bm25_filter, bm25_max,
+    # bm25_phrase, bm25_near, bm25_wand_or, bm25_wand_and,
+    # dedup_apply, bm25_single_term, bm25_or, bm25_and, bm25_wqf,
+    # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
     # single-term/or/and/wqf scoring and the WAND kernel,
@@ -1517,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
+        "image_neardup": q_image_neardup,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1560,9 +1582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
-        "bm25_filter": q_bm25_filter,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
         "bm25_phrase": q_bm25_phrase,
         "bm25_near": q_bm25_near,
@@ -3041,6 +3063,10 @@ SELECT vec_id, round(cosine, 6) AS cosine FROM s
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
     out["ivf_topk"] = out["cosine_topk"]
+    out["image_neardup"] = """
+SELECT i::BIGINT AS media_id_a, (i + 25)::BIGINT AS media_id_b
+FROM range(25) t(i)
+"""
     out["pq_codes"] = _pq_codes_sql()
     out["pq_topk"] = _pq_topk_sql()
     out["pagerank"] = _pagerank_sql(iters=8)

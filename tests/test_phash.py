@@ -1,0 +1,72 @@
+"""Perceptual-hash image dedup: cross-format (PNG vs JPEG re-encode)
+near-dup detection that byte hashes cannot see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xapian_spark.pipeline.multimodal import (
+    compute_phash, decode_images, image_neardup_pairs,
+    synthetic_dup_media,
+)
+
+N_PAIRS = 12
+
+
+@pytest.fixture(scope="module")
+def phashes(spark):
+    media = synthetic_dup_media(spark, n_pairs=N_PAIRS)
+    ph = compute_phash(decode_images(media, fake=False)).persist()
+    ph.count()
+    return ph
+
+
+def test_cross_format_pairs_exact(phashes):
+    got = sorted(
+        (r["media_id_a"], r["media_id_b"])
+        for r in image_neardup_pairs(phashes, max_hamming=7).collect())
+    assert got == [(i, i + N_PAIRS) for i in range(N_PAIRS)]
+
+
+def test_dup_hamming_small_nondup_large(phashes):
+    rows = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in phashes.collect()}
+
+    def ham(a, b):
+        x = (a[0] ^ b[0]) & 0xFFFFFFFF
+        y = (a[1] ^ b[1]) & 0xFFFFFFFF
+        return bin(x).count("1") + bin(y).count("1")
+
+    for i in range(N_PAIRS):
+        assert ham(rows[i], rows[i + N_PAIRS]) <= 7, i
+    for i in range(N_PAIRS):
+        for j in range(i + 1, N_PAIRS):
+            assert ham(rows[i], rows[j]) > 7, (i, j)
+
+
+def test_phash_deterministic(spark, phashes):
+    media = synthetic_dup_media(spark, n_pairs=N_PAIRS)
+    again = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+             for r in compute_phash(
+                 decode_images(media, fake=False)).collect()}
+    first = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+             for r in phashes.collect()}
+    assert again == first
+
+
+def test_identical_pixels_hash_equal(spark):
+    # same decoded pixels → identical hash (hamming 0), whatever id
+    from xapian_spark.pipeline.multimodal import synthetic_png_media
+
+    media = synthetic_png_media(spark, 1)
+    dec = decode_images(media, fake=False)
+    two = dec.union(dec.withColumn("media_id", F.lit(99).cast("long")))
+    rows = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in compute_phash(two).collect()}
+    assert rows[0] == rows[99]
+
+
+def test_parameter_validation(phashes):
+    with pytest.raises(ValueError):
+        image_neardup_pairs(phashes, max_hamming=8)
+    with pytest.raises(ValueError):
+        compute_phash(phashes, hash_size=4)

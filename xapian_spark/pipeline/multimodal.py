@@ -160,6 +160,176 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
         .mapInPandas(gen, schema)
 
 
+def compute_phash(decoded: DataFrame, hash_size: int = 8,
+                  dct_size: int = 32) -> DataFrame:
+    """Perceptual hash (classic DCT pHash) over DECODED pixels
+    (the output of decode_images — the two mapInPandas stages chain
+    narrowly, pixels never shuffle): luma → area-mean resize to
+    dct_size² → 2-D DCT-II → the hash_size² lowest-frequency
+    coefficients → bit i = coef_i > median (DC excluded from the
+    median). Returns (media_id, phash_hi INT, phash_lo INT) — the
+    64-bit sketch split like simhash so the same pigeonhole block
+    join applies. Deterministic float64 numpy throughout; robust to
+    re-encoding (a JPEG of the same image hashes within a few bits —
+    the cross-format near-dup signal exact byte hashes cannot see)."""
+    if hash_size * hash_size != 64:
+        raise ValueError("phash is a 64-bit sketch: hash_size must be 8")
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("phash_hi", IntegerType(), False),
+        StructField("phash_lo", IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = dct_size
+        # DCT-II basis (orthonormal): D[k] = a_k cos(pi (2x+1) k / 2n)
+        x = np.arange(n)
+        basis = np.cos(np.pi * (2 * x[None, :] + 1)
+                       * x[:, None] / (2 * n))
+        basis[0] *= np.sqrt(1.0 / n)
+        basis[1:] *= np.sqrt(2.0 / n)
+
+        def resize_mean(g: "np.ndarray") -> "np.ndarray":
+            h, w = g.shape
+            ys = (np.arange(n + 1) * h) // n
+            xs = (np.arange(n + 1) * w) // n
+            out = np.empty((n, n))
+            for i in range(n):
+                rows = g[ys[i]:max(ys[i + 1], ys[i] + 1)]
+                for j in range(n):
+                    out[i, j] = rows[
+                        :, xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+            return out
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                w, h = int(w), int(h)
+                arr = np.frombuffer(bytes(px), dtype=np.uint8)
+                if len(arr) == w * h * 3:
+                    rgb = arr.reshape(h, w, 3).astype(np.float64)
+                    # ITU-R BT.601 luma
+                    g = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                         + 0.114 * rgb[:, :, 2])
+                else:  # grayscale payload
+                    g = arr[:w * h].reshape(h, w).astype(np.float64)
+                d = basis @ resize_mean(g) @ basis.T
+                low = d[:hash_size, :hash_size].flatten()
+                med = np.median(low[1:])  # DC excluded
+                bits = 0
+                for i, v in enumerate(low):
+                    if v > med:
+                        bits |= 1 << i
+                ids.append(int(mid))
+                # two SIGNED 32-bit halves (the simhash convention)
+                his.append(int(np.int32(np.uint32(bits >> 32))))
+                los.append(int(np.int32(np.uint32(bits & 0xFFFFFFFF))))
+            yield pd.DataFrame({"media_id": ids, "phash_hi": his,
+                                "phash_lo": los})
+
+    return decoded.select("media_id", "width", "height", "pixels") \
+        .mapInPandas(gen, schema)
+
+
+def image_neardup_pairs(phashes: DataFrame,
+                        max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate image pairs by pHash hamming distance ≤
+    max_hamming: candidates from an 8×8-bit pigeonhole block join
+    (hamming ≤ 7 over 8 blocks ⇒ at least one block identical — a
+    key-equality join, never a cross product), verified with the
+    exact bit_count distance. (media_id_a < media_id_b, hamming)."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            "pigeonhole over 8 blocks needs max_hamming in [0, 7]; "
+            "use more/smaller blocks for a looser threshold")
+    blocks = phashes.select(
+        "media_id", "phash_hi", "phash_lo",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("block"),
+                (F.shiftright(F.col(c), off) % F.lit(1 << 8))
+                .alias("key"))
+            for bi, (c, off) in enumerate(
+                [("phash_lo", 0), ("phash_lo", 8),
+                 ("phash_lo", 16), ("phash_lo", 24),
+                 ("phash_hi", 0), ("phash_hi", 8),
+                 ("phash_hi", 16), ("phash_hi", 24)])
+        ])).alias("b"),
+    ).select("media_id", "phash_hi", "phash_lo", "b.block", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            (F.bit_count(
+                F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+             + F.bit_count(
+                 F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
+             ).alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def synthetic_dup_media(spark, n_pairs: int = 25,
+                        quality: int = 90) -> DataFrame:
+    """2·n_pairs IMAGE_SCHEMA rows for cross-format near-dup tests:
+    row i < n_pairs is a textured PNG; row i + n_pairs is the SAME
+    image re-encoded as a baseline JPEG (quality `quality`) — byte
+    hashes can never pair them, pHash must. Textures are md5-seeded
+    8×8 block patterns (distinct images differ in ~half their pHash
+    bits; a lossy re-encode of the same image differs in ≤ a few)."""
+    from xapian_spark.pipeline.jpeg import encode_jpeg
+    from xapian_spark.pipeline.png import encode_png
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def texture(seed: int, w: int, h: int) -> "np.ndarray":
+            cells = np.empty(((h + 7) // 8, (w + 7) // 8))
+            for cy in range(cells.shape[0]):
+                for cx in range(cells.shape[1]):
+                    hsh = hashlib.md5(
+                        f"tex-{seed}-{cy}-{cx}".encode()).digest()
+                    cells[cy, cx] = hsh[0]
+            return np.kron(cells, np.ones((8, 8)))[:h, :w]
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i % n_pairs
+                w = 32 + (base % 2) * 16
+                h = 32 + (base % 3) * 8
+                g = texture(base, w, h)
+                rgb = np.stack(
+                    [g, np.roll(g, 3, axis=1), 255.0 - g],
+                    axis=-1).astype(np.uint8)
+                if i < n_pairs:
+                    blob = encode_png(w, h, rgb.tobytes(), 3)
+                    mime = "image/png"
+                else:
+                    blob = encode_jpeg(w, h, rgb.tobytes(), 3,
+                                       quality=quality)
+                    mime = "image/jpeg"
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/dup{i}",
+                    "mime": mime, "width": w, "height": h,
+                    "data": blob})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return spark.range(2 * n_pairs).mapInPandas(gen, IMAGE_SCHEMA)
+
+
 def image_features(images: DataFrame, dim: int = 16,
                    fake: bool = True) -> DataFrame:
     """(media_id, feature ARRAY<FLOAT>[dim]) — the embed step of a
