@@ -896,6 +896,34 @@ def q_letor_rank(spark, sf_dir):
         "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_svm_rank(spark, sf_dir):
+    """Linear SVR ranker end-to-end (svmranker.cc:112-170 re-expressed
+    primal — documented optimizer divergence, letor.py:284): the same
+    rounded features and doc_id % 3 labels as q_letor_rank, 8
+    subgradient steps (lr=0.05, C=1, ε=0.1), score with the learned
+    linear function. The oracle replays the identical unrolled steps
+    over the collapsed 6-feature dot (same algebra as letor_rank:
+    duplicated body/whole features keep equal weights under the
+    subgradient AND the L2 term, title features stay 0)."""
+    import numpy as np
+
+    from xapian_spark.query.letor import (N_FEATURES, extract_features,
+                                          rank_with_model, svmrank_train)
+
+    feats = extract_features(_index(spark, sf_dir), ["batch", "scan"])
+    feats = feats.select(
+        "doc_id", *[F.round(f"f{i}", 6).alias(f"f{i}")
+                    for i in range(1, N_FEATURES + 1)])
+    pdf = feats.orderBy("doc_id").toPandas()
+    X = pdf[[f"f{i}" for i in range(1, N_FEATURES + 1)]] \
+        .to_numpy(dtype=np.float64)
+    labels = (pdf["doc_id"] % 3).to_numpy(dtype=np.float64)
+    params = svmrank_train([(X, labels)], learning_rate=0.05,
+                           iterations=8)
+    return rank_with_model(feats, params, maxitems=20).select(
+        "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_geo_nearest(spark, sf_dir):
     """LatLongDistanceKeyMaker: 10 nearest docs to Paris."""
     from xapian_spark.query.geospatial import distance_key_sort
@@ -1513,15 +1541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
-    # pagerank / degree_stats / image_neardup (new) + the 7 entries
-    # whose code/oracle changed in round 4 (bpe_train oracle cast,
-    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
-    # embed_neardup_lsh value oracle, media_decode_shape palette
-    # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
-    # + 34 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 15 r02 entries that didn't fit (bm25_filter, bm25_max,
-    # bm25_phrase, bm25_near, bm25_wand_or, bm25_wand_and,
-    # dedup_apply, bm25_single_term, bm25_or, bm25_and, bm25_wqf,
+    # pagerank / degree_stats / image_neardup / svm_rank (new) + the
+    # 7 entries whose code/oracle changed in round 4 (bpe_train
+    # oracle cast, ccnet_buckets distributed selection,
+    # paragraph_dedup rebuild, embed_neardup_lsh value oracle,
+    # media_decode_shape palette fixture, bm25_batch ops_by_id,
+    # neardup_clusters max_iter guard) + 33 of the 49 entries whose
+    # last row is CORRECTNESS_r02. The 16 r02 entries that didn't fit
+    # (bm25_xor, bm25_filter, bm25_max, bm25_phrase, bm25_near,
+    # bm25_wand_or, bm25_wand_and, dedup_apply, bm25_single_term,
+    # bm25_or, bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
@@ -1539,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
         "image_neardup": q_image_neardup,
+        "svm_rank": q_svm_rank,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1581,9 +1611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_weight": q_scale_weight,
         "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
-        "bm25_xor": q_bm25_xor,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
         "bm25_phrase": q_bm25_phrase,
@@ -3023,6 +3053,7 @@ SELECT doc_id, round(f3, 6) AS f3, round(f6, 6) AS f6,
 FROM perdoc CROSS JOIN consts c
 """
     out["letor_rank"] = _letor_rank_sql()
+    out["svm_rank"] = _svm_rank_sql()
     _GEO = """
 WITH geo AS (
   SELECT doc_id,
@@ -3507,6 +3538,10 @@ WHERE ('0x' || substring(md5('42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
     return out
 
 
+_LETOR_KS = (3, 6, 9, 12, 15, 18)
+_LETOR_DOT = "2*(" + " + ".join(f"v{j} * f{j}" for j in _LETOR_KS) + ")"
+
+
 def _letor_rank_sql(n_iters: int = 5, lr: float = 0.1,
                     k: int = 20) -> str:
     """Unrolled ListNet replay for q_letor_rank: the same rounded
@@ -3515,12 +3550,12 @@ def _letor_rank_sql(n_iters: int = 5, lr: float = 0.1,
     shared body/whole weights (dot = 2*Σ v·f — see q_letor_rank's
     docstring for why the 19-feature dot collapses), final score
     rounded to 6, top-k by (score desc, doc_id)."""
-    ks = (3, 6, 9, 12, 15, 18)
+    ks = _LETOR_KS
     # each step references it{k-1} (and feat2) exactly ONCE — multiple
     # references make DuckDB inline the whole upstream tree per use,
     # which goes exponential over 5 chained steps; the softmax total
     # is a sum() OVER () window instead of a second aggregate CTE
-    dot = "2*(" + " + ".join(f"v{j} * f{j}" for j in ks) + ")"
+    dot = _LETOR_DOT
     steps = ["it0 AS (SELECT " + ", ".join(f"0.0 v{j}" for j in ks)
              + ")"]
     for s in range(1, n_iters + 1):
@@ -3535,6 +3570,60 @@ it{s} AS (
     FROM (SELECT f.*, i.* FROM feat2 f CROSS JOIN it{s - 1} i) t
   ))""")
     return f"""{_BM25_PRELUDE}
+{_LETOR_FEAT_SQL}
+feat2 AS (
+  SELECT *, exp(y) / sum(exp(y)) OVER () AS pt FROM feat),
+{",".join(steps)}
+SELECT doc_id, round(s, 6) AS score
+FROM (SELECT f.doc_id, {dot} AS s
+      FROM feat2 f CROSS JOIN it{n_iters} i) z
+ORDER BY s DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _svm_rank_sql(n_iters: int = 8, lr: float = 0.05, c: float = 1.0,
+                  eps: float = 0.1, k: int = 20) -> str:
+    """Unrolled primal-SVR replay for q_svm_rank (letor.py
+    svmrank_train): per step over the collapsed 6-feature dot,
+      e      = dot - y                       (per doc)
+      grad_j = v_j/(C·n) + Σ sign(e)·[|e|>ε]·f_j / n
+      v_j   ← v_j − lr·grad_j
+    — the same duplicated-feature algebra as _letor_rank_sql (equal
+    weights stay equal under both the data term and the L2 term;
+    title features stay 0 from a 0 init)."""
+    ks = _LETOR_KS
+    dot = _LETOR_DOT
+    steps = ["nct AS (SELECT count(*)::DOUBLE AS n FROM feat)",
+             "it0 AS (SELECT " + ", ".join(f"0.0 v{j}" for j in ks)
+             + ")"]
+    for s in range(1, n_iters + 1):
+        grads = ",\n         ".join(
+            f"any_value(v{j}) - {lr} * (any_value(v{j}) / ({c} * "
+            f"any_value(n)) + sum(CASE WHEN abs(e) > {eps} THEN "
+            f"(CASE WHEN e > 0 THEN 1.0 ELSE -1.0 END) * f{j} "
+            f"ELSE 0.0 END) / any_value(n)) AS v{j}"
+            for j in ks)
+        steps.append(f"""
+it{s} AS (
+  SELECT {grads}
+  FROM (SELECT f.*, i.*, nc.n, ({dot}) - y AS e
+        FROM feat f CROSS JOIN it{s - 1} i CROSS JOIN nct nc) t
+  )""")
+    return f"""{_BM25_PRELUDE}
+{_LETOR_FEAT_SQL}
+{",".join(steps)}
+SELECT doc_id, round(s, 6) AS score
+FROM (SELECT f.doc_id, {dot} AS s
+      FROM feat f CROSS JOIN it{n_iters} i) z
+ORDER BY s DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# the rounded 6-feature block shared by the letor_rank / svm_rank
+# oracles (ends with `feat`, trailing comma for the caller's next CTE)
+_LETOR_FEAT_SQL = """
 , qs AS (
   SELECT term, tf, cf,
          log10(greatest(g.n // (1 + tf), 1e-300)) AS idf
@@ -3567,16 +3656,7 @@ feat AS (
          round(f15, 6) AS f15, round(f18, 6) AS f18,
          (doc_id % 3)::DOUBLE AS y
   FROM perdoc
-),
-feat2 AS (
-  SELECT *, exp(y) / sum(exp(y)) OVER () AS pt FROM feat),
-{",".join(steps)}
-SELECT doc_id, round(s, 6) AS score
-FROM (SELECT f.doc_id, {dot} AS s
-      FROM feat2 f CROSS JOIN it{n_iters} i) z
-ORDER BY s DESC, doc_id ASC
-LIMIT {k}
-"""
+),"""
 
 
 _EMB_DIM = 64  # every sf's embeddings.parquet (TESTDATA.md)
