@@ -924,6 +924,17 @@ def q_svm_rank(spark, sf_dir):
         "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_snippet(spark, sf_dir):
+    """Result-page snippets (query/snippet.py): best line per doc by
+    query-term hits, matched words wrapped in <b></b>. Exact semantics
+    by design (line split, punctuation-stripped lowercase word match,
+    whitespace-normalized rejoin) so the oracle replays the full
+    string pipeline with the same regexes."""
+    from xapian_spark.query.snippet import generate_snippets
+
+    return generate_snippets(_docs(spark, sf_dir), ["batch", "scan"])
+
+
 def q_geo_nearest(spark, sf_dir):
     """LatLongDistanceKeyMaker: 10 nearest docs to Paris."""
     from xapian_spark.query.geospatial import distance_key_sort
@@ -1541,16 +1552,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
-    # pagerank / degree_stats / image_neardup / svm_rank (new) + the
-    # 7 entries whose code/oracle changed in round 4 (bpe_train
-    # oracle cast, ccnet_buckets distributed selection,
+    # pagerank / degree_stats / image_neardup / svm_rank / snippet
+    # (new) + the 7 entries whose code/oracle changed in round 4
+    # (bpe_train oracle cast, ccnet_buckets distributed selection,
     # paragraph_dedup rebuild, embed_neardup_lsh value oracle,
     # media_decode_shape palette fixture, bm25_batch ops_by_id,
-    # neardup_clusters max_iter guard) + 33 of the 49 entries whose
-    # last row is CORRECTNESS_r02. The 16 r02 entries that didn't fit
-    # (bm25_xor, bm25_filter, bm25_max, bm25_phrase, bm25_near,
-    # bm25_wand_or, bm25_wand_and, dedup_apply, bm25_single_term,
-    # bm25_or, bm25_and, bm25_wqf,
+    # neardup_clusters max_iter guard) + 32 of the 49 entries whose
+    # last row is CORRECTNESS_r02. The 17 r02 entries that didn't fit
+    # (bm25_and_maybe, bm25_xor, bm25_filter, bm25_max, bm25_phrase,
+    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
+    # bm25_single_term, bm25_or, bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
@@ -1569,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "image_neardup": q_image_neardup,
         "svm_rank": q_svm_rank,
+        "snippet": q_snippet,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1610,9 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
         "bm25_and_not": q_bm25_and_not,
-        "bm25_and_maybe": q_bm25_and_maybe,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
         "bm25_max": q_bm25_max,
@@ -3054,6 +3066,32 @@ FROM perdoc CROSS JOIN consts c
 """
     out["letor_rank"] = _letor_rank_sql()
     out["svm_rank"] = _svm_rank_sql()
+    _SNIP_NORM = ("regexp_replace(lower(w), "
+                  "'^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')")
+    _SNIP_MATCH = f"list_contains(['batch', 'scan'], {_SNIP_NORM})"
+    out["snippet"] = f"""
+WITH ls AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\r?\\n') AS ls
+  FROM documents),
+lines AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM ls),
+scored AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line,
+         len(list_filter(string_split(ls[i], ' '),
+                         w -> {_SNIP_MATCH})) AS n_hits
+  FROM lines),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_hits DESC, idx) AS rk
+  FROM scored)
+SELECT doc_id, n_hits::INT AS n_hits,
+       array_to_string(
+         list_transform(string_split(line, ' '),
+           w -> CASE WHEN {_SNIP_MATCH}
+                     THEN '<b>' || w || '</b>' ELSE w END),
+         ' ') AS snippet
+FROM best WHERE rk = 1 AND n_hits > 0
+"""
     _GEO = """
 WITH geo AS (
   SELECT doc_id,
