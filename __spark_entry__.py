@@ -896,6 +896,30 @@ def q_letor_rank(spark, sf_dir):
         "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_image_semdedup(spark, sf_dir):
+    """Fully REAL image pipeline end-to-end: decode (vendored PNG +
+    JPEG codecs) → DCT-descriptor embedding (image_dct_features — no
+    model stub, genuine low-frequency luma signal, DC dropped) →
+    SemDeDup at cosine 0.9. Over the PNG↔JPEG re-encode fixture the
+    expected keep set is closed-form (originals keep, re-encodes
+    drop; measured margins cosine ≥ 0.9999 within pairs vs ≤ 0.74
+    across — tests/test_phash.py). One cell: the fixture is 50 rows;
+    production supplies ivf_assign cells exactly as text semdedup
+    does."""
+    from xapian_spark.pipeline.multimodal import (
+        decode_images, image_dct_features, synthetic_dup_media,
+    )
+    from xapian_spark.pipeline.similarity import semdedup
+
+    media = synthetic_dup_media(spark, n_pairs=25)
+    feats = image_dct_features(decode_images(media, fake=False))
+    cells = feats.select(F.col("media_id").alias("vec_id"),
+                         F.lit(0).alias("cell"))
+    return semdedup(feats, threshold=0.9, cells=cells,
+                    vec_col="feature", id_col="media_id") \
+        .select(F.col("vec_id").alias("media_id"), "keep")
+
+
 def q_svm_rank(spark, sf_dir):
     """Linear SVR ranker end-to-end (svmranker.cc:112-170 re-expressed
     primal — documented optimizer divergence, letor.py:284): the same
@@ -1552,16 +1576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
-    # pagerank / degree_stats / image_neardup / svm_rank / snippet
-    # (new) + the 7 entries whose code/oracle changed in round 4
-    # (bpe_train oracle cast, ccnet_buckets distributed selection,
-    # paragraph_dedup rebuild, embed_neardup_lsh value oracle,
-    # media_decode_shape palette fixture, bm25_batch ops_by_id,
-    # neardup_clusters max_iter guard) + 32 of the 49 entries whose
-    # last row is CORRECTNESS_r02. The 17 r02 entries that didn't fit
-    # (bm25_and_maybe, bm25_xor, bm25_filter, bm25_max, bm25_phrase,
-    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
-    # bm25_single_term, bm25_or, bm25_and, bm25_wqf,
+    # pagerank / degree_stats / image_neardup / svm_rank / snippet /
+    # image_semdedup (new) + the 7 entries whose code/oracle changed
+    # in round 4 (bpe_train oracle cast, ccnet_buckets distributed
+    # selection, paragraph_dedup rebuild, embed_neardup_lsh value
+    # oracle, media_decode_shape palette fixture, bm25_batch
+    # ops_by_id, neardup_clusters max_iter guard) + 31 of the 49
+    # entries whose last row is CORRECTNESS_r02. The 18 r02 entries
+    # that didn't fit (bm25_and_not, bm25_and_maybe, bm25_xor,
+    # bm25_filter, bm25_max, bm25_phrase, bm25_near, bm25_wand_or,
+    # bm25_wand_and, dedup_apply, bm25_single_term, bm25_or,
+    # bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
@@ -1581,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "svm_rank": q_svm_rank,
         "snippet": q_snippet,
+        "image_semdedup": q_image_semdedup,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1621,9 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
-        "bm25_and_not": q_bm25_and_not,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
         "bm25_filter": q_bm25_filter,
@@ -3135,6 +3161,9 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
     out["image_neardup"] = """
 SELECT i::BIGINT AS media_id_a, (i + 25)::BIGINT AS media_id_b
 FROM range(25) t(i)
+"""
+    out["image_semdedup"] = """
+SELECT i::BIGINT AS media_id, (i < 25) AS keep FROM range(50) t(i)
 """
     out["pq_codes"] = _pq_codes_sql()
     out["pq_topk"] = _pq_topk_sql()

@@ -70,3 +70,36 @@ def test_parameter_validation(phashes):
         image_neardup_pairs(phashes, max_hamming=8)
     with pytest.raises(ValueError):
         compute_phash(phashes, hash_size=4)
+
+
+def test_dct_features_separate_and_semdedup(spark):
+    # fully real pipeline: decode -> DCT descriptor -> SemDeDup keeps
+    # originals, drops re-encodes
+    import numpy as np
+
+    from xapian_spark.pipeline.multimodal import image_dct_features
+    from xapian_spark.pipeline.similarity import semdedup
+
+    media = synthetic_dup_media(spark, n_pairs=N_PAIRS)
+    feats = image_dct_features(
+        decode_images(media, fake=False)).persist()
+    V = {r["media_id"]: np.array(r["feature"], dtype=np.float64)
+         for r in feats.collect()}
+    for i in range(N_PAIRS):
+        assert float(V[i] @ V[i + N_PAIRS]) > 0.99, i
+        for j in range(i + 1, N_PAIRS):
+            assert float(V[i] @ V[j]) < 0.9, (i, j)
+    cells = feats.selectExpr("media_id AS vec_id", "0 AS cell")
+    keeps = {r["vec_id"]: r["keep"]
+             for r in semdedup(feats, threshold=0.9, cells=cells,
+                               vec_col="feature",
+                               id_col="media_id").collect()}
+    assert all(keeps[i] == (i < N_PAIRS) for i in range(2 * N_PAIRS))
+
+
+def test_dct_features_dim_validation(spark):
+    from xapian_spark.pipeline.multimodal import image_dct_features
+
+    media = synthetic_dup_media(spark, n_pairs=2)
+    with pytest.raises(ValueError):
+        image_dct_features(decode_images(media, fake=False), dim=15)

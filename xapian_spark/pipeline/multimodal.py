@@ -235,6 +235,74 @@ def compute_phash(decoded: DataFrame, hash_size: int = 8,
         .mapInPandas(gen, schema)
 
 
+def image_dct_features(decoded: DataFrame, dim: int = 16,
+                       dct_size: int = 32) -> DataFrame:
+    """REAL image embeddings (no model, no stub): the √dim×√dim
+    lowest-frequency block of the 2-D DCT over the area-mean-resized
+    luma, L2-normalized — the classic pre-learned-era image descriptor
+    (and exactly the signal pHash thresholds into bits). Deterministic
+    float64 numpy; (media_id, feature ARRAY<FLOAT>[dim]). Chains
+    narrowly after decode_images like compute_phash, and feeds every
+    embedding op downstream (cosine_topk, semdedup, lsh, pq) with
+    vec_col='feature', id_col='media_id' — a fully real
+    decode→embed→dedup image pipeline."""
+    side = int(dim ** 0.5)
+    if side * side != dim:
+        raise ValueError(f"dim must be a perfect square, got {dim}")
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = dct_size
+        x = np.arange(n)
+        basis = np.cos(np.pi * (2 * x[None, :] + 1)
+                       * x[:, None] / (2 * n))
+        basis[0] *= np.sqrt(1.0 / n)
+        basis[1:] *= np.sqrt(2.0 / n)
+
+        def resize_mean(g: "np.ndarray") -> "np.ndarray":
+            h, w = g.shape
+            ys = (np.arange(n + 1) * h) // n
+            xs = (np.arange(n + 1) * w) // n
+            out = np.empty((n, n))
+            for i in range(n):
+                rows = g[ys[i]:max(ys[i + 1], ys[i] + 1)]
+                for j in range(n):
+                    out[i, j] = rows[
+                        :, xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+            return out
+
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                w, h = int(w), int(h)
+                arr = np.frombuffer(bytes(px), dtype=np.uint8)
+                if len(arr) == w * h * 3:
+                    rgb = arr.reshape(h, w, 3).astype(np.float64)
+                    g = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                         + 0.114 * rgb[:, :, 2])
+                else:
+                    g = arr[:w * h].reshape(h, w).astype(np.float64)
+                d = basis @ resize_mean(g) @ basis.T
+                v = d[:side, :side].flatten()
+                v[0] = 0.0  # drop DC: brightness must not dominate
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    v = v / norm
+                ids.append(int(mid))
+                feats.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return decoded.select("media_id", "width", "height", "pixels") \
+        .mapInPandas(gen, schema)
+
+
 def image_neardup_pairs(phashes: DataFrame,
                         max_hamming: int = 7) -> DataFrame:
     """Near-duplicate image pairs by pHash hamming distance ≤
