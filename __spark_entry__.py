@@ -920,6 +920,26 @@ def q_image_semdedup(spark, sf_dir):
         .select(F.col("vec_id").alias("media_id"), "keep")
 
 
+def q_budget_mixture(spark, sf_dir):
+    """Token-budget water-filling (heuristics.py budget_mixture_alloc
+    + apply): budget = 2× the corpus n_chars total, max 3 epochs per
+    domain — with the testdata's en-heavy skew the small domains cap
+    out and release surplus, exercising the multi-round path. All
+    integer arithmetic, so the oracle's 6 unrolled rounds replay the
+    allocation BIT-exactly (the fixed-point-PageRank design); the
+    fractional-epoch md5 predicate replays like mixture_sample's."""
+    from xapian_spark.pipeline.heuristics import (
+        apply_budget_mixture, budget_mixture_alloc,
+    )
+
+    docs = _docs(spark, sf_dir)
+    total = docs.agg(F.sum("n_chars").cast("long")).head()[0]
+    alloc = budget_mixture_alloc(docs, budget=2 * int(total),
+                                 max_epochs=3)
+    return apply_budget_mixture(docs, alloc).select(
+        "doc_id", "lang", "epoch")
+
+
 def q_svm_rank(spark, sf_dir):
     """Linear SVR ranker end-to-end (svmranker.cc:112-170 re-expressed
     primal — documented optimizer divergence, letor.py:284): the same
@@ -1577,16 +1597,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
     # pagerank / degree_stats / image_neardup / svm_rank / snippet /
-    # image_semdedup (new) + the 7 entries whose code/oracle changed
-    # in round 4 (bpe_train oracle cast, ccnet_buckets distributed
-    # selection, paragraph_dedup rebuild, embed_neardup_lsh value
-    # oracle, media_decode_shape palette fixture, bm25_batch
-    # ops_by_id, neardup_clusters max_iter guard) + 31 of the 49
-    # entries whose last row is CORRECTNESS_r02. The 18 r02 entries
-    # that didn't fit (bm25_and_not, bm25_and_maybe, bm25_xor,
-    # bm25_filter, bm25_max, bm25_phrase, bm25_near, bm25_wand_or,
-    # bm25_wand_and, dedup_apply, bm25_single_term, bm25_or,
-    # bm25_and, bm25_wqf,
+    # image_semdedup / budget_mixture (new) + the 7 entries whose
+    # code/oracle changed in round 4 (bpe_train oracle cast,
+    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
+    # embed_neardup_lsh value oracle, media_decode_shape palette
+    # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
+    # + 30 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 19 r02 entries that didn't fit (scale_weight, bm25_and_not,
+    # bm25_and_maybe, bm25_xor, bm25_filter, bm25_max, bm25_phrase,
+    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
+    # bm25_single_term, bm25_or, bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
@@ -1607,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svm_rank": q_svm_rank,
         "snippet": q_snippet,
         "image_semdedup": q_image_semdedup,
+        "budget_mixture": q_budget_mixture,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1646,9 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eset_bo1": q_eset_bo1,
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
-        "scale_weight": q_scale_weight,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "scale_weight": q_scale_weight,
         "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
         "bm25_xor": q_bm25_xor,
@@ -3165,6 +3186,7 @@ FROM range(25) t(i)
     out["image_semdedup"] = """
 SELECT i::BIGINT AS media_id, (i < 25) AS keep FROM range(50) t(i)
 """
+    out["budget_mixture"] = _budget_mixture_sql()
     out["pq_codes"] = _pq_codes_sql()
     out["pq_topk"] = _pq_topk_sql()
     out["pagerank"] = _pagerank_sql(iters=8)
@@ -3603,6 +3625,51 @@ WHERE ('0x' || substring(md5('42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
 """
     out["embed_neardup_lsh"] = _lsh_neardup_sql()
     return out
+
+
+def _budget_mixture_sql(rounds: int = 6, max_epochs: int = 3,
+                        seed: int = 42) -> str:
+    """Unrolled integer water-filling replay for q_budget_mixture:
+    every round gives each open domain least(rem // n_open, cap −
+    alloc) — pure int64, bit-exact vs the driver loop. A share of 0
+    makes later rounds no-ops, exactly like the Python break.
+    MATERIALIZED on the multiply-referenced per-round tables."""
+    parts = [f"""
+WITH c AS MATERIALIZED (
+  SELECT lang AS domain, sum(n_chars)::BIGINT AS t
+  FROM documents GROUP BY 1),
+a0 AS MATERIALIZED (SELECT domain, t, 0::BIGINT AS alloc FROM c),
+r0 AS (SELECT (2 * (SELECT sum(t) FROM c))::BIGINT AS rem)"""]
+    for k in range(rounds):
+        parts.append(f"""
+s{k} AS (SELECT count(*) FILTER (WHERE alloc < {max_epochs} * t)
+           AS n_open FROM a{k}),
+g{k} AS MATERIALIZED (
+  SELECT a.domain, a.t, a.alloc,
+         CASE WHEN a.alloc < {max_epochs} * a.t AND s.n_open > 0
+              THEN least((SELECT rem FROM r{k}) // s.n_open,
+                         {max_epochs} * a.t - a.alloc)
+              ELSE 0 END AS give
+  FROM a{k} a CROSS JOIN s{k} s),
+a{k + 1} AS MATERIALIZED (
+  SELECT domain, t, alloc + give AS alloc FROM g{k}),
+r{k + 1} AS (SELECT ((SELECT rem FROM r{k})
+                     - (SELECT sum(give) FROM g{k}))::BIGINT AS rem)""")
+    return ",".join(parts) + f"""
+, e AS (
+  SELECT d.doc_id, d.lang, (a.alloc // a.t) AS eps,
+         CASE WHEN ('0x' || substring(
+                      md5('{seed}:' || d.doc_id::VARCHAR), 1, 8)
+                   )::BIGINT
+                   < (a.alloc % a.t)::DOUBLE / a.t::DOUBLE
+                     * 4294967296.0
+              THEN 1 ELSE 0 END AS extra
+  FROM documents d JOIN a{rounds} a ON d.lang = a.domain
+  WHERE a.t > 0)
+SELECT doc_id, lang, ep::INT AS epoch
+FROM (SELECT doc_id, lang, unnest(range(0, eps + extra)) AS ep
+      FROM e WHERE eps + extra > 0) z
+"""
 
 
 _LETOR_KS = (3, 6, 9, 12, 15, 18)

@@ -71,3 +71,81 @@ def test_plan_no_shuffle(spark):
     assert "Exchange" not in plan
     # "*(1)" is the whole-stage-codegen span marker in toString()
     assert "*(1)" in plan
+
+
+# --------------------------------------------------------------------------
+# token-budget water-filling (heuristics.budget_mixture_alloc / apply)
+# --------------------------------------------------------------------------
+
+def _py_waterfill(doms, budget, max_epochs, rounds=6):
+    alloc = {d: 0 for d, _ in doms}
+    caps = {d: max_epochs * t for d, t in doms}
+    rem = budget
+    for _ in range(rounds):
+        open_ = [d for d, _ in doms if alloc[d] < caps[d]]
+        if not open_ or rem <= 0:
+            break
+        share = rem // len(open_)
+        if share == 0:
+            break
+        for d in open_:
+            give = min(share, caps[d] - alloc[d])
+            alloc[d] += give
+            rem -= give
+    return alloc
+
+
+def test_budget_waterfill_caps_and_exactness(spark):
+    from xapian_spark.pipeline.heuristics import budget_mixture_alloc
+
+    rows = [(i, "big" if i < 80 else "small", 100) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+    # budget 4x total with max 3 epochs: small caps out, big absorbs
+    alloc = budget_mixture_alloc(docs, budget=40_000, max_epochs=3)
+    got = {d: a for d, _t, a in alloc}
+    want = _py_waterfill([("big", 8000), ("small", 2000)], 40_000, 3)
+    assert got == want
+    assert got["small"] == 6000            # capped at 3 epochs
+    assert got["big"] == 24000             # capped too (3 * 8000)
+    # epoch caps bound every domain: alloc <= 3t
+    for d, t, a in alloc:
+        assert a <= 3 * t
+
+
+def test_budget_apply_epoch_counts(spark):
+    from xapian_spark.pipeline.heuristics import (
+        apply_budget_mixture, budget_mixture_alloc)
+
+    rows = [(i, "only", 10) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+    # budget = 2.5 epochs: every doc twice + ~half a third time
+    alloc = budget_mixture_alloc(docs, budget=1250, max_epochs=4)
+    out = apply_budget_mixture(docs, alloc)
+    assert out.columns == ["lang", "doc_id", "n_chars", "epoch"]
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(
+                   __import__("pyspark.sql.functions",
+                              fromlist=["count"]).count("*").alias("n")
+               ).collect()}
+    assert all(v in (2, 3) for v in per_doc.values())
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    assert 10 <= n3 <= 40  # ~half, md5-deterministic
+    # deterministic: same output both runs
+    again = apply_budget_mixture(docs, alloc)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
+def test_budget_validation(spark):
+    import pytest as _pytest
+
+    from xapian_spark.pipeline.heuristics import budget_mixture_alloc
+
+    docs = spark.createDataFrame(
+        [(1, "x", 5)], "doc_id long, lang string, n_chars long")
+    with _pytest.raises(ValueError):
+        budget_mixture_alloc(docs, budget=-1)
+    with _pytest.raises(ValueError):
+        budget_mixture_alloc(docs, budget=10, max_epochs=0)

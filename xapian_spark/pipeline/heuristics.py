@@ -312,6 +312,90 @@ def mixture_sample(docs: DataFrame, domain_col: str = "lang",
     )
 
 
+def budget_mixture_alloc(docs: DataFrame, budget: int,
+                         max_epochs: int = 4,
+                         domain_col: str = "lang",
+                         unit_col: str = "n_chars",
+                         rounds: int = 6):
+    """Allocate a training-token budget across domains by INTEGER
+    water-filling: every open (un-capped) domain receives an equal
+    integer share of the remaining budget each round, clipped at its
+    repeat cap max_epochs·T_d; capped domains release their surplus
+    to the rest (the standard way a 1T-token run is planned over
+    domains of very different sizes with an up-sampling limit). All
+    arithmetic is int64 floor division — like fixed-point PageRank,
+    the result is byte-identical across engines, so the DuckDB
+    oracle replays it exactly. A few units of budget can remain
+    unallocated when the remainder no longer splits (share rounds to
+    0) — deterministic, bounded by n_domains·rounds.
+
+    The per-domain totals are a tiny aggregate collected to the
+    driver (|domains| rows — the IVF-trainer pattern); the loop runs
+    at most `rounds` passes and extra passes are no-ops once the
+    share reaches 0. Returns [(domain, t_units, alloc_units)] sorted
+    by domain."""
+    if budget < 0 or max_epochs < 1:
+        raise ValueError("need budget >= 0 and max_epochs >= 1")
+    rows = (docs.groupBy(domain_col)
+            .agg(F.sum(unit_col).cast("long").alias("t"))
+            .collect())
+    doms = sorted((r[domain_col], int(r["t"])) for r in rows)
+    alloc = {d: 0 for d, _t in doms}
+    caps = {d: max_epochs * t for d, t in doms}
+    remaining = int(budget)
+    for _ in range(rounds):
+        open_ = [d for d, _t in doms if alloc[d] < caps[d]]
+        if not open_ or remaining <= 0:
+            break
+        share = remaining // len(open_)
+        if share == 0:
+            break
+        for d in open_:
+            give = min(share, caps[d] - alloc[d])
+            alloc[d] += give
+            remaining -= give
+    return [(d, t, alloc[d]) for d, t in doms]
+
+
+def apply_budget_mixture(docs: DataFrame, alloc,
+                         seed: int = 42,
+                         domain_col: str = "lang",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Materialize a budget allocation as (row, epoch) training
+    instances: every doc of domain d appears floor(alloc_d/T_d) times
+    (full epochs) plus once more iff its md5 bucket falls under the
+    fractional remainder — deterministic per (seed, id), stable
+    across runs/partitioning/appends like every sampler here. The
+    allocation table is broadcast; the corpus side never shuffles
+    (scan → broadcast join → filter → explode). In DOC expectation
+    the sampled unit share equals alloc_d/T_d exactly; per-doc unit
+    weighting is the upstream unit_col's business.
+
+    `alloc` is budget_mixture_alloc's output. Returns the input rows
+    with an extra `epoch` column (0-based)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    table = [(d, int(a) // int(t),
+              float((int(a) % int(t)) / int(t) * _M))
+             for d, t, a in alloc if int(t) > 0]
+    # pandas → Arrow → LocalRelation: a parallelized driver LIST would
+    # pay defaultParallelism Python-worker round-trips per action (the
+    # round-3 tiny-write trap)
+    adf = spark.createDataFrame(
+        pd.DataFrame(table, columns=[domain_col, "_epochs", "_fr"]),
+        f"{domain_col} string, _epochs long, _fr double")
+    joined = docs.join(F.broadcast(adf), domain_col)
+    n = (F.col("_epochs")
+         + (_bucket(F.col(id_col), seed) < F.col("_fr")).cast("long"))
+    return (joined
+            .withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), (F.col("_n") - 1).cast("int"))))
+            .drop("_epochs", "_fr", "_n"))
+
+
 def line_stats(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document line-duplication and line-shape statistics — the
