@@ -103,3 +103,32 @@ def test_dct_features_dim_validation(spark):
     media = synthetic_dup_media(spark, n_pairs=2)
     with pytest.raises(ValueError):
         image_dct_features(decode_images(media, fake=False), dim=15)
+
+
+def test_high_bit_hamming_regression(spark):
+    # bit 31 / bit 63 differences must count as hamming 1 each — a
+    # signed-int32 representation sign-extends under bit_count
+    # (bit_count(-1::INT) = 64) and flips pigeonhole block keys under
+    # shiftright/%, silently dropping true near-dups
+    rows = [
+        (1, 0x00000000, 0x00000000),
+        (2, 0x00000000, 0x80000000),  # differs in bit 31 only
+        (3, 0x80000000, 0x00000000),  # differs in bit 63 only
+        (4, 0xFFFFFFFF, 0xFFFFFFFF),  # all bits set: far from 1/2/3
+    ]
+    ph = spark.createDataFrame(
+        rows, "media_id long, phash_hi long, phash_lo long")
+    got = sorted((r["media_id_a"], r["media_id_b"], r["hamming"])
+                 for r in image_neardup_pairs(ph, max_hamming=2)
+                 .collect())
+    assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
+
+
+def test_budget_alloc_null_domain_excluded(spark):
+    from xapian_spark.pipeline.heuristics import budget_mixture_alloc
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 10), (3, "de", 10)],
+        "doc_id long, lang string, n_chars long")
+    alloc = budget_mixture_alloc(docs, budget=40, max_epochs=2)
+    assert [d for d, _t, _a in alloc] == ["de", "en"]

@@ -339,7 +339,11 @@ def budget_mixture_alloc(docs: DataFrame, budget: int,
     rows = (docs.groupBy(domain_col)
             .agg(F.sum(unit_col).cast("long").alias("t"))
             .collect())
-    doms = sorted((r[domain_col], int(r["t"])) for r in rows)
+    # NULL domains can never receive allocation (apply's equi-join
+    # drops them) — exclude them here too instead of crashing sorted()
+    # on a None/str comparison
+    doms = sorted((r[domain_col], int(r["t"])) for r in rows
+                  if r[domain_col] is not None)
     alloc = {d: 0 for d, _t in doms}
     caps = {d: max_epochs * t for d, t in doms}
     remaining = int(budget)

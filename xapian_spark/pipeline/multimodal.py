@@ -160,74 +160,97 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
         .mapInPandas(gen, schema)
 
 
+def _dct_basis(n):
+    """Orthonormal DCT-II basis: D[k] = a_k cos(pi (2x+1) k / 2n).
+    Shared by compute_phash and image_dct_features — the descriptor
+    is documented as exactly the signal pHash thresholds into bits,
+    so there must be ONE definition."""
+    import numpy as np
+
+    x = np.arange(n)
+    basis = np.cos(np.pi * (2 * x[None, :] + 1) * x[:, None] / (2 * n))
+    basis[0] *= np.sqrt(1.0 / n)
+    basis[1:] *= np.sqrt(2.0 / n)
+    return basis
+
+
+def _resize_mean(g, n: int):
+    """Area-mean resize to n×n with floor-division block boundaries
+    (degenerate blocks when a side < n read the single boundary
+    row/col). Vectorized: np.add.reduceat over the boundary arrays —
+    a duplicate boundary yields exactly the single-element slice the
+    per-block mean wants — instead of n² interpreted slice reductions
+    per image (the decode→embed hot path)."""
+    import numpy as np
+
+    h, w = g.shape
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    rc = np.maximum(np.diff(ys), 1).astype(np.float64)
+    cc = np.maximum(np.diff(xs), 1).astype(np.float64)
+    sums = np.add.reduceat(
+        np.add.reduceat(g, ys[:-1], axis=0), xs[:-1], axis=1)
+    return sums / (rc[:, None] * cc[None, :])
+
+
+def _luma(arr, w: int, h: int):
+    """Decoded pixel bytes → float64 grayscale (BT.601 luma for RGB
+    payloads, identity for single-channel)."""
+    if len(arr) == w * h * 3:
+        rgb = arr.reshape(h, w, 3).astype("float64")
+        return (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2])
+    return arr[:w * h].reshape(h, w).astype("float64")
+
+
 def compute_phash(decoded: DataFrame, hash_size: int = 8,
                   dct_size: int = 32) -> DataFrame:
     """Perceptual hash (classic DCT pHash) over DECODED pixels
     (the output of decode_images — the two mapInPandas stages chain
     narrowly, pixels never shuffle): luma → area-mean resize to
     dct_size² → 2-D DCT-II → the hash_size² lowest-frequency
-    coefficients → bit i = coef_i > median (DC excluded from the
-    median). Returns (media_id, phash_hi INT, phash_lo INT) — the
-    64-bit sketch split like simhash so the same pigeonhole block
-    join applies. Deterministic float64 numpy throughout; robust to
-    re-encoding (a JPEG of the same image hashes within a few bits —
-    the cross-format near-dup signal exact byte hashes cannot see)."""
+    coefficients → bit i = AC coef_i > median of the AC coefficients
+    (the DC coefficient is excluded from the median AND carries no
+    bit — it exceeds the AC median for any non-degenerate image, so
+    hashing it would waste a constant bit and skew block 0's key
+    distribution; bit 0 is always 0). Returns (media_id,
+    phash_hi BIGINT, phash_lo BIGINT) — NON-NEGATIVE 32-bit halves,
+    the simhash convention: signed int32 halves would sign-extend
+    under bit_count (bit_count(-1::INT) = 64) and flip block-key
+    signs under shiftright/%, silently dropping true near-dups.
+    Deterministic float64 numpy throughout; robust to re-encoding
+    (a JPEG of the same image hashes within a few bits — the
+    cross-format near-dup signal exact byte hashes cannot see)."""
     if hash_size * hash_size != 64:
         raise ValueError("phash is a 64-bit sketch: hash_size must be 8")
     schema = StructType([
         StructField("media_id", LongType(), False),
-        StructField("phash_hi", IntegerType(), False),
-        StructField("phash_lo", IntegerType(), False),
+        StructField("phash_hi", LongType(), False),
+        StructField("phash_lo", LongType(), False),
     ])
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        n = dct_size
-        # DCT-II basis (orthonormal): D[k] = a_k cos(pi (2x+1) k / 2n)
-        x = np.arange(n)
-        basis = np.cos(np.pi * (2 * x[None, :] + 1)
-                       * x[:, None] / (2 * n))
-        basis[0] *= np.sqrt(1.0 / n)
-        basis[1:] *= np.sqrt(2.0 / n)
-
-        def resize_mean(g: "np.ndarray") -> "np.ndarray":
-            h, w = g.shape
-            ys = (np.arange(n + 1) * h) // n
-            xs = (np.arange(n + 1) * w) // n
-            out = np.empty((n, n))
-            for i in range(n):
-                rows = g[ys[i]:max(ys[i + 1], ys[i] + 1)]
-                for j in range(n):
-                    out[i, j] = rows[
-                        :, xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
-            return out
-
+        basis = _dct_basis(dct_size)
         for pdf in batches:
             ids, his, los = [], [], []
             for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
                                      pdf["height"], pdf["pixels"]):
                 w, h = int(w), int(h)
                 arr = np.frombuffer(bytes(px), dtype=np.uint8)
-                if len(arr) == w * h * 3:
-                    rgb = arr.reshape(h, w, 3).astype(np.float64)
-                    # ITU-R BT.601 luma
-                    g = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
-                         + 0.114 * rgb[:, :, 2])
-                else:  # grayscale payload
-                    g = arr[:w * h].reshape(h, w).astype(np.float64)
-                d = basis @ resize_mean(g) @ basis.T
+                g = _luma(arr, w, h)
+                d = basis @ _resize_mean(g, dct_size) @ basis.T
                 low = d[:hash_size, :hash_size].flatten()
-                med = np.median(low[1:])  # DC excluded
+                med = np.median(low[1:])  # AC coefficients only
                 bits = 0
                 for i, v in enumerate(low):
-                    if v > med:
+                    if i and v > med:
                         bits |= 1 << i
                 ids.append(int(mid))
-                # two SIGNED 32-bit halves (the simhash convention)
-                his.append(int(np.int32(np.uint32(bits >> 32))))
-                los.append(int(np.int32(np.uint32(bits & 0xFFFFFFFF))))
+                his.append(int(bits >> 32))
+                los.append(int(bits & 0xFFFFFFFF))
             yield pd.DataFrame({"media_id": ids, "phash_hi": his,
                                 "phash_lo": los})
 
@@ -258,38 +281,15 @@ def image_dct_features(decoded: DataFrame, dim: int = 16,
         import numpy as np
         import pandas as pd
 
-        n = dct_size
-        x = np.arange(n)
-        basis = np.cos(np.pi * (2 * x[None, :] + 1)
-                       * x[:, None] / (2 * n))
-        basis[0] *= np.sqrt(1.0 / n)
-        basis[1:] *= np.sqrt(2.0 / n)
-
-        def resize_mean(g: "np.ndarray") -> "np.ndarray":
-            h, w = g.shape
-            ys = (np.arange(n + 1) * h) // n
-            xs = (np.arange(n + 1) * w) // n
-            out = np.empty((n, n))
-            for i in range(n):
-                rows = g[ys[i]:max(ys[i + 1], ys[i] + 1)]
-                for j in range(n):
-                    out[i, j] = rows[
-                        :, xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
-            return out
-
+        basis = _dct_basis(dct_size)
         for pdf in batches:
             ids, feats = [], []
             for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
                                      pdf["height"], pdf["pixels"]):
                 w, h = int(w), int(h)
                 arr = np.frombuffer(bytes(px), dtype=np.uint8)
-                if len(arr) == w * h * 3:
-                    rgb = arr.reshape(h, w, 3).astype(np.float64)
-                    g = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
-                         + 0.114 * rgb[:, :, 2])
-                else:
-                    g = arr[:w * h].reshape(h, w).astype(np.float64)
-                d = basis @ resize_mean(g) @ basis.T
+                g = _luma(arr, w, h)
+                d = basis @ _resize_mean(g, dct_size) @ basis.T
                 v = d[:side, :side].flatten()
                 v[0] = 0.0  # drop DC: brightness must not dominate
                 norm = np.linalg.norm(v)
