@@ -920,6 +920,14 @@ def q_image_semdedup(spark, sf_dir):
         .select(F.col("vec_id").alias("media_id"), "keep")
 
 
+def q_dedup_report(spark, sf_dir):
+    """Exact-dup cluster-size histogram (pipeline/dedup.py
+    dedup_report) — the corpus duplication dashboard."""
+    from xapian_spark.pipeline.dedup import dedup_report
+
+    return dedup_report(_docs(spark, sf_dir))
+
+
 def q_budget_mixture(spark, sf_dir):
     """Token-budget water-filling (heuristics.py budget_mixture_alloc
     + apply): budget = 2× the corpus n_chars total, max 3 epochs per
@@ -1597,16 +1605,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
     # pagerank / degree_stats / image_neardup / svm_rank / snippet /
-    # image_semdedup / budget_mixture (new) + the 7 entries whose
-    # code/oracle changed in round 4 (bpe_train oracle cast,
-    # ccnet_buckets distributed selection, paragraph_dedup rebuild,
-    # embed_neardup_lsh value oracle, media_decode_shape palette
-    # fixture, bm25_batch ops_by_id, neardup_clusters max_iter guard)
-    # + 30 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 19 r02 entries that didn't fit (scale_weight, bm25_and_not,
-    # bm25_and_maybe, bm25_xor, bm25_filter, bm25_max, bm25_phrase,
-    # bm25_near, bm25_wand_or, bm25_wand_and, dedup_apply,
-    # bm25_single_term, bm25_or, bm25_and, bm25_wqf,
+    # image_semdedup / budget_mixture / dedup_report (new) + the 7
+    # entries whose code/oracle changed in round 4 (bpe_train oracle
+    # cast, ccnet_buckets distributed selection, paragraph_dedup
+    # rebuild, embed_neardup_lsh value oracle, media_decode_shape
+    # palette fixture, bm25_batch ops_by_id, neardup_clusters
+    # max_iter guard)
+    # + 29 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 20 r02 entries that didn't fit (value_range, scale_weight,
+    # bm25_and_not, bm25_and_maybe, bm25_xor, bm25_filter, bm25_max,
+    # bm25_phrase, bm25_near, bm25_wand_or, bm25_wand_and,
+    # dedup_apply, bm25_single_term, bm25_or, bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
@@ -1628,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet": q_snippet,
         "image_semdedup": q_image_semdedup,
         "budget_mixture": q_budget_mixture,
+        "dedup_report": q_dedup_report,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1666,9 +1676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
         "phrase_window": q_phrase_window,
-        "value_range": q_value_range,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "value_range": q_value_range,
         "scale_weight": q_scale_weight,
         "bm25_and_not": q_bm25_and_not,
         "bm25_and_maybe": q_bm25_and_maybe,
@@ -3187,6 +3197,19 @@ FROM range(25) t(i)
 SELECT i::BIGINT AS media_id, (i < 25) AS keep FROM range(50) t(i)
 """
     out["budget_mixture"] = _budget_mixture_sql()
+    out["dedup_report"] = """
+WITH fp AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents),
+sizes AS (SELECT f, count(*)::BIGINT AS cluster_size
+          FROM fp GROUP BY f),
+tot AS (SELECT count(*)::BIGINT AS total FROM documents)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       round((cluster_size * count(*))::DOUBLE
+             / (SELECT total FROM tot), 6) AS pct_docs
+FROM sizes GROUP BY cluster_size
+"""
     out["pq_codes"] = _pq_codes_sql()
     out["pq_topk"] = _pq_topk_sql()
     out["pagerank"] = _pagerank_sql(iters=8)

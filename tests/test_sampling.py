@@ -149,3 +149,20 @@ def test_budget_validation(spark):
         budget_mixture_alloc(docs, budget=-1)
     with _pytest.raises(ValueError):
         budget_mixture_alloc(docs, budget=10, max_epochs=0)
+
+
+def test_dedup_report_histogram(spark):
+    from xapian_spark.pipeline.dedup import dedup_report
+
+    rows = ([(i, "unique text %d" % i) for i in range(6)]
+            + [(10 + i, "dup A") for i in range(3)]
+            + [(20 + i, "dup  a  ") for i in range(2)]  # → 'dup a'
+            + [(30 + i, "pair") for i in range(2)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"],
+                               r["pct_docs"])
+           for r in dedup_report(docs).collect()}
+    # 'dup A' x3 and 'dup  a  ' x2 normalize to the same 'dup a' -> 5
+    assert got[5] == (1, 5, round(5 / 13, 6))
+    assert got[2] == (1, 2, round(2 / 13, 6))
+    assert got[1] == (6, 6, round(6 / 13, 6))

@@ -394,6 +394,31 @@ def deduplicate_exact(docs: DataFrame, text_col: str = "text",
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def dedup_report(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus duplication report — the dashboard number a curation run
+    is judged by: the histogram of exact-duplicate cluster sizes.
+    (cluster_size, n_clusters, n_docs, pct_docs): n_docs =
+    cluster_size · n_clusters, pct_docs = that share of the corpus
+    (rounded to 6). Two aggregations over the md5 fingerprint (one
+    shuffle each, both with map-side combine); the corpus total rides
+    in as a broadcast 1-row aggregate, so the plan stays fully lazy
+    and never collects."""
+    fp = F.md5(_norm_text(text_col))
+    sizes = (docs.select(fp.alias("fp"))
+             .groupBy("fp").agg(F.count(F.lit(1)).alias("cluster_size")))
+    total = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_total"))
+    n_docs = (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "cluster_size", "n_clusters",
+                n_docs.alias("n_docs"),
+                F.round(n_docs / F.col("_total"), 6).alias("pct_docs")))
+
+
 def deduplicate_minhash(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         num_hashes: int = 32, bands: int = 8,
