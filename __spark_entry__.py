@@ -920,6 +920,20 @@ def q_image_semdedup(spark, sf_dir):
         .select(F.col("vec_id").alias("media_id"), "keep")
 
 
+def q_audio_stats(spark, sf_dir):
+    """REAL audio decode end-to-end: the fixture writes genuine
+    RIFF/PCM WAV blobs over a deterministic integer waveform
+    (pipeline/wav.py, stdlib struct — no audio library), decode_audio
+    parses them, audio_stats computes exact integer signals (peak,
+    sum of squares, floor-div duration) — the oracle replays the
+    waveform formula and matches BIT-exactly."""
+    from xapian_spark.pipeline.multimodal import (
+        audio_stats, decode_audio, synthetic_wav_media,
+    )
+
+    return audio_stats(decode_audio(synthetic_wav_media(spark, 50)))
+
+
 def q_dedup_report(spark, sf_dir):
     """Exact-dup cluster-size histogram (pipeline/dedup.py
     dedup_report) — the corpus duplication dashboard."""
@@ -1605,22 +1619,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 window: wand_batch (never recorded) + letor_rank /
     # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
     # pagerank / degree_stats / image_neardup / svm_rank / snippet /
-    # image_semdedup / budget_mixture / dedup_report (new) + the 7
-    # entries whose code/oracle changed in round 4 (bpe_train oracle
-    # cast, ccnet_buckets distributed selection, paragraph_dedup
-    # rebuild, embed_neardup_lsh value oracle, media_decode_shape
-    # palette fixture, bm25_batch ops_by_id, neardup_clusters
-    # max_iter guard)
-    # + 29 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 20 r02 entries that didn't fit (value_range, scale_weight,
-    # bm25_and_not, bm25_and_maybe, bm25_xor, bm25_filter, bm25_max,
-    # bm25_phrase, bm25_near, bm25_wand_or, bm25_wand_and,
-    # dedup_apply, bm25_single_term, bm25_or, bm25_and, bm25_wqf,
+    # image_semdedup / budget_mixture / dedup_report / audio_stats
+    # (new) + the 7 entries whose code/oracle changed in round 4
+    # (bpe_train oracle cast, ccnet_buckets distributed selection,
+    # paragraph_dedup rebuild, embed_neardup_lsh value oracle,
+    # media_decode_shape palette fixture, bm25_batch ops_by_id,
+    # neardup_clusters max_iter guard)
+    # + 28 of the 49 entries whose last row is CORRECTNESS_r02. The
+    # 21 r02 entries that didn't fit (phrase_window, value_range,
+    # scale_weight, bm25_and_not, bm25_and_maybe, bm25_xor,
+    # bm25_filter, bm25_max, bm25_phrase, bm25_near, bm25_wand_or,
+    # bm25_wand_and, dedup_apply, bm25_single_term, bm25_or,
+    # bm25_and, bm25_wqf,
     # term_stats, doccount, allterms_prefix, matchall — the ones most
     # transitively covered by windowed rows: curate replays
     # dedup-apply, bm25_batch/wand_batch rows replay the
     # single-term/or/and/wqf scoring and the WAND kernel,
-    # phrase_window covers the positional path, and the stats
+    # segment_phrase covers the positional path, and the stats
     # queries are metadata-only) head the round-5 window.
     return {
         # (1) never driver-recorded
@@ -1638,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_semdedup": q_image_semdedup,
         "budget_mixture": q_budget_mixture,
         "dedup_report": q_dedup_report,
+        "audio_stats": q_audio_stats,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1675,9 +1691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets_lang": q_facets_lang,
         "eset_trad": q_eset_trad,
         "eset_bo1": q_eset_bo1,
-        "phrase_window": q_phrase_window,
         # ---- 50-entry artifact window ends here ----
         # r02-green entries that didn't fit (first in the r05 window)
+        "phrase_window": q_phrase_window,
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
         "bm25_and_not": q_bm25_and_not,
@@ -3197,6 +3213,19 @@ FROM range(25) t(i)
 SELECT i::BIGINT AS media_id, (i < 25) AS keep FROM range(50) t(i)
 """
     out["budget_mixture"] = _budget_mixture_sql()
+    out["audio_stats"] = """
+WITH p AS (SELECT i, (400 + (i % 5) * 40)::BIGINT AS nf,
+                  (1 + (i % 2))::INT AS ch
+           FROM range(50) t(i)),
+u AS (SELECT i, nf, ch, unnest(range(nf * ch)) AS t FROM p),
+s AS (SELECT i, nf, ch, ((7 * i + 13 * t) % 4001 - 2000) AS v FROM u)
+SELECT i::BIGINT AS media_id, 8000::INT AS sample_rate,
+       any_value(ch)::INT AS channels,
+       any_value(nf)::BIGINT AS n_frames,
+       (any_value(nf) * 1000 // 8000)::INT AS duration_ms,
+       max(abs(v))::INT AS peak, sum(v * v)::BIGINT AS sum_sq
+FROM s GROUP BY i
+"""
     out["dedup_report"] = """
 WITH fp AS (
   SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f

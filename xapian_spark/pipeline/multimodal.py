@@ -398,6 +398,115 @@ def synthetic_dup_media(spark, n_pairs: int = 25,
     return spark.range(2 * n_pairs).mapInPandas(gen, IMAGE_SCHEMA)
 
 
+def decode_audio(audio: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM blobs (pipeline/wav.py —
+    stdlib struct, no audio library): (media_id, sample_rate,
+    channels, n_frames, samples BINARY int16-LE interleaved).
+    Non-WAV/compressed codecs raise honestly, the image-codec
+    contract. Narrow mapInPandas; downstream stats/feature stages
+    chain without a shuffle."""
+    from xapian_spark.pipeline.wav import decode_wav
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("samples", BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "sample_rate": [], "channels": [],
+                    "n_frames": [], "samples": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rate, ch, pcm = decode_wav(bytes(data or b""))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(len(pcm) // (2 * ch))
+                rows["samples"].append(pcm)
+            yield pd.DataFrame(rows)
+
+    return audio.select("media_id", "data").mapInPandas(gen, schema)
+
+
+def audio_stats(decoded: DataFrame) -> DataFrame:
+    """Exact integer stats over decoded PCM — the audio-curation
+    filter signals (clipping/silence/length): (media_id, sample_rate,
+    channels, n_frames, duration_ms, peak, sum_sq). All integer
+    (duration by floor division, sum of squares in int64), so a
+    deterministic fixture replays bit-exactly in SQL."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("duration_ms", IntegerType(), False),
+        StructField("peak", IntegerType(), False),
+        StructField("sum_sq", LongType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, rate, ch, nf, pcm in zip(
+                    pdf["media_id"], pdf["sample_rate"],
+                    pdf["channels"], pdf["n_frames"], pdf["samples"]):
+                s = np.frombuffer(bytes(pcm), dtype="<i2") \
+                    .astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(rate))
+                rows["channels"].append(int(ch))
+                rows["n_frames"].append(int(nf))
+                rows["duration_ms"].append(
+                    int(nf) * 1000 // int(rate))
+                rows["peak"].append(
+                    int(np.abs(s).max()) if len(s) else 0)
+                rows["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(gen, schema)
+
+
+def synthetic_wav_media(spark, n: int) -> DataFrame:
+    """AUDIO_SCHEMA rows whose `data` blobs are REAL RIFF/PCM WAVs
+    over a deterministic integer waveform — sample t of clip i is
+    ((7i + 13t) mod 4001) − 2000 over n_frames·channels interleaved
+    values, n_frames = 400 + (i mod 5)·40, rate 8000, channels
+    1 + (i mod 2). Pure integers, so the audio_stats oracle replays
+    peak / sum-of-squares EXACTLY in SQL."""
+    from xapian_spark.pipeline.wav import encode_wav
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 400 + (i % 5) * 40
+                ch = 1 + (i % 2)
+                t = np.arange(nf * ch, dtype=np.int64)
+                s = ((7 * i + 13 * t) % 4001 - 2000).astype("<i2")
+                blob = encode_wav(8000, ch, s.tobytes())
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/a{i}.wav",
+                    "mime": "audio/wav", "sample_rate": 8000,
+                    "duration_ms": nf * 1000 // 8000, "data": blob,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 def image_features(images: DataFrame, dim: int = 16,
                    fake: bool = True) -> DataFrame:
     """(media_id, feature ARRAY<FLOAT>[dim]) — the embed step of a
