@@ -934,6 +934,23 @@ def q_audio_stats(spark, sf_dir):
     return audio_stats(decode_audio(synthetic_wav_media(spark, 50)))
 
 
+def q_audio_adpcm(spark, sf_dir):
+    """COMPRESSED audio decode end-to-end: the fixture writes genuine
+    IMA ADPCM WAV blobs (format 17, 4-bit, block headers + nibble
+    words — pipeline/wav.py, stdlib struct), decode_audio expands
+    them through the public IMA step tables, audio_stats computes
+    exact integer signals. ADPCM is lossy but pure deterministic
+    integer arithmetic, so the oracle replays the fused
+    encode→decode state machine per (clip, channel) in a recursive
+    SQL CTE over the same spec tables and matches BIT-exactly —
+    an independent replay, not a literal dump."""
+    from xapian_spark.pipeline.multimodal import (
+        audio_stats, decode_audio, synthetic_adpcm_media,
+    )
+
+    return audio_stats(decode_audio(synthetic_adpcm_media(spark, 20)))
+
+
 def q_dedup_report(spark, sf_dir):
     """Exact-dup cluster-size histogram (pipeline/dedup.py
     dedup_report) — the corpus duplication dashboard."""
@@ -1654,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mixture": q_budget_mixture,
         "dedup_report": q_dedup_report,
         "audio_stats": q_audio_stats,
+        "audio_adpcm": q_audio_adpcm,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -3226,6 +3244,7 @@ SELECT i::BIGINT AS media_id, 8000::INT AS sample_rate,
        max(abs(v))::INT AS peak, sum(v * v)::BIGINT AS sum_sq
 FROM s GROUP BY i
 """
+    out["audio_adpcm"] = _audio_adpcm_sql()
     out["dedup_report"] = """
 WITH fp AS (
   SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
@@ -3679,6 +3698,83 @@ WHERE ('0x' || substring(md5('42:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
     return out
 
 
+def _audio_adpcm_sql(n: int = 20, spb: int = 65) -> str:
+    """Independent SQL replay of the IMA ADPCM decode for
+    q_audio_adpcm. Because the encoder runs the DECODE update after
+    every nibble (so encoder/decoder state never drift), the decoded
+    sample stream is a closed deterministic state machine over the
+    INPUT samples: at block boundaries pred := input (the block
+    header), otherwise quantize the delta to a nibble and apply the
+    spec's step/index update. The recursive CTE walks frame index t
+    per (clip, channel) with state (pred, idx); `pred` after each
+    step IS the decoded sample. Tables are the public IMA spec
+    constants (pipeline/wav.py cites the same source). Recursion
+    depth = max n_frames (455); width = Σ channels (30 rows/level)."""
+    steps = ("7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,"
+             "45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,"
+             "209,230,253,279,307,337,371,408,449,494,544,598,658,"
+             "724,796,876,963,1060,1166,1282,1411,1552,1707,1878,"
+             "2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,"
+             "5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,"
+             "15289,16818,18500,20350,22385,24623,27086,29794,32767")
+    idxt = "-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8"
+    return f"""
+WITH RECURSIVE
+p AS (SELECT i::BIGINT AS i, ({spb}*(4 + i%4))::BIGINT AS nf,
+             (1 + i%2)::BIGINT AS ch FROM range({n}) t(i)),
+chans AS (SELECT i, nf, ch, unnest(range(ch)) AS c FROM p),
+s AS (
+  SELECT i, nf, ch, c, 0::BIGINT AS t,
+         ((7*i + 13*c) % 4001 - 2000)::BIGINT AS pred,
+         0::BIGINT AS idx
+  FROM chans
+  UNION ALL
+  SELECT i, nf, ch, c, t,
+         CASE WHEN t % {spb} = 0 THEN v
+              ELSE greatest(-32768, least(32767,
+                   pred + CASE WHEN sgn = 8 THEN -dd ELSE dd END))
+         END AS pred,
+         CASE WHEN t % {spb} = 0 THEN idx
+              ELSE greatest(0, least(88,
+                   idx + list_value({idxt})[nib + 1]))
+         END AS idx
+  FROM (
+    SELECT *, (sgn + b4 + b2 + b1)::BIGINT AS nib,
+           ((stp // 8) + b1 * (stp // 4) + (b2 // 2) * (stp // 2)
+            + (b4 // 4) * stp)::BIGINT AS dd
+    FROM (
+      SELECT *, CASE WHEN a2 >= (stp // 4) THEN 1 ELSE 0 END AS b1
+      FROM (
+        SELECT *, (a1 - (b2 // 2) * (stp // 2))::BIGINT AS a2
+        FROM (
+          SELECT *,
+                 CASE WHEN a1 >= (stp // 2) THEN 2 ELSE 0 END AS b2
+          FROM (
+            SELECT *, (a0 - (b4 // 4) * stp)::BIGINT AS a1
+            FROM (
+              SELECT *, CASE WHEN a0 >= stp THEN 4 ELSE 0 END AS b4
+              FROM (
+                SELECT i, nf, ch, c, s.t + 1 AS t, pred, idx,
+                       ((7*i + 13*((s.t+1)*ch + c)) % 4001
+                        - 2000)::BIGINT AS v,
+                       list_value({steps})[idx + 1]::BIGINT AS stp,
+                       CASE WHEN ((7*i + 13*((s.t+1)*ch + c)) % 4001
+                                  - 2000) - pred < 0
+                            THEN 8 ELSE 0 END AS sgn,
+                       abs(((7*i + 13*((s.t+1)*ch + c)) % 4001
+                            - 2000) - pred)::BIGINT AS a0
+                FROM s WHERE s.t + 1 < s.nf)))))))
+)
+SELECT i AS media_id, 8000::INT AS sample_rate,
+       any_value(ch)::INT AS channels,
+       any_value(nf)::BIGINT AS n_frames,
+       (any_value(nf) * 1000 // 8000)::INT AS duration_ms,
+       max(abs(pred))::INT AS peak,
+       sum(pred * pred)::BIGINT AS sum_sq
+FROM s GROUP BY i
+"""
+
+
 def _budget_mixture_sql(rounds: int = 6, max_epochs: int = 3,
                         seed: int = 42) -> str:
     """Unrolled integer water-filling replay for q_budget_mixture:
@@ -3689,7 +3785,7 @@ def _budget_mixture_sql(rounds: int = 6, max_epochs: int = 3,
     parts = [f"""
 WITH c AS MATERIALIZED (
   SELECT lang AS domain, sum(n_chars)::BIGINT AS t
-  FROM documents GROUP BY 1),
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
 a0 AS MATERIALIZED (SELECT domain, t, 0::BIGINT AS alloc FROM c),
 r0 AS (SELECT (2 * (SELECT sum(t) FROM c))::BIGINT AS rem)"""]
     for k in range(rounds):

@@ -507,6 +507,42 @@ def synthetic_wav_media(spark, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
 
 
+def synthetic_adpcm_media(spark, n: int) -> DataFrame:
+    """AUDIO_SCHEMA rows whose `data` blobs are REAL IMA ADPCM WAVs
+    (format 17, 4-bit — pipeline/wav.py) over the same deterministic
+    integer waveform as synthetic_wav_media, with n_frames =
+    65·(4 + i mod 4) (whole 65-sample blocks, so the decoder emits
+    exactly n_frames frames), rate 8000, channels 1 + (i mod 2).
+    ADPCM is lossy but fully deterministic integer arithmetic, so the
+    audio_adpcm oracle replays the DECODED samples exactly in SQL via
+    a recursive CTE over the public IMA step tables."""
+    from xapian_spark.pipeline.wav import encode_adpcm_wav
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 65 * (4 + i % 4)
+                ch = 1 + (i % 2)
+                t = np.arange(nf * ch, dtype=np.int64)
+                s = ((7 * i + 13 * t) % 4001 - 2000).astype("<i2")
+                blob = encode_adpcm_wav(8000, ch, s.tobytes(),
+                                        samples_per_block=65)
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/a{i}.adpcm.wav",
+                    "mime": "audio/wav", "sample_rate": 8000,
+                    "duration_ms": nf * 1000 // 8000, "data": blob,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 def image_features(images: DataFrame, dim: int = 16,
                    fake: bool = True) -> DataFrame:
     """(media_id, feature ARRAY<FLOAT>[dim]) — the embed step of a

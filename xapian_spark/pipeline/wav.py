@@ -1,16 +1,35 @@
-"""Minimal RIFF/WAVE PCM codec — stdlib struct only.
+"""Minimal RIFF/WAVE codec — stdlib struct only.
 
-Public format (RIFF container + `fmt ` chunk with audio_format=1 +
-`data` chunk of interleaved little-endian 16-bit samples); written
-from the spec like pipeline/png.py and pipeline/jpeg.py, so audio
-decode in this container is REAL (no audio library needed), and the
-honest NotImplementedError stubs shrink to compressed codecs only.
+Public formats (RIFF container + `fmt ` chunk + `data` chunk):
+  * audio_format=1  — PCM, 16-bit little-endian interleaved.
+  * audio_format=17 — IMA ADPCM (DVI/IMA 4-bit), block-structured;
+    decoded to the same int16-LE interleaved frames, using the
+    standard 89-entry step table and 16-entry index table from the
+    IMA "Recommended Practices for Enhancing Digital Audio
+    Compatibility" spec (the same tables every public decoder uses).
+
+Written from the spec like pipeline/png.py and pipeline/jpeg.py, so
+audio decode in this container is REAL (no audio library needed), and
+the honest NotImplementedError stubs shrink to the remaining
+compressed codecs (MP3/OGG/float) only.
 """
 
 from __future__ import annotations
 
 import struct
 from typing import Tuple
+
+# IMA ADPCM tables (public spec constants).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
 
 def is_wav(data: bytes) -> bool:
@@ -20,7 +39,7 @@ def is_wav(data: bytes) -> bool:
 
 def encode_wav(sample_rate: int, channels: int,
                samples: bytes) -> bytes:
-    """(rate, channels, interleaved int16-LE frames) → WAV bytes."""
+    """(rate, channels, interleaved int16-LE frames) → PCM WAV bytes."""
     if channels < 1:
         raise ValueError("channels must be >= 1")
     if len(samples) % (2 * channels):
@@ -33,34 +52,184 @@ def encode_wav(sample_rate: int, channels: int,
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _ima_step(predictor: int, index: int, nibble: int):
+    """One IMA ADPCM decode step → (new_predictor, new_index, sample).
+    Exact integer arithmetic from the spec (diff built by shifts)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 0xF]))
+    return predictor, index, predictor
+
+
+def _ima_encode_nibble(sample: int, predictor: int, index: int):
+    """One IMA ADPCM encode step → (nibble, new_predictor, new_index).
+    Standard encoder: quantize |diff| against step by successive
+    halving, then run the DECODE update so encoder and decoder state
+    never drift."""
+    step = _IMA_STEPS[index]
+    diff = sample - predictor
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    step >>= 1
+    if diff >= step:
+        nibble |= 2
+        diff -= step
+    step >>= 1
+    if diff >= step:
+        nibble |= 1
+    predictor, index, _ = _ima_step(predictor, index, nibble)
+    return nibble, predictor, index
+
+
+def encode_adpcm_wav(sample_rate: int, channels: int, samples: bytes,
+                     samples_per_block: int = 505) -> bytes:
+    """(rate, channels, int16-LE interleaved frames) → IMA ADPCM WAV.
+
+    Block layout per the Microsoft WAVE IMA ADPCM registration: each
+    block holds, per channel, a 4-byte header (predictor int16, step
+    index uint8, reserved 0) — the header predictor IS the block's
+    first output sample — then 4-byte nibble words interleaved across
+    channels. The last block is padded by repeating the final frame
+    (decoders emit exactly samples_per_block frames per block, so
+    callers should size input to whole blocks for bit-exact
+    roundtrips — the fixture generator does).
+    """
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    if len(samples) % (2 * channels):
+        raise ValueError("samples must be whole int16 frames")
+    frames = [struct.unpack_from("<%dh" % channels, samples,
+                                 i * 2 * channels)
+              for i in range(len(samples) // (2 * channels))]
+    if not frames:
+        raise ValueError("need at least one frame")
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    blocks = bytearray()
+    indexes = [0] * channels
+    for start in range(0, len(frames), samples_per_block):
+        chunk = frames[start:start + samples_per_block]
+        while len(chunk) < samples_per_block:  # pad last block
+            chunk.append(chunk[-1])
+        preds = list(chunk[0])
+        for ch in range(channels):
+            blocks += struct.pack("<hBB", preds[ch], indexes[ch], 0)
+        # nibble words: groups of 8 samples per channel, channels
+        # interleaved word-by-word
+        for g in range(1, samples_per_block, 8):
+            for ch in range(channels):
+                word = 0
+                for j in range(8):
+                    nib, preds[ch], indexes[ch] = _ima_encode_nibble(
+                        chunk[g + j][ch], preds[ch], indexes[ch])
+                    word |= nib << (4 * j)
+                blocks += struct.pack("<I", word)
+    fmt = struct.pack("<HHIIHHHH", 17, channels, sample_rate,
+                      sample_rate * block_align
+                      // samples_per_block, block_align, 4,
+                      2, samples_per_block)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+            + (b"\x00" if len(blocks) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_ima_data(pcm: bytes, channels: int, block_align: int,
+                     samples_per_block: int) -> bytes:
+    if block_align != 4 * channels + (samples_per_block - 1) \
+            * channels // 2:
+        raise ValueError("WAV: inconsistent ADPCM block geometry")
+    if len(pcm) % block_align:
+        raise ValueError("WAV: ADPCM data is not whole blocks")
+    out = bytearray()
+    for b in range(0, len(pcm), block_align):
+        preds, indexes = [], []
+        for ch in range(channels):
+            p, idx, _r = struct.unpack_from("<hBB", pcm, b + 4 * ch)
+            if idx > 88:
+                raise ValueError("WAV: ADPCM step index out of range")
+            preds.append(p)
+            indexes.append(idx)
+        frames = [list(preds)]
+        pos = b + 4 * channels
+        for _g in range(1, samples_per_block, 8):
+            words = []
+            for ch in range(channels):
+                (w,) = struct.unpack_from("<I", pcm, pos)
+                words.append(w)
+                pos += 4
+            for j in range(8):
+                frame = []
+                for ch in range(channels):
+                    nib = (words[ch] >> (4 * j)) & 0xF
+                    preds[ch], indexes[ch], s = _ima_step(
+                        preds[ch], indexes[ch], nib)
+                    frame.append(s)
+                frames.append(frame)
+        for fr in frames:
+            out += struct.pack("<%dh" % channels, *fr)
+    return bytes(out)
+
+
 def decode_wav(data: bytes) -> Tuple[int, int, bytes]:
     """WAV bytes → (sample_rate, channels, interleaved int16-LE
-    frames). PCM 16-bit only; anything else raises (float/ADPCM/etc.
-    need a real audio stack — the same honest-raise contract as the
-    image codecs)."""
+    frames). PCM 16-bit decodes directly; IMA ADPCM (format 17)
+    decodes through the spec tables; anything else raises (MP3/OGG/
+    float need a real audio stack — the same honest-raise contract as
+    the image codecs). Truncated chunks raise ValueError rather than
+    silently decoding fewer frames."""
     if not is_wav(data):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     fmt = None
+    extra = b""
     pcm = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + clen > len(data):
+            raise ValueError("WAV: truncated chunk "
+                             + cid.decode("latin1", "replace"))
         body = data[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            extra = body[16:]
         elif cid == b"data":
             pcm = body
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("WAV: missing fmt or data chunk")
-    audio_format, channels, rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(
-            f"WAV: only PCM 16-bit supported (format {audio_format},"
-            f" {bits}-bit)")
-    if len(pcm) % (2 * channels):
-        raise ValueError("WAV: data chunk is not whole frames")
-    return rate, channels, pcm
+    audio_format, channels, rate, _br, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
+        if len(pcm) % (2 * channels):
+            raise ValueError("WAV: data chunk is not whole frames")
+        return rate, channels, pcm
+    if audio_format == 17 and bits == 4:
+        if len(extra) < 4:
+            raise ValueError("WAV: ADPCM fmt missing samples_per_block")
+        (spb,) = struct.unpack("<H", extra[2:4])
+        if spb < 1 or (spb - 1) % 8:
+            raise ValueError("WAV: bad ADPCM samples_per_block")
+        out = _decode_ima_data(pcm, channels, block_align, spb)
+        return rate, channels, out
+    raise ValueError(
+        f"WAV: only PCM 16-bit and IMA ADPCM supported "
+        f"(format {audio_format}, {bits}-bit)")
