@@ -94,10 +94,18 @@ def test_rejects_unsupported_shapes():
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOF"):
         read_sof(bytes(blob))
-    # truncated entropy data
+    # truncation anywhere raises the documented ValueError — never
+    # IndexError/struct.error (corrupt corpus blobs must fail typed)
     full = encode_jpeg(8, 8, bytes(range(64)), 1)
-    with pytest.raises((ValueError, IndexError)):
-        decode_jpeg(full[:-8])
+    # (cutting just the 2-byte EOI leaves a complete scan — decoders
+    # tolerate that; any cut into the entropy data must raise)
+    for cut in (8, 4, 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:-cut])
+    # truncated mid-header (inside the DQT/SOF segments)
+    for end in range(4, min(len(full) - 1, 64)):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:end])
 
 
 def test_decode_images_jpeg_real_path(spark):

@@ -96,3 +96,21 @@ def test_pq_topk_adc_only_orders_ascending(emb):
 def test_dim_not_divisible_raises():
     with pytest.raises(ValueError):
         _pq_default_codebooks(10, 3, 4)
+
+
+def test_codebooks_precedence_and_contradiction(emb):
+    books = _pq_default_codebooks(DIM, M, K)
+    q = _clustered_vec(7)
+    # consistent explicit geometry is accepted
+    pq_topk(emb, q, k=3, codebooks=books, m=M, n_codes=K).collect()
+    with pytest.raises(ValueError, match="contradicts codebooks"):
+        pq_topk(emb, q, k=3, codebooks=books, m=M + 1)
+    with pytest.raises(ValueError, match="contradicts codebooks"):
+        pq_topk(emb, q, k=3, codebooks=books, n_codes=K + 1)
+
+
+def test_train_on_empty_frame_raises(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty sample"):
+        train_pq_codebooks(empty, DIM, m=M, k=K)

@@ -78,8 +78,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: truncated entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG: truncated entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -107,6 +111,8 @@ class _BitReader:
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker."""
         self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG: truncated entropy data")
         if (self.data[self.pos] != 0xFF
                 or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             raise ValueError("JPEG: expected restart marker")
@@ -147,6 +153,8 @@ def read_sof(data: bytes):
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         if marker == 0xC0:
+            if pos + 10 > len(data):
+                raise ValueError("JPEG: truncated SOF0 header")
             prec, h, w, nc = struct.unpack(
                 ">BHHB", data[pos + 4:pos + 10])
             if prec != 8:
@@ -185,7 +193,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             raise ValueError("JPEG: EOI before scan")
         if 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("JPEG: truncated segment header")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("JPEG: truncated segment")
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -208,6 +220,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 htables[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("JPEG: truncated SOF0 header")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit baseline supported")
@@ -229,6 +243,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 f"JPEG: unsupported SOF marker 0xff{marker:02x}"
                 " (baseline SOF0 only)")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:

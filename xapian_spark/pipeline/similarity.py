@@ -343,6 +343,11 @@ def train_pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8,
                     F.md5(F.concat_ws("-", F.lit(seed),
                                       F.col(id_col))).alias("r"))
             .orderBy("r").limit(sample).collect())
+    if not rows:
+        raise ValueError(
+            "train_pq_codebooks needs a non-empty sample (embeddings"
+            " frame is empty; use _pq_default_codebooks for a"
+            " data-independent grid)")
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     books: List[List[List[float]]] = []
     for s in range(m):
@@ -454,7 +459,7 @@ def pq_encode(embeddings: DataFrame,
 
 def pq_topk(embeddings: DataFrame, query_vec: Sequence[float],
             k: int = 10, codebooks: List[List[List[float]]] = None,
-            m: int = 8, n_codes: int = 16, seed: int = 42,
+            m: int = None, n_codes: int = None, seed: int = 42,
             refine: int = 0, vec_col: str = "embedding",
             id_col: str = "vec_id", codes: DataFrame = None) -> DataFrame:
     """PQ approximate top-k by asymmetric distance computation (ADC):
@@ -465,8 +470,12 @@ def pq_topk(embeddings: DataFrame, query_vec: Sequence[float],
     8-byte code column, never the float vectors. At 10^12 vectors
     that is the difference between a 4 TB and a 256 TB working set.
 
-    `codes` (from pq_encode, normally a materialized column) is
-    computed inline when not given. `refine` > 0 re-ranks the top
+    `codebooks=` is authoritative when given: its geometry defines m
+    and n_codes (an explicit contradictory m/n_codes raises, seed is
+    unused); without it, data-independent default codebooks are built
+    from (m, n_codes, seed) with m=8 / n_codes=16 defaults. `codes`
+    (from pq_encode, normally a materialized column) is computed
+    inline when not given. `refine` > 0 re-ranks the top
     `refine` ADC candidates by exact cosine over the raw vectors (the
     standard recall fix-up; touches only `refine` rows) and returns
     (vec_id, adc, cosine) ordered by cosine; refine=0 returns
@@ -479,7 +488,20 @@ def pq_topk(embeddings: DataFrame, query_vec: Sequence[float],
         # plausible-looking garbage
         raise ValueError("codes= requires the codebooks it was "
                          "encoded with (pass codebooks=)")
-    books = codebooks or _pq_default_codebooks(dim, m, n_codes, seed)
+    if codebooks is not None:
+        # codebooks= is authoritative: its geometry defines m and
+        # n_codes, and seed is irrelevant. Refuse a contradictory
+        # explicit m/n_codes rather than silently ignoring it.
+        if m is not None and m != len(codebooks):
+            raise ValueError(
+                f"m={m} contradicts codebooks (m={len(codebooks)})")
+        if n_codes is not None and n_codes != len(codebooks[0]):
+            raise ValueError(
+                f"n_codes={n_codes} contradicts codebooks "
+                f"(n_codes={len(codebooks[0])})")
+        books = codebooks
+    else:
+        books = _pq_default_codebooks(dim, m or 8, n_codes or 16, seed)
     m = len(books)
     dsub = len(books[0][0])
     if dim != m * dsub:
