@@ -579,9 +579,17 @@ def q_doccount(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-dup groups over the corpus UNION a deterministic
+    duplicated slice (every 97th doc re-added under doc_id+10^7), so
+    the driver row verifies fingerprint/count/keep-min semantics on
+    REAL clusters — the raw sf corpus has no exact dups, which made
+    the old row vacuously green (round-4 verdict)."""
     from xapian_spark.pipeline.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir)).select(
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    return exact_duplicates(docs.unionAll(dups)).select(
         "fingerprint", "n_docs", "keep_doc_id")
 
 
@@ -879,14 +887,15 @@ def q_letor_rank(spark, sf_dir):
     shared body/whole weights; f19 is 0 with no weight_df)."""
     import numpy as np
 
-    from xapian_spark.query.letor import (N_FEATURES, extract_features,
+    from xapian_spark.query.letor import (N_FEATURES, collect_ranklist,
+                                          extract_features,
                                           listnet_train, rank_with_model)
 
     feats = extract_features(_index(spark, sf_dir), ["batch", "scan"])
     feats = feats.select(
         "doc_id", *[F.round(f"f{i}", 6).alias(f"f{i}")
                     for i in range(1, N_FEATURES + 1)])
-    pdf = feats.orderBy("doc_id").toPandas()
+    pdf = collect_ranklist(feats)
     X = pdf[[f"f{i}" for i in range(1, N_FEATURES + 1)]] \
         .to_numpy(dtype=np.float64)
     labels = (pdf["doc_id"] % 3).to_numpy(dtype=np.float64)
@@ -990,14 +999,15 @@ def q_svm_rank(spark, sf_dir):
     subgradient AND the L2 term, title features stay 0)."""
     import numpy as np
 
-    from xapian_spark.query.letor import (N_FEATURES, extract_features,
+    from xapian_spark.query.letor import (N_FEATURES, collect_ranklist,
+                                          extract_features,
                                           rank_with_model, svmrank_train)
 
     feats = extract_features(_index(spark, sf_dir), ["batch", "scan"])
     feats = feats.select(
         "doc_id", *[F.round(f"f{i}", 6).alias(f"f{i}")
                     for i in range(1, N_FEATURES + 1)])
-    pdf = feats.orderBy("doc_id").toPandas()
+    pdf = collect_ranklist(feats)
     X = pdf[[f"f{i}" for i in range(1, N_FEATURES + 1)]] \
         .to_numpy(dtype=np.float64)
     labels = (pdf["doc_id"] % 3).to_numpy(dtype=np.float64)
@@ -2632,11 +2642,17 @@ WITH fp AS (
 SELECT doc_id, n_chars FROM fp WHERE rn = 1
 """
     out["dedup_exact"] = """
-WITH fp AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM documents WHERE doc_id % 97 = 0
+),
+fp AS (
   SELECT doc_id,
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
            AS fingerprint
-  FROM documents
+  FROM corpus
 )
 SELECT fingerprint, count(*)::BIGINT AS n_docs,
        min(doc_id) AS keep_doc_id

@@ -184,3 +184,17 @@ def test_double_replace_single_live_copy(spark, tmp_path):
     live = {r["term"] for r in flat.postings.filter(
         F.col("doc_id") == 5).select("term").collect()}
     assert live == {"zebra", "two"}
+
+
+def test_tombstone_queue_bound_enforced(spark, corpus, tmp_path):
+    seg = build_segments(corpus, str(tmp_path / "bound"),
+                         n_segments=2, analyzer="simple")
+    seg = delete_documents(seg, [1, 2, 3, 4, 5])
+    # shrink the bound on this instance: 5 tombstones > 3 must refuse
+    seg.MAX_TOMBSTONES = 3
+    with pytest.raises(RuntimeError, match="compact"):
+        seg._dead_arrays()
+    # compact() folds the deletes in; the purged index queries fine
+    seg.MAX_TOMBSTONES = 3
+    compacted = compact(seg, str(tmp_path / "bound_c"))
+    WandEnquire(compacted).get_mset(["the"], 5, op="or").collect()

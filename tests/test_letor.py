@@ -194,3 +194,12 @@ def test_eval_metrics_hand_computed():
         return np.mean(vals)
 
     assert ndcg_of(params) > ndcg_of(np.zeros(N_FEATURES))
+
+
+def test_collect_ranklist_bound(spark):
+    from xapian_spark.query.letor import collect_ranklist
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    assert len(collect_ranklist(df, max_rows=50)) == 50
+    with pytest.raises(ValueError, match="max_rows"):
+        collect_ranklist(df, max_rows=49)

@@ -315,13 +315,27 @@ class SegmentIndex:
         return t.groupBy("doc_id").agg(
             F.max("before_seg").alias("before_seg"))
 
+    # _dead_arrays is a driver-side collect; the documented contract
+    # is a SMALL delete/replace queue purged at compact(). This bound
+    # makes the contract self-enforcing instead of silently OOMing
+    # the driver at pathological churn (~10^7 tombstones ≈ 160 MB of
+    # int64 pairs — far past any sane uncompacted backlog).
+    MAX_TOMBSTONES = 10_000_000
+
     def _dead_arrays(self):
         """Driver-side (sorted doc_ids, before_seg) numpy pair for the
         WAND kernel, or None. Tombstones are a small delete/replace
-        queue purged at compact() — not corpus-scale."""
+        queue purged at compact() — not corpus-scale; past
+        MAX_TOMBSTONES this raises and asks for a compact() first."""
         t = self.tombstones()
         if t is None:
             return None
+        if (t.limit(self.MAX_TOMBSTONES + 1).count()
+                > self.MAX_TOMBSTONES):
+            raise RuntimeError(
+                f"tombstone queue exceeds {self.MAX_TOMBSTONES} docs;"
+                " run compact() to fold deletes into the segments"
+                " before querying")
         rows = t.orderBy("doc_id").collect()
         if not rows:
             return None

@@ -194,6 +194,27 @@ def extract_features(
         "doc_id", *[f"f{j}" for j in range(1, N_FEATURES + 1)])
 
 
+def collect_ranklist(feats: DataFrame, order_col: str = "doc_id",
+                     max_rows: int = 100_000):
+    """Pull one query's feature ranklist to the driver for training.
+
+    LETOR training data is per-query labeled ranklists — small by
+    construction (the reference trains from INEX-style qrel files,
+    questletor.cc) — but this is still a corpus→driver pull, so it
+    refuses past `max_rows` instead of silently OOMing the driver
+    when someone points it at a million-doc match set (same explicit
+    bound contract as similarity.brute_force_pairs). Uses a
+    limit-probe, not a full count, so the guard is O(max_rows) at
+    any corpus size."""
+    n = feats.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"ranklist exceeds max_rows={max_rows}; LETOR training"
+            " collects the ranklist to the driver — restrict the"
+            " match set (maxitems) or raise max_rows explicitly")
+    return feats.orderBy(order_col).toPandas()
+
+
 # ---------------------------------------------------------------------------
 # ListNet
 # ---------------------------------------------------------------------------
