@@ -850,6 +850,21 @@ def q_media_decode_jpeg(spark, sf_dir):
         F.length("pixels").alias("pixel_bytes"))
 
 
+def q_media_decode_gif(spark, sf_dir):
+    """REAL GIF decode over real GIF blobs: the fixture LZW-encodes
+    an 8-color deterministic pattern (pure-Python encoder, odd rows
+    interlaced), decode_images LZW-decodes and palette-expands with
+    the vendored codec (pipeline/gif.py) — no PIL. GIF is LOSSLESS,
+    so the oracle replays the exact per-image pixel SUM from the
+    pattern formula — a value check, not just shape."""
+    from xapian_spark.pipeline.multimodal import (
+        decode_images, image_pixel_stats, synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(spark, 50)
+    return image_pixel_stats(decode_images(media, fake=False))
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -1682,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "audio_stats": q_audio_stats,
         "audio_adpcm": q_audio_adpcm,
+        "media_decode_gif": q_media_decode_gif,
         # (2) code or oracle changed this round
         "bpe_train": q_bpe_train,
         "ccnet_buckets": q_ccnet_buckets,
@@ -2596,6 +2612,22 @@ SELECT i::BIGINT AS media_id,
        ((16 + (i % 3) * 8) * (16 + (i % 2) * 8) * 3)::INT
          AS pixel_bytes
 FROM range(50) t(i)
+"""
+    out["media_decode_gif"] = """
+WITH p AS (SELECT i, (12 + (i % 3) * 8)::BIGINT AS w,
+                  (10 + (i % 2) * 6)::BIGINT AS h
+           FROM range(50) t(i)),
+px AS (
+  SELECT i, w, h, (x.x + 2 * y.y + i) % 8 AS j
+  FROM p, range(28) x(x), range(16) y(y)
+  WHERE x.x < w AND y.y < h
+)
+SELECT i::BIGINT AS media_id, any_value(w)::INT AS width,
+       any_value(h)::INT AS height,
+       (any_value(w) * any_value(h) * 3)::INT AS pixel_bytes,
+       sum((31 * j + i) % 256 + (63 * j + 2 * i) % 256
+           + (17 * j + 5 * i) % 256)::BIGINT AS pixel_sum
+FROM px GROUP BY i
 """
     out["value_range"] = _bm25_topk(
         "'batch'", k=20,

@@ -120,6 +120,16 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                     if w * h > max_pixels:
                         continue
                     w, h, px = decode_png_rgb(bytes(data))
+                elif bytes(data or b"")[:6] in (b"GIF87a", b"GIF89a"):
+                    from xapian_spark.pipeline.gif import (
+                        decode_gif_rgb, read_screen)
+
+                    # size guard from the 10-byte screen descriptor —
+                    # before any LZW work
+                    w, h = read_screen(bytes(data))
+                    if w * h > max_pixels:
+                        continue
+                    w, h, px = decode_gif_rgb(bytes(data))
                 elif is_jpeg(bytes(data or b"")) and pil is None:
                     # pure-Python baseline path (no PIL available).
                     # Variants the vendored codec rejects (progressive
@@ -147,9 +157,10 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                 else:
                     raise NotImplementedError(
                         "image decode for formats beyond PNG "
-                        "(pipeline/png.py) and baseline JPEG "
-                        "(pipeline/jpeg.py) needs PIL; or run with "
-                        "fake=True for the deterministic stub")
+                        "(pipeline/png.py), GIF (pipeline/gif.py) "
+                        "and baseline JPEG (pipeline/jpeg.py) needs "
+                        "PIL; or run with fake=True for the "
+                        "deterministic stub")
                 rows["media_id"].append(int(mid))
                 rows["width"].append(int(w))
                 rows["height"].append(int(h))
@@ -700,6 +711,78 @@ def synthetic_jpeg_media(spark, n: int, quality: int = 85) -> DataFrame:
                 rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
 
     return spark.range(n).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def synthetic_gif_media(spark, n: int) -> DataFrame:
+    """IMAGE_SCHEMA rows whose `data` blobs are REAL single-frame
+    GIFs (pure-Python LZW encoder, pipeline/gif.py) over an 8-color
+    deterministic pattern — palette index at (x, y) is
+    (x + 2y + i) mod 8, color j of clip i is ((31j+i) mod 256,
+    (63j+2i) mod 256, (17j+5i) mod 256). GIF is LOSSLESS, so the
+    media_decode_gif oracle replays the exact pixel SUM in closed
+    form. Odd rows are interlaced (4-pass row reorder)."""
+    from xapian_spark.pipeline.gif import encode_gif
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 12 + (i % 3) * 8
+                h = 10 + (i % 2) * 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                j = (xx + 2 * yy + i) % 8
+                pal = np.stack([(31 * np.arange(8) + i) % 256,
+                                (63 * np.arange(8) + 2 * i) % 256,
+                                (17 * np.arange(8) + 5 * i) % 256],
+                               axis=-1).astype(np.uint8)
+                rgb = pal[j].tobytes()
+                blob = encode_gif(w, h, rgb, interlace=bool(i % 2))
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/img{i}.gif",
+                    "mime": "image/gif", "width": w, "height": h,
+                    "data": blob,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def image_pixel_stats(decoded: DataFrame) -> DataFrame:
+    """Exact integer stats over decoded RGB — (media_id, width,
+    height, pixel_bytes, pixel_sum). pixel_sum is the int64 sum of
+    every byte, so a lossless codec's fixture replays it exactly in
+    SQL (the audio_stats pattern for images). Narrow mapInPandas —
+    chains onto decode_images without a shuffle."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixel_bytes", IntegerType(), False),
+        StructField("pixel_sum", LongType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                b = np.frombuffer(bytes(px), dtype=np.uint8)
+                rows["media_id"].append(int(mid))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["pixel_bytes"].append(len(b))
+                rows["pixel_sum"].append(int(b.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(gen, schema)
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:
