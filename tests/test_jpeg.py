@@ -87,9 +87,10 @@ def test_rejects_unsupported_shapes():
     with pytest.raises(ValueError, match="magic"):
         decode_jpeg(b"not a jpeg")
     blob = bytearray(encode_jpeg(8, 8, bytes([128]) * 64, 1))
-    # flip SOF0 (0xC0) to progressive SOF2 (0xC2)
+    # flip SOF0 (0xC0) to arithmetic-coded SOF9 (unsupported; SOF2
+    # progressive IS supported now and has its own tests below)
     sof_at = blob.index(b"\xff\xc0")
-    blob[sof_at + 1] = 0xC2
+    blob[sof_at + 1] = 0xC9
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOF"):
@@ -159,3 +160,66 @@ def test_non_interleaved_scan_rejected():
     blob[i + 4] = 1  # Ns: 3 -> 1 (leave seglen; parser uses seglen)
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg_rgb(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def test_progressive_decode_equals_baseline_decode():
+    # progressive and baseline encodes share _prepare_blocks, so the
+    # quantized coefficients are identical — decode must agree
+    # BIT-exactly. This pins the whole Annex-G scan machinery (DC
+    # first + refine, banded AC first + two refinement levels, EOB
+    # runs, ZRL) against the already-golden baseline path.
+    from xapian_spark.pipeline.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(3)
+    cases = [(16, 16, 3, False, 85), (24, 17, 3, False, 85),
+             (32, 24, 3, True, 85), (24, 17, 1, False, 60),
+             (48, 40, 3, True, 40)]
+    for w, h, ch, sub, q in cases:
+        if ch == 1:
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+        else:
+            px = rng.integers(0, 256, (h, w, 3),
+                              dtype=np.uint8).tobytes()
+        pb = encode_progressive_jpeg(w, h, px, ch, quality=q,
+                                     subsample=sub)
+        assert read_sof(pb) == (w, h, ch)
+        got = decode_jpeg(pb)
+        exp = decode_jpeg(encode_jpeg(w, h, px, ch, quality=q,
+                                      subsample=sub))
+        assert got == exp, (w, h, ch, sub, q)
+
+
+def test_progressive_flat_gray_exact():
+    from xapian_spark.pipeline.jpeg import encode_progressive_jpeg
+
+    px = bytes([128]) * (24 * 16)
+    blob = encode_progressive_jpeg(24, 16, px, 1, quality=30)
+    assert decode_jpeg(blob) == (24, 16, 1, px)
+
+
+def test_progressive_truncation_raises():
+    from xapian_spark.pipeline.jpeg import encode_progressive_jpeg
+
+    px = bytes(range(64)) * 3
+    blob = encode_progressive_jpeg(8, 24, px, 1)
+    for cut in (4, 16, len(blob) // 3, len(blob) // 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+
+
+def test_progressive_through_decode_images(spark):
+    from xapian_spark.pipeline.multimodal import (
+        decode_images, synthetic_jpeg_media)
+
+    out = decode_images(synthetic_jpeg_media(spark, 10),
+                        fake=False).collect()
+    assert len(out) == 10
+    for r in out:
+        w = 16 + (r["media_id"] % 3) * 8
+        h = 16 + (r["media_id"] % 2) * 8
+        assert (r["width"], r["height"]) == (w, h)
+        assert len(r["pixels"]) == w * h * 3

@@ -6,17 +6,19 @@ image format in environments without PIL/libjpeg: full marker parse
 entropy decoding with byte-unstuffing and restart intervals,
 dequantization, inverse zigzag, floating-point 2-D IDCT (numpy,
 separable), chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, and JFIF
-YCbCr→RGB. Baseline sequential DCT only (SOF0, 8-bit); progressive
-(SOF2), arithmetic coding, 12-bit, and >2x sampling factors raise
-ValueError — a real corpus pipeline routes those to a full decoder.
+YCbCr→RGB. Covers baseline sequential (SOF0, 8-bit) AND progressive
+(SOF2: multi-scan spectral selection + successive approximation per
+T.81 Annex G — the dominant large-JPEG web shape); arithmetic
+coding, 12-bit, and >2x sampling factors raise ValueError — a real
+corpus pipeline routes those to a full decoder.
 
-The encoder writes the same subset (grayscale or YCbCr at 4:4:4 or
-4:2:0, Annex-K-style quantization and Huffman tables, optional
-restart intervals) and exists so tests can build genuine JPEG
-fixtures and round-trip them without any imaging library. The
-decoder always reads quantization and Huffman tables FROM THE FILE
-(DQT/DHT), never from built-in constants, so decode correctness is
-independent of the encoder's table choice.
+The encoders (encode_jpeg baseline, encode_progressive_jpeg) write
+the same subset (grayscale or YCbCr at 4:4:4 or 4:2:0, Annex-K-style
+quantization tables, optional restart intervals) and exist so tests
+can build genuine JPEG fixtures and round-trip them without any
+imaging library. The decoder always reads quantization and Huffman
+tables FROM THE FILE (DQT/DHT), never from built-in constants, so
+decode correctness is independent of the encoder's table choice.
 
 JPEG is lossy: round-trips assert closeness (mean absolute error),
 plus exact golden cases where quantization is analytically lossless
@@ -138,8 +140,9 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 def read_sof(data: bytes):
-    """Cheap header probe: (width, height, n_components) from SOF0
-    alone — no entropy decode. Size guards run BEFORE the IDCT cost."""
+    """Cheap header probe: (width, height, n_components) from the
+    SOF0/SOF2 frame header alone — no entropy decode. Size guards
+    run BEFORE the IDCT cost."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad magic)")
     data = bytes(data)
@@ -152,34 +155,38 @@ def read_sof(data: bytes):
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             if pos + 10 > len(data):
-                raise ValueError("JPEG: truncated SOF0 header")
+                raise ValueError("JPEG: truncated SOF header")
             prec, h, w, nc = struct.unpack(
                 ">BHHB", data[pos + 4:pos + 10])
             if prec != 8:
-                raise ValueError("JPEG: only 8-bit baseline supported")
+                raise ValueError("JPEG: only 8-bit supported")
             return w, h, nc
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG: unsupported SOF marker 0xff{marker:02x}"
-                " (baseline SOF0 only)")
+                " (baseline SOF0 and progressive SOF2 only)")
         if marker == 0xD9:
             break
         pos += 2 + seglen
-    raise ValueError("JPEG: no SOF0 frame header")
+    raise ValueError("JPEG: no SOF frame header")
 
 
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     """JPEG bytes → (width, height, channels, raw bytes w*h*channels).
-    channels = 1 (grayscale) or 3 (RGB after YCbCr conversion)."""
+    channels = 1 (grayscale) or 3 (RGB after YCbCr conversion).
+    Handles baseline sequential (SOF0, single interleaved scan) and
+    progressive (SOF2: multi-scan spectral selection + successive
+    approximation, T.81 Annex G) streams."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad magic)")
     data = bytes(data)
     qtables: Dict[int, np.ndarray] = {}
     htables: Dict[Tuple[int, int], Dict] = {}  # (class, id) -> table
     frame = None
+    coefs = None  # progressive: per-comp raw int coefficient planes
     restart_interval = 0
     pos = 2
     while True:
@@ -190,6 +197,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if coefs is not None:
+                return _finish_progressive(frame, coefs, qtables)
             raise ValueError("JPEG: EOI before scan")
         if 0xD0 <= marker <= 0xD7:
             continue
@@ -219,15 +228,17 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17:p + 17 + nv])
                 htables[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progr.
             if len(seg) < 6:
-                raise ValueError("JPEG: truncated SOF0 header")
+                raise ValueError("JPEG: truncated SOF header")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
-                raise ValueError("JPEG: only 8-bit baseline supported")
+                raise ValueError("JPEG: only 8-bit supported")
             if nc not in (1, 3):
                 raise ValueError(f"JPEG: {nc}-component images"
                                  " unsupported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("JPEG: truncated SOF header")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
@@ -236,20 +247,42 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                     raise ValueError("JPEG: sampling factors > 2"
                                      " unsupported")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG: unsupported SOF marker 0xff{marker:02x}"
-                " (baseline SOF0 only)")
+                " (baseline SOF0 and progressive SOF2 only)")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("JPEG: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG: SOS before SOF0")
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
+            if frame.get("progressive"):
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("JPEG: truncated SOS header")
+                scan = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                    comp = next((c for c in frame["comps"]
+                                 if c["id"] == cs), None)
+                    if comp is None:
+                        raise ValueError("JPEG: SOS names unknown"
+                                         " component")
+                    scan.append((comp, tdta >> 4, tdta & 15))
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, htables, coefs,
+                    ss, se, ahal >> 4, ahal & 15, restart_interval)
+                continue
             if ns != len(frame["comps"]):
                 # non-interleaved (multi-scan) baseline is spec-legal
                 # but not implemented — decoding a partial scan with
@@ -331,9 +364,15 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
                                    mx * c["h"] + bx] = coef
             mcu_index += 1
 
-    # batched IDCT per component, then upsample + crop
+    return _assemble(planes, comps, hmax, vmax, w, h)
+
+
+def _assemble(planes, comps, hmax, vmax, w, h):
+    """Dequantized coefficient planes → (w, h, channels, raw bytes):
+    batched IDCT per component, upsample to the max sampling grid,
+    crop, and (for 3 components) JFIF YCbCr→RGB."""
     out_planes = []
-    for ci, (c, _td, _ta) in enumerate(scan):
+    for ci, c in enumerate(comps):
         bh, bw, _ = planes[ci].shape
         blocks = planes[ci].reshape(bh * bw, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
@@ -353,6 +392,207 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
     rgb = np.stack([r, g, b], axis=-1)
     rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G: spectral selection +
+# successive approximation. Raw integer coefficients accumulate
+# across scans; dequantization and IDCT run once at EOI.
+# ---------------------------------------------------------------------------
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coefs(frame):
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    return {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              dtype=np.int32)
+            for c in frame["comps"]}
+
+
+def _next_marker(data, p):
+    """Position of the next non-RST marker at/after p (skips stray
+    fill bytes and restart markers)."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG: truncated stream after scan")
+
+
+def _refine_nonzero(reader, block, z, p1, m1):
+    """One AC successive-approximation correction bit for a
+    coefficient that is already nonzero at the previous precision."""
+    if reader.read_bit() and (int(block[z]) & p1) == 0:
+        block[z] += p1 if block[z] >= 0 else m1
+
+
+def _ac_first_block(reader, block, ac_t, ss, se, al, eobrun):
+    """First (Ah=0) AC scan for one block; returns updated EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow")
+        block[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, block, ac_t, ss, se, al, eobrun):
+    """Refinement (Ah>0) AC scan for one block; returns EOBRUN."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: invalid magnitude in AC refinement")
+                newval = p1 if reader.read_bit() else m1
+            # advance over r zero-history positions, emitting
+            # correction bits for nonzero-history coefficients passed
+            while k <= se:
+                z = _ZIGZAG[k]
+                if block[z] != 0:
+                    _refine_nonzero(reader, block, z, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        # block inside an EOB run: only correction bits remain
+        while k <= se:
+            z = _ZIGZAG[k]
+            if block[z] != 0:
+                _refine_nonzero(reader, block, z, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, frame, scan, htables, coefs,
+                             ss, se, ah, al, restart_interval):
+    """Decode one progressive scan into the raw coefficient planes;
+    returns the stream position of the next marker."""
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("JPEG: bad progression parameters")
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    reader = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (interleaved over MCUs when ns > 1)
+        if se != 0:
+            raise ValueError(
+                "JPEG: DC and AC in one progressive scan")
+        preds = [0] * len(scan)
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    reader.restart()
+                    preds = [0] * len(scan)
+                for ci, (c, td, _ta) in enumerate(scan):
+                    plane = coefs[c["id"]]
+                    # single-component DC scans still walk their own
+                    # full block grid inside each MCU
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = plane[my * c["v"] + by,
+                                          mx * c["h"] + bx]
+                            if ah == 0:
+                                dc_t = htables.get((0, td))
+                                if dc_t is None:
+                                    raise ValueError(
+                                        "JPEG: missing Huffman table")
+                                t = reader.decode_huff(dc_t)
+                                preds[ci] += _extend(
+                                    reader.read_bits(t), t)
+                                block[0] = preds[ci] << al
+                            elif reader.read_bit():
+                                block[0] |= np.int32(1 << al)
+                unit += 1
+        return _next_marker(data, reader.pos)
+
+    # AC scan: spec G.1.1.1.1 — always non-interleaved
+    if len(scan) != 1:
+        raise ValueError("JPEG: AC progressive scan must be"
+                         " non-interleaved")
+    c, _td, ta = scan[0]
+    ac_t = htables.get((1, ta))
+    if ac_t is None:
+        raise ValueError("JPEG: missing Huffman table")
+    comp_w = -(-frame["w"] * c["h"] // hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    nbx = (comp_w + 7) // 8
+    nby = (comp_h + 7) // 8
+    plane = coefs[c["id"]]
+    eobrun = 0
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if (restart_interval and unit
+                    and unit % restart_interval == 0):
+                reader.restart()
+                eobrun = 0
+            block = plane[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    reader, block, ac_t, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(
+                    reader, block, ac_t, ss, se, al, eobrun)
+            unit += 1
+    return _next_marker(data, reader.pos)
+
+
+def _finish_progressive(frame, coefs, qtables):
+    hmax, vmax, _mx, _my = _frame_geometry(frame)
+    planes = []
+    for c in frame["comps"]:
+        qt = qtables.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG: missing quant table")
+        qt_nat = np.empty(64, dtype=np.float64)
+        qt_nat[_ZIGZAG] = qt.astype(np.float64)
+        planes.append(coefs[c["id"]].astype(np.float64)
+                      * qt_nat[None, None, :])
+    return _assemble(planes, frame["comps"], hmax, vmax,
+                     frame["w"], frame["h"])
 
 
 def decode_jpeg_rgb(data: bytes) -> Tuple[int, int, bytes]:
@@ -494,12 +734,11 @@ def _pad_edge(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes,
-                channels: int = 3, quality: int = 85,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(w, h, raw bytes) → baseline JPEG. channels 1 (grayscale) or 3
-    (RGB; converted to YCbCr, 4:4:4 or 4:2:0 when `subsample`)."""
+def _prepare_blocks(width, height, pixels, channels, quality,
+                    subsample):
+    """Shared encoder front half: color convert, subsample, pad to
+    the MCU grid, FDCT+quantize. Returns (qts, comps, samp, zz,
+    mcus_x, mcus_y) with comps = [(plane, tq, th), ...]."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -542,6 +781,17 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
                                 (0, need_w - plane.shape[1])),
                         mode="edge")
         zz.append(_fdct_quant(padded, qts[tq]))
+    return qts, comps, samp, zz, mcus_x, mcus_y
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                channels: int = 3, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(w, h, raw bytes) → baseline JPEG. channels 1 (grayscale) or 3
+    (RGB; converted to YCbCr, 4:4:4 or 4:2:0 when `subsample`)."""
+    qts, comps, samp, zz, mcus_x, mcus_y = _prepare_blocks(
+        width, height, pixels, channels, quality, subsample)
 
     # --- headers -----------------------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
@@ -623,4 +873,205 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — fixture builder. Emits a standard
+# spectral-selection + successive-approximation scan script (DC Al=1
+# then refine; AC bands 1-5 / 6-63 at Al=2, refined to 1 then 0) so
+# tests can build genuine progressive JPEGs without any imaging
+# library. AC scans use a flat 256-symbol canonical Huffman table
+# (255 codes at 8 bits + 1 at 9; the all-ones 9-bit code stays
+# unused, as the spec's padding rule wants) — valid, simple, and
+# compression-irrelevant for fixtures. EOB-run batching is real, so
+# the decoder's EOBn path is exercised, not just EOB0.
+# ---------------------------------------------------------------------------
+
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+class _ProgAC:
+    """Per-scan AC emission state: EOB-run accumulator plus the
+    deferred refinement correction bits that ride with it."""
+
+    def __init__(self, bw, tab):
+        self.bw = bw
+        self.tab = tab
+        self.eobrun = 0
+        self.be: list = []
+
+    def sym(self, s):
+        ln, code = self.tab[s]
+        self.bw.write(code, ln)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun & ((1 << n) - 1), n)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.write(b, 1)
+        self.be = []
+
+    def first(self, block, ss, se, al):
+        """First AC scan (Ah=0): code (coef / 2^Al, toward zero)."""
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(block[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                self.sym(0xF0)
+                r -= 16
+            s, bits = _mag_bits(t if v > 0 else -t)
+            self.sym((r << 4) | s)
+            self.bw.write(bits, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def refine(self, block, ss, se, al):
+        """Refinement AC scan (Ah=Al+1): one new magnitude bit per
+        already-nonzero coefficient, (run, 1)+sign for newly-nonzero
+        ones, zero runs folded into EOB runs past the last new
+        coefficient."""
+        vals = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(vals):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list = []
+        for i, t in enumerate(vals):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.emit_eobrun()
+                self.sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            self.emit_eobrun()
+            self.sym((r << 4) | 1)
+            self.bw.write(1 if int(block[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be += br
+            if self.eobrun == 0x7FFF or len(self.be) > 900:
+                self.emit_eobrun()
+
+
+def encode_progressive_jpeg(width: int, height: int, pixels: bytes,
+                            channels: int = 3, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """(w, h, raw bytes) → progressive (SOF2) JPEG with the scan
+    script documented above. Same quantized coefficients as
+    encode_jpeg, so progressive and baseline decodes of the same
+    pixels agree up to rounding."""
+    qts, comps, samp, zz, mcus_x, mcus_y = _prepare_blocks(
+        width, height, pixels, channels, quality, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8,
+                                     height, width, len(comps))
+    for i, ((_p, tq, _th), (sh, sv)) in enumerate(zip(comps, samp)):
+        out += bytes([i + 1, (sh << 4) | sv, tq])
+    huffs = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+             (1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS)]
+    if channels == 3:
+        huffs.append((0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    enc_tabs = {}
+    for tc, th, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + sum(bits)) + bytes([(tc << 4) | th])
+        out += bytes(bits) + bytes(vals)
+        enc_tabs[(tc, th)] = _enc_table(bits, vals)
+
+    def sos_header(comp_ids, tds, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci, td in zip(comp_ids, tds):
+            hdr += bytes([ci + 1, (td << 4)])  # Ta always table 0
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    dc_td = [0] + [1] * (len(comps) - 1)
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos_header(list(range(len(comps))), dc_td, 0, 0, ah, al)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz[ci][my * sv + by,
+                                            mx * sh + bx][0])
+                            if ah == 0:
+                                v = dc >> al
+                                t, bits = _mag_bits(v - preds[ci])
+                                preds[ci] = v
+                                ln, code = enc_tabs[(0, dc_td[ci])][t]
+                                bw.write(code, ln)
+                                if t:
+                                    bw.write(bits, t)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([ci], [0], ss, se, ah, al)
+        bw = _BitWriter()
+        st = _ProgAC(bw, enc_tabs[(1, 0)])
+        sh, sv = samp[ci]
+        comp_w = -(-width * sh // hmax)
+        comp_h = -(-height * sv // vmax)
+        for by in range((comp_h + 7) // 8):
+            for bx in range((comp_w + 7) // 8):
+                block = zz[ci][by, bx]
+                if ah == 0:
+                    st.first(block, ss, se, al)
+                else:
+                    st.refine(block, ss, se, al)
+        st.emit_eobrun()
+        bw.flush()
+        out += bw.out
+
+    dc_scan(0, 1)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 5, 0, 2)
+        ac_scan(ci, 6, 63, 0, 2)
+    dc_scan(1, 0)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 5, 2, 1)
+        ac_scan(ci, 6, 63, 2, 1)
+        ac_scan(ci, 1, 5, 1, 0)
+        ac_scan(ci, 6, 63, 1, 0)
+    out += b"\xff\xd9"
     return bytes(out)

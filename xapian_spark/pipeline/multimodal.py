@@ -131,16 +131,17 @@ def decode_images(images: DataFrame, max_pixels: int = 1 << 22,
                         continue
                     w, h, px = decode_gif_rgb(bytes(data))
                 elif is_jpeg(bytes(data or b"")) and pil is None:
-                    # pure-Python baseline path (no PIL available).
-                    # Variants the vendored codec rejects (progressive
-                    # SOF2, 12-bit, CMYK, …) raise honestly here; with
-                    # PIL installed they fall through to the PIL
-                    # branch below, which handles them (and decodes
-                    # baseline JPEGs orders of magnitude faster).
+                    # pure-Python path (no PIL available): baseline
+                    # SOF0 and progressive SOF2. Variants the vendored
+                    # codec rejects (arithmetic, 12-bit, CMYK, …)
+                    # raise honestly here; with PIL installed they
+                    # fall through to the PIL branch below, which
+                    # handles them (and decodes orders of magnitude
+                    # faster).
                     from xapian_spark.pipeline.jpeg import (
                         decode_jpeg_rgb, read_sof)
 
-                    # size guard from the SOF0 header alone — before
+                    # size guard from the SOF header alone — before
                     # any entropy decode / IDCT
                     w, h, _ch = read_sof(bytes(data))
                     if w * h > max_pixels:
@@ -672,10 +673,12 @@ def synthetic_jpeg_media(spark, n: int, quality: int = 85) -> DataFrame:
     """IMAGE_SCHEMA rows whose `data` blobs are REAL baseline JPEGs
     (pure-Python encoder, pipeline/jpeg.py) over smooth deterministic
     gradients — the fixture that exercises decode_images' JPEG path
-    end-to-end without PIL. Coverage by row: i%4==0 grayscale,
-    i%4==1 RGB 4:4:4, i%4==2 RGB 4:2:0 (subsampled chroma),
-    i%4==3 RGB 4:4:4 with restart intervals."""
-    from xapian_spark.pipeline.jpeg import encode_jpeg
+    end-to-end without PIL. Coverage by row: i%5==0 grayscale,
+    i%5==1 RGB 4:4:4, i%5==2 RGB 4:2:0 (subsampled chroma),
+    i%5==3 RGB 4:4:4 with restart intervals, i%5==4 PROGRESSIVE
+    (SOF2) RGB 4:2:0 — the dominant large-JPEG web shape."""
+    from xapian_spark.pipeline.jpeg import (encode_jpeg,
+                                            encode_progressive_jpeg)
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
@@ -691,17 +694,22 @@ def synthetic_jpeg_media(spark, n: int, quality: int = 85) -> DataFrame:
                 r = (xx * 255) // max(w - 1, 1)
                 g = (yy * 255) // max(h - 1, 1)
                 b = ((xx + yy) * 255) // max(w + h - 2, 1)
-                if i % 4 == 0:
+                if i % 5 == 0:
                     blob = encode_jpeg(
                         w, h, r.astype(np.uint8).tobytes(), 1,
                         quality=quality)
+                elif i % 5 == 4:
+                    px = np.stack([r, g, b], axis=-1) \
+                        .astype(np.uint8).tobytes()
+                    blob = encode_progressive_jpeg(
+                        w, h, px, 3, quality=quality, subsample=True)
                 else:
                     px = np.stack([r, g, b], axis=-1) \
                         .astype(np.uint8).tobytes()
                     blob = encode_jpeg(
                         w, h, px, 3, quality=quality,
-                        subsample=(i % 4 == 2),
-                        restart_interval=2 if i % 4 == 3 else 0)
+                        subsample=(i % 5 == 2),
+                        restart_interval=2 if i % 5 == 3 else 0)
                 rows.append({
                     "media_id": i, "uri": f"s3://fake/img{i}.jpg",
                     "mime": "image/jpeg", "width": w, "height": h,
