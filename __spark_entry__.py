@@ -865,6 +865,46 @@ def q_media_decode_gif(spark, sf_dir):
     return image_pixel_stats(decode_images(media, fake=False))
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingestion end-to-end (io/warc.py): pack the
+    documents table into genuine gzip-member WARC files (HTTP
+    response records, one file per Arrow batch), then explode them
+    back through warc_pages — the Common-Crawl-shaped first hop into
+    the pages table. The oracle replays url / timestamp offset /
+    html length / html md5 in closed form; grouping into files is
+    arbitrary because every check is per-record."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, StructField, StructType)
+
+    from xapian_spark.io.warc import warc_pages, write_warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def pack(batches):
+        for pdf in batches:
+            recs = [(f"http://h{int(d) % 97}.example.org/d{int(d)}",
+                     datetime.datetime(2024, 1, 1)
+                     + datetime.timedelta(seconds=int(d)),
+                     b"<html><body>" + str(t).encode("utf-8")
+                     + b"</body></html>")
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            if recs:
+                yield pd.DataFrame({"content": [write_warc(recs)]})
+
+    files = docs.mapInPandas(
+        pack, StructType([StructField("content", BinaryType(), False)]))
+    pages = warc_pages(files)
+    return pages.select(
+        "url",
+        (F.unix_timestamp("warc_ts")
+         - F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                            .cast("timestamp"))).alias("ts_offset_s"),
+        F.length("html").alias("html_len"),
+        F.md5("html").alias("html_md5"))
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -973,6 +1013,20 @@ def q_audio_adpcm(spark, sf_dir):
     )
 
     return audio_stats(decode_audio(synthetic_adpcm_media(spark, 20)))
+
+
+def q_audio_flac(spark, sf_dir):
+    """REAL FLAC decode end-to-end (pipeline/flac.py — frame headers
+    with CRC-8/16, CONSTANT/FIXED/LPC subframes, rice residuals,
+    left/side stereo): the fixture writes genuine FLAC streams over
+    the SAME integer waveform as the WAV fixture; FLAC is LOSSLESS,
+    so the decoded stats replay with the identical closed-form SQL
+    oracle."""
+    from xapian_spark.pipeline.multimodal import (
+        audio_stats, decode_audio, synthetic_flac_media,
+    )
+
+    return audio_stats(decode_audio(synthetic_flac_media(spark, 50)))
 
 
 def q_dedup_report(spark, sf_dir):
@@ -1675,7 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (1) new this round or engine/oracle changed this round
         "audio_adpcm": q_audio_adpcm,
+        "audio_flac": q_audio_flac,
         "media_decode_gif": q_media_decode_gif,
+        "warc_ingest": q_warc_ingest,
         "media_decode_jpeg": q_media_decode_jpeg,
         "audio_stats": q_audio_stats,
         "media_decode_shape": q_media_decode_shape,
@@ -1715,7 +1771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "unigram_lm": q_unigram_lm,
-        "bigram_lm": q_bigram_lm,
         "importance_weights": q_importance_weights,
         "quality_classifier": q_quality_classifier,
         "curate": q_curate,
@@ -1725,8 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "semdedup": q_semdedup,
         "stream_dedup": q_stream_dedup,
-        "posting_value_weight": q_posting_value_weight,
         # ---- 50-entry artifact window ends here ----
+        "bigram_lm": q_bigram_lm,
+        "posting_value_weight": q_posting_value_weight,
         # r04-green entries
         "wand_batch": q_wand_batch,
         "stream_curation": q_stream_curation,
@@ -2606,6 +2662,15 @@ SELECT i::BIGINT AS media_id,
          AS pixel_bytes
 FROM range(50) t(i)
 """
+    out["warc_ingest"] = """
+SELECT 'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
+         AS url,
+       doc_id::BIGINT AS ts_offset_s,
+       octet_length(encode('<html><body>' || text
+                           || '</body></html>'))::INT AS html_len,
+       md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents
+"""
     out["media_decode_gif"] = """
 WITH p AS (SELECT i, (12 + (i % 3) * 8)::BIGINT AS w,
                   (10 + (i % 2) * 6)::BIGINT AS h
@@ -3286,6 +3351,8 @@ SELECT i::BIGINT AS media_id, 8000::INT AS sample_rate,
 FROM s GROUP BY i
 """
     out["audio_adpcm"] = _audio_adpcm_sql()
+    # FLAC is lossless over the identical waveform -> same oracle
+    out["audio_flac"] = out["audio_stats"]
     out["dedup_report"] = """
 WITH fp AS (
   SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f

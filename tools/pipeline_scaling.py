@@ -12,8 +12,14 @@ host's memory subsystem saturates near 8 effective cores for
 allocation-heavy work (see BENCH.md).
 
 Inputs are sized so per-task work dominates fixed stage overhead at
-local[2..8]: the sf0.1 corpus replicated 8x (40k docs) for minhash,
-and a 200k-node synthetic link graph (~400k edges) for PageRank.
+local[2..8]: a 336k-doc controlled corpus (realistic LSH collision
+density — see _dedup_corpus; the sf0.1 text is too self-similar) for
+minhash, and an 8M-node synthetic link graph (~16M edges) for
+PageRank. The round-5 first cut (sf0.1 x8 / 200k nodes) measured
+scheduling overhead and a quadratic fixture artifact, not the
+operators: pagerank at 400k edges ran SLOWER at local[8] than
+local[2], and suffix-salted replicas made every replica pair an LSH
+candidate.
 
 Usage:
     python tools/pipeline_scaling.py              # full, updates BENCH.md
@@ -36,8 +42,8 @@ BENCH_MD = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH.md")
 BEGIN = "<!-- PIPELINE SCALING begin (tools/pipeline_scaling.py) -->"
 END = "<!-- PIPELINE SCALING end -->"
-REPLICAS = 8
-PR_NODES = 200_000
+MH_DOCS = int(os.environ.get("PIPELINE_SCALING_MH_DOCS", "320000"))
+PR_NODES = int(os.environ.get("PIPELINE_SCALING_PR_NODES", "8000000"))
 
 
 def make_spark(cpus: int):
@@ -46,7 +52,7 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"pipeline-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
@@ -54,23 +60,31 @@ def make_spark(cpus: int):
     )
 
 
-def _replicated_docs(spark):
-    """sf0.1 documents x REPLICAS with distinct doc_ids and a
-    per-replica text salt (so replicas are near-dups of each other,
-    not byte dups — the candidate join still has real work)."""
+def _dedup_corpus(spark, n):
+    """Deterministic minhash-scaling corpus with REALISTIC collision
+    density: n base docs of 80 words drawn hash-mixed from a 50k
+    vocabulary (random pairwise shingle overlap ≈ 0, so LSH
+    candidates don't blow up the way the small, highly self-similar
+    sf0.1 text does — measured there: 17% of ALL pairs collide),
+    plus 5% true near-dups (last 6 of 80 words replaced). Candidate
+    pairs grow LINEARLY with n; all generation is JVM-side
+    (transform over sequence + xxhash64), no Python in the fixture."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .select("doc_id", "text")
-    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
-    return (docs.crossJoin(F.broadcast(reps))
-            .select((F.col("doc_id") * REPLICAS + F.col("rep"))
-                    .alias("doc_id"),
-                    F.concat_ws(" ", "text",
-                                F.concat(F.lit("rep"),
-                                         F.col("rep").cast("string")))
-                    .alias("text"))
-            .repartition(64))
+    def words(lo, hi, prefix, mul):
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda j: F.concat(F.lit(prefix), F.pmod(
+                F.xxhash64(F.col("id") * F.lit(mul) + j * F.lit(7919)),
+                F.lit(50000)))))
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), words(0, 79, "w", 997).alias("text"))
+    dups = spark.range(0, n, 20).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.concat_ws(" ", words(0, 73, "w", 997),
+                    words(74, 79, "d", 31)).alias("text"))
+    return base.unionAll(dups).repartition(32)
 
 
 def child(op: str, cpus: int) -> None:
@@ -79,7 +93,7 @@ def child(op: str, cpus: int) -> None:
     if op == "minhash":
         from xapian_spark.pipeline.dedup import minhash_dedup_pairs
 
-        docs = _replicated_docs(spark).persist()
+        docs = _dedup_corpus(spark, MH_DOCS).persist()
         n = docs.count()  # warm + materialize input outside the timer
         t0 = time.perf_counter()
         m = minhash_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
@@ -95,7 +109,7 @@ def child(op: str, cpus: int) -> None:
                                                  synthetic_link_edges)
 
         nodes = spark.range(PR_NODES).select(
-            F.col("id").alias("doc_id")).repartition(64)
+            F.col("id").alias("doc_id")).repartition(32)
         edges = synthetic_link_edges(nodes, PR_NODES).persist()
         n = edges.count()
         t0 = time.perf_counter()
@@ -146,8 +160,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     rows = []
-    label = {"minhash": f"minhash_dedup ({REPLICAS}x sf0.1 = "
-                        f"{best[('minhash', 2)]['rows']} docs)",
+    label = {"minhash": "minhash_dedup "
+                        f"({best[('minhash', 2)]['rows']} docs)",
              "pagerank": f"pagerank 8 iters ({PR_NODES // 1000}k "
                          f"nodes, {best[('pagerank', 2)]['rows']} "
                          "edges)"}

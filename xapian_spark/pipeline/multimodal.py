@@ -411,12 +411,13 @@ def synthetic_dup_media(spark, n_pairs: int = 25,
 
 
 def decode_audio(audio: DataFrame) -> DataFrame:
-    """REAL audio decode for RIFF/WAVE PCM blobs (pipeline/wav.py —
-    stdlib struct, no audio library): (media_id, sample_rate,
-    channels, n_frames, samples BINARY int16-LE interleaved).
-    Non-WAV/compressed codecs raise honestly, the image-codec
-    contract. Narrow mapInPandas; downstream stats/feature stages
-    chain without a shuffle."""
+    """REAL audio decode — RIFF/WAVE (PCM + IMA ADPCM, pipeline/
+    wav.py) and FLAC (pipeline/flac.py), dispatched on magic:
+    (media_id, sample_rate, channels, n_frames, samples BINARY
+    int16-LE interleaved). Other/compressed codecs raise honestly,
+    the image-codec contract. Narrow mapInPandas; downstream
+    stats/feature stages chain without a shuffle."""
+    from xapian_spark.pipeline.flac import decode_flac, is_flac
     from xapian_spark.pipeline.wav import decode_wav
 
     schema = StructType([
@@ -434,7 +435,11 @@ def decode_audio(audio: DataFrame) -> DataFrame:
             rows = {"media_id": [], "sample_rate": [], "channels": [],
                     "n_frames": [], "samples": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                rate, ch, pcm = decode_wav(bytes(data or b""))
+                blob = bytes(data or b"")
+                if is_flac(blob):
+                    rate, ch, pcm = decode_flac(blob)
+                else:
+                    rate, ch, pcm = decode_wav(blob)
                 rows["media_id"].append(int(mid))
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
@@ -547,6 +552,38 @@ def synthetic_adpcm_media(spark, n: int) -> DataFrame:
                 rows.append({
                     "media_id": i, "uri": f"s3://fake/a{i}.adpcm.wav",
                     "mime": "audio/wav", "sample_rate": 8000,
+                    "duration_ms": nf * 1000 // 8000, "data": blob,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def synthetic_flac_media(spark, n: int) -> DataFrame:
+    """AUDIO_SCHEMA rows whose `data` blobs are REAL FLAC streams
+    (pipeline/flac.py — CONSTANT/FIXED subframes, rice residuals,
+    left/side stereo) over the SAME deterministic integer waveform
+    as synthetic_wav_media. FLAC is LOSSLESS, so audio stats replay
+    with the identical closed-form SQL as the WAV fixture."""
+    from xapian_spark.pipeline.flac import encode_flac
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 400 + (i % 5) * 40
+                ch = 1 + (i % 2)
+                t = np.arange(nf * ch, dtype=np.int64)
+                s = ((7 * i + 13 * t) % 4001 - 2000).astype("<i2")
+                blob = encode_flac(8000, ch, s.tobytes())
+                rows.append({
+                    "media_id": i, "uri": f"s3://fake/a{i}.flac",
+                    "mime": "audio/flac", "sample_rate": 8000,
                     "duration_ms": nf * 1000 // 8000, "data": blob,
                 })
             yield pd.DataFrame(
