@@ -905,6 +905,38 @@ def q_warc_ingest(spark, sf_dir):
         F.md5("html").alias("html_md5"))
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over the WARC ingestion chain: documents →
+    WARC files → warc_pages → cdx_index (SURT urlkey, ts14, url,
+    payload digest/length; range-partitioned + sorted, never a
+    single-task global sort). Oracle replays the SURT transform and
+    CDX fields in closed form."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, StructField, StructType)
+
+    from xapian_spark.io.warc import warc_pages, write_warc
+    from xapian_spark.pipeline.urls import cdx_index
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def pack(batches):
+        for pdf in batches:
+            recs = [(f"http://h{int(d) % 97}.example.org/d{int(d)}",
+                     datetime.datetime(2024, 1, 1)
+                     + datetime.timedelta(seconds=int(d)),
+                     b"<html><body>" + str(t).encode("utf-8")
+                     + b"</body></html>")
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            if recs:
+                yield pd.DataFrame({"content": [write_warc(recs)]})
+
+    files = docs.mapInPandas(
+        pack, StructType([StructField("content", BinaryType(), False)]))
+    return cdx_index(warc_pages(files))
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -1732,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac": q_audio_flac,
         "media_decode_gif": q_media_decode_gif,
         "warc_ingest": q_warc_ingest,
+        "cdx_index": q_cdx_index,
         "media_decode_jpeg": q_media_decode_jpeg,
         "audio_stats": q_audio_stats,
         "media_decode_shape": q_media_decode_shape,
@@ -1771,7 +1804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "unigram_lm": q_unigram_lm,
-        "importance_weights": q_importance_weights,
         "quality_classifier": q_quality_classifier,
         "curate": q_curate,
         "letor_features": q_letor_features,
@@ -1781,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "stream_dedup": q_stream_dedup,
         # ---- 50-entry artifact window ends here ----
+        "importance_weights": q_importance_weights,
         "bigram_lm": q_bigram_lm,
         "posting_value_weight": q_posting_value_weight,
         # r04-green entries
@@ -2669,6 +2702,17 @@ SELECT 'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
        octet_length(encode('<html><body>' || text
                            || '</body></html>'))::INT AS html_len,
        md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents
+"""
+    out["cdx_index"] = """
+SELECT 'org,example,h' || (doc_id % 97) || ')/d' || doc_id AS urlkey,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts14,
+       'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
+         AS url,
+       md5('<html><body>' || text || '</body></html>') AS digest,
+       octet_length(encode('<html><body>' || text
+                           || '</body></html>'))::INT AS length
 FROM documents
 """
     out["media_decode_gif"] = """

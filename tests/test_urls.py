@@ -217,3 +217,54 @@ def test_url_filter_empty_blocklist(spark):
     df = spark.createDataFrame(
         [(1, "https://a.com/x")], ["doc_id", "url"])
     assert url_filter(df, blocked_hosts=[]).count() == 1
+
+
+def test_surt_key_expr(spark):
+    from xapian_spark.pipeline.urls import surt_key_expr
+
+    cases = [
+        ("http://www.Example.COM/A/b?x=2&utm_source=t", "com,example)/a/b?x=2"),
+        ("https://sub.host.org:443/", "org,host,sub)/"),
+        ("http://plain.net", "net,plain)/"),
+        ("http://a.b.c.d/p?b=1&a=2", "d,c,b,a)/p?a=2&b=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in
+           df.select(surt_key_expr("url").alias("k")).collect()]
+    assert got == [k for _, k in cases]
+
+
+def test_cdx_index_sorted_and_exact(spark):
+    import datetime
+    import hashlib
+
+    from xapian_spark.pipeline.urls import cdx_index
+
+    rows = [(f"http://h{i % 3}.ex.org/p{i}",
+             datetime.datetime(2024, 1, 1, 0, 0, i),
+             f"<html>{i}</html>".encode()) for i in range(40)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    out = cdx_index(pages)
+    # partitions are range-partitioned and sorted within — collecting
+    # partition by partition yields the global order
+    collected = out.collect()
+    keys = [(r["urlkey"], r["ts14"]) for r in collected]
+    # verify within-partition sortedness via the physical layout
+    import itertools
+
+    parts = out.rdd.glom().collect()
+    flat = []
+    for p in parts:
+        ks = [(r["urlkey"], r["ts14"]) for r in p]
+        assert ks == sorted(ks)  # sorted within each partition
+        flat.extend(ks)
+    assert sorted(flat) == sorted(keys)
+    by_url = {r["url"]: r for r in collected}
+    for url, ts, html in rows:
+        r = by_url[url]
+        i = int(url.rsplit("p", 1)[1])
+        assert r["urlkey"] == f"org,ex,h{i % 3})/p{i}"
+        assert r["ts14"] == ts.strftime("%Y%m%d%H%M%S")
+        assert r["digest"] == hashlib.md5(html).hexdigest()
+        assert r["length"] == len(html)

@@ -243,3 +243,51 @@ def url_filter(df: DataFrame, blocked_hosts=None, banned_words=None,
                 schema="host string")
         out = out.join(F.broadcast(bl), "host", "left_anti")
     return out.filter(F.col("url_word_hits") <= max_word_hits)
+
+
+def surt_key_expr(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    Internet Archive / Common Crawl CDX ``urlkey`` convention:
+    ``http://www.Example.com/A/b?x=2&utm_s=t`` →
+    ``com,example)/a/b?x=2``. Host rules shared with host_expr
+    (lowercase, ``www.``/port stripped), components reversed and
+    comma-joined; path and the canonically-sorted query (tracking
+    params dropped, same rules as canonical_url_expr) lowercased.
+    Pure Catalyst expressions — narrow, codegen-friendly, and the
+    natural range-partition key for a crawl index (pages of one
+    domain sort adjacent)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = host_expr(u)
+    path = F.lower(F.regexp_extract(u, _RFC3986, 3))
+    query = F.lower(F.regexp_extract(u, _RFC3986, 4))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & (F.regexp_extract(p, TRACKING_PARAM_RE, 0) == ""),
+    ))
+    qpart = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
+             .otherwise(F.lit(""))
+    return F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                    F.lit(")"), path, qpart)
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts",
+              payload_col: str = "html") -> DataFrame:
+    """CDX-style capture index over a pages table: one row per
+    capture — (urlkey, ts14, url, digest, length) — globally ordered
+    by (urlkey, ts14) the way CDX files are, via repartitionByRange +
+    sortWithinPartitions (range-partitioned sorted runs are how a
+    distributed engine writes a globally sorted index; NO single-task
+    global sort). Lookups by url prefix then touch one partition
+    range. digest is the payload md5, length its byte count."""
+    out = pages.select(
+        surt_key_expr(url_col).alias("urlkey"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("digest"),
+        F.length(F.col(payload_col)).alias("length"))
+    return (out.repartitionByRange("urlkey", "ts14")
+            .sortWithinPartitions("urlkey", "ts14"))
