@@ -937,6 +937,49 @@ def q_cdx_index(spark, sf_dir):
     return cdx_index(warc_pages(files))
 
 
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt compliance filter end-to-end: per-host
+    robots bodies (an agent-specific group that must be IGNORED, a
+    ``*`` group with prefix Disallow /d1, a longer carve-out Allow
+    /d12, and a per-host wildcard ``*<digit>$``) are parsed by
+    pipeline/robots.py, aggregated to broadcastable rule arrays, and
+    applied to the documents' synthetic urls with longest-match /
+    allow-wins-ties semantics — corpus side never shuffles. The
+    oracle replays the verdict in closed form (fixed pattern lengths
+    make longest-match a simple boolean)."""
+    import pandas as pd
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    from xapian_spark.pipeline.robots import robots_filter, robots_rules
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 97),
+                 F.lit(".example.org/d"), F.col("doc_id"))
+        .alias("url"))
+
+    def gen_robots(batches):
+        for pdf in batches:
+            hosts, bodies = [], []
+            for n in pdf["id"]:
+                n = int(n)
+                body = ("User-agent: specialbot\nDisallow: /\n\n"
+                        "User-agent: *\nDisallow: /d1\n"
+                        "Allow: /d12\n"
+                        f"Disallow: *{n % 10}$\n")
+                hosts.append(f"h{n}.example.org")
+                bodies.append(body.encode())
+            yield pd.DataFrame({"host": hosts, "content": bodies})
+
+    robots = spark.range(97).mapInPandas(
+        gen_robots,
+        StructType([StructField("host", StringType(), False),
+                    StructField("content", BinaryType(), False)]))
+    rules = robots_rules(robots)
+    return robots_filter(docs, rules).select("doc_id", "url")
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -1765,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_gif": q_media_decode_gif,
         "warc_ingest": q_warc_ingest,
         "cdx_index": q_cdx_index,
+        "robots_filter": q_robots_filter,
         "media_decode_jpeg": q_media_decode_jpeg,
         "audio_stats": q_audio_stats,
         "media_decode_shape": q_media_decode_shape,
@@ -1804,7 +1848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "unigram_lm": q_unigram_lm,
-        "quality_classifier": q_quality_classifier,
         "curate": q_curate,
         "letor_features": q_letor_features,
         "ivf_topk": q_ivf_topk,
@@ -1813,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "stream_dedup": q_stream_dedup,
         # ---- 50-entry artifact window ends here ----
+        "quality_classifier": q_quality_classifier,
         "importance_weights": q_importance_weights,
         "bigram_lm": q_bigram_lm,
         "posting_value_weight": q_posting_value_weight,
@@ -2703,6 +2747,20 @@ SELECT 'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
                            || '</body></html>'))::INT AS html_len,
        md5('<html><body>' || text || '</body></html>') AS html_md5
 FROM documents
+"""
+    out["robots_filter"] = """
+WITH v AS (
+  SELECT doc_id, '/d' || doc_id AS path,
+         ((doc_id % 97) % 10)::VARCHAR AS dd
+  FROM documents
+)
+SELECT doc_id,
+       'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
+         AS url
+FROM v
+WHERE path LIKE '/d12%'               -- Allow /d12 (len 4) wins
+   OR (path NOT LIKE '/d1%'           -- Disallow /d1 (len 3)
+       AND path NOT LIKE '%' || dd)   -- Disallow *<digit>$ (len 3)
 """
     out["cdx_index"] = """
 SELECT 'org,example,h' || (doc_id % 97) || ')/d' || doc_id AS urlkey,
