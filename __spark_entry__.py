@@ -980,6 +980,47 @@ def q_robots_filter(spark, sf_dir):
     return robots_filter(docs, rules).select("doc_id", "url")
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap URL discovery end-to-end (io/sitemap.py): per-batch
+    sitemap XML blobs over the documents' synthetic urls (W3C
+    lastmod, fractional priority, both nullable) parsed back by the
+    PURE-Catalyst regexp pipeline — no Python UDF, no XML library,
+    one narrow codegen stage. Oracle replays loc/lastmod/priority in
+    closed form."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from xapian_spark.io.sitemap import sitemap_urls, write_sitemap
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            entries = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ts = (datetime.datetime(2024, 1, 1)
+                      + datetime.timedelta(seconds=d))
+                entries.append((
+                    f"http://h{d % 97}.example.org/d{d}",
+                    None if d % 7 == 0
+                    else ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    None if d % 5 == 0 else (d % 10) / 10.0))
+            if entries:
+                yield pd.DataFrame(
+                    {"content": [write_sitemap(entries)]})
+
+    maps = docs.mapInPandas(
+        gen, StructType([StructField("content", BinaryType(), False)]))
+    # -1.0 sentinel for absent priority: a NULL double round-trips
+    # as NaN through the driver's pandas compare
+    return sitemap_urls(maps).select(
+        "loc", "lastmod",
+        F.coalesce("priority", F.lit(-1.0)).alias("priority"))
+
+
 def _geo_docs(spark, sf_dir):
     """Deterministic lat/lon derived from doc_id (no geo column in the
     testdata; same derivation in the DuckDB oracle)."""
@@ -1809,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "cdx_index": q_cdx_index,
         "robots_filter": q_robots_filter,
+        "sitemap_ingest": q_sitemap_ingest,
         "media_decode_jpeg": q_media_decode_jpeg,
         "audio_stats": q_audio_stats,
         "media_decode_shape": q_media_decode_shape,
@@ -1848,7 +1890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "unigram_lm": q_unigram_lm,
-        "curate": q_curate,
         "letor_features": q_letor_features,
         "ivf_topk": q_ivf_topk,
         "cosine_topk": q_cosine_topk,
@@ -1856,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "stream_dedup": q_stream_dedup,
         # ---- 50-entry artifact window ends here ----
+        "curate": q_curate,
         "quality_classifier": q_quality_classifier,
         "importance_weights": q_importance_weights,
         "bigram_lm": q_bigram_lm,
@@ -2746,6 +2788,17 @@ SELECT 'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
        octet_length(encode('<html><body>' || text
                            || '</body></html>'))::INT AS html_len,
        md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents
+"""
+    out["sitemap_ingest"] = """
+SELECT 'http://h' || (doc_id % 97) || '.example.org/d' || doc_id
+         AS loc,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE strftime(TIMESTAMP '2024-01-01 00:00:00'
+                          + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ')
+       END AS lastmod,
+       CASE WHEN doc_id % 5 = 0 THEN -1.0
+            ELSE (doc_id % 10) / 10.0 END AS priority
 FROM documents
 """
     out["robots_filter"] = """
