@@ -83,3 +83,55 @@ def test_extractor_reusable_and_stateless():
     ex = HtmlTextExtractor()
     assert ex.parse("<p>a</p>").dump == "a"
     assert ex.parse("<p>b</p>").dump == "b"
+
+
+def test_charset_goldens_reference_table():
+    # htmlparsetest.cc:49-54 — the reference's charset rows, replayed
+    # with the omindex default (iso-8859-1, omindex.cc:432). Expected
+    # strings are the reference's utf-8 byte expectations decoded.
+    cases = [
+        # (html bytes, dump, title)
+        (b"<html><head><title>\xc2\xae</title></head>"
+         b"<body>\xc2\xa3</body></html>",
+         b"\xc3\x82\xc2\xa3", b"\xc3\x82\xc2\xae"),
+        (b"<html><head><meta http-equiv=Content-Type content=\""
+         b"text/html;charset=iso-8859-1\"><title>\xc2\xae</title>"
+         b"</head><body>\xc2\xa3</body></html>",
+         b"\xc3\x82\xc2\xa3", b"\xc3\x82\xc2\xae"),
+        (b"<html><head><meta http-equiv=Content-Type content=\""
+         b"text/html;charset=utf-8\"><title>\xc2\xae</title></head>"
+         b"<body>\xc2\xa3</body></html>",
+         b"\xc2\xa3", b"\xc2\xae"),
+        (b"<html><head><meta charset='utf-8'><title>\xc2\xae</title>"
+         b"</head><body>\xc2\xa3</body></html>",
+         b"\xc2\xa3", b"\xc2\xae"),
+        (b"<html><head><title>\xc2\xae</title><meta charset=\"utf-8\""
+         b"></head><body>\xc2\xa3</body></html>",
+         b"\xc2\xa3", b"\xc2\xae"),
+    ]
+    for html, dump, title in cases:
+        f = extract_fields(html, default_charset="iso-8859-1")
+        assert f["text"] == dump.decode("utf-8"), html
+        assert f["title"] == title.decode("utf-8"), html
+
+
+def test_charset_sniffing_edges():
+    from xapian_spark.analysis.htmlparse import decode_html, sniff_charset
+
+    # BOMs win over meta
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8"
+    assert sniff_charset(b"\xff\xfe<\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00<") == "utf-16-be"
+    # windows-1252 smart quote via meta
+    h = (b"<meta charset=windows-1252><body>\x93quoted\x94</body>")
+    assert "“quoted”" in decode_html(h)
+    # unknown charset name falls back to the default, then utf-8
+    h = b"<meta charset=no-such-charset><body>ok</body>"
+    assert "ok" in decode_html(h, "also-bogus")
+    # utf-16 document (every tag byte is multibyte) decodes via BOM
+    doc = "<body>café</body>".encode("utf-16")  # LE BOM
+    assert "café" in decode_html(doc)
+    # default when nothing declares
+    assert sniff_charset(b"<body>x</body>") == "utf-8"
+    assert sniff_charset(b"<body>x</body>", "iso-8859-1") == \
+        "iso-8859-1"

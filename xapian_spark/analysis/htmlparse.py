@@ -74,6 +74,59 @@ _DECL_RE = re.compile(r"<![^>]*>")
 _PI_RE = re.compile(r"<\?.*?\?>", re.DOTALL)
 
 
+# meta-declared charset, mirroring myhtmlparse.cc:210-255: the
+# http-equiv=content-type "charset=" token (quoted or bare, bare ends
+# at the reference's separator set) and the HTML5 <meta charset=...>
+# attribute. Scanned on the RAW bytes (tags are ASCII in every
+# ASCII-compatible charset, which is everything the web uses once
+# UTF-16 BOMs are handled first).
+_META_TAG_RE = re.compile(rb"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
+_CHARSET_TOKEN_RE = re.compile(
+    rb"charset\s*=\s*(?:\"([^\"]*)\"|'([^']*)'"
+    rb"|([^\s\"';()<>@,:\\/\[\]?={}]+))",
+    re.IGNORECASE)
+
+
+def sniff_charset(data: bytes, default: str = "utf-8") -> str:
+    """Charset of an html byte blob: BOM first, then the first
+    meta-declared charset, else `default`. The reference parses with
+    a caller-supplied charset and re-parses when a meta tag declares
+    a different one (myhtmlparse.cc parse_html / the thrown
+    newcharset, omindex.cc:432) — sniff-then-decode-once is the
+    byte-level equivalent."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    for tag in _META_TAG_RE.finditer(data):
+        m = _CHARSET_TOKEN_RE.search(tag.group(0))
+        if m:
+            val = next(g for g in m.groups() if g is not None)
+            name = val.decode("ascii", "replace").strip().lower()
+            if name:
+                return name
+    return default
+
+
+def decode_html(data: bytes, default_charset: str = "utf-8") -> str:
+    """html bytes → str via the sniffed (BOM/meta) charset, falling
+    back to `default_charset`, then to utf-8 for unknown names;
+    undecodable bytes are replaced, never raised — a corpus decode
+    step must be total."""
+    import codecs
+
+    name = sniff_charset(bytes(data), default_charset)
+    for candidate in (name, default_charset, "utf-8"):
+        try:
+            codecs.lookup(candidate)
+        except LookupError:
+            continue
+        return bytes(data).decode(candidate, errors="replace")
+    return bytes(data).decode("utf-8", errors="replace")
+
+
 def decode_entities(s: str) -> str:
     def repl(m: re.Match) -> str:
         code = m.group(1)
@@ -234,12 +287,16 @@ class HtmlTextExtractor:
 _EXTRACTOR = HtmlTextExtractor()
 
 
-def extract_text(html) -> str:
-    """html (bytes or str) → normalized body text (deterministic)."""
+def extract_text(html, default_charset: str = "utf-8") -> str:
+    """html (bytes or str) → normalized body text (deterministic).
+    Byte input decodes via the sniffed BOM/meta charset with
+    `default_charset` as the fallback — utf-8 here (the synthetic
+    corpus default); pass "iso-8859-1" for the reference omindex
+    contract (omindex.cc:432)."""
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_html(html, default_charset)
     return _EXTRACTOR.parse(html).dump
 
 
@@ -258,11 +315,11 @@ def extract_text_udf(col):
     return _extract(col)
 
 
-def extract_fields(html) -> dict:
+def extract_fields(html, default_charset: str = "utf-8") -> dict:
     if html is None:
         html = ""
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_html(html, default_charset)
     r = _EXTRACTOR.parse(html)
     return {
         "text": r.dump,
